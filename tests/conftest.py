@@ -1,0 +1,39 @@
+"""Test harness config.
+
+Forces JAX onto a virtual 8-device CPU platform so sharding logic is testable
+without a TPU pod (SURVEY.md §4 test strategy).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Read-only upstream reference, used purely as a golden oracle in parity
+# tests (never imported by the framework itself).
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def load_reference_module(relpath: str, name: str):
+    """Import a single reference source file by path, bypassing the package
+    __init__ chain (which pulls in deps like torchvision that aren't needed
+    for golden-oracle comparisons)."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE_ROOT, relpath)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
