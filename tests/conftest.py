@@ -7,10 +7,17 @@ without a TPU pod (SURVEY.md §4 test strategy).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The sandbox pre-imports jax via sitecustomize with JAX_PLATFORMS=axon (the
+# TPU tunnel), so the env var alone is too late — override the live config
+# before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -23,6 +30,28 @@ REFERENCE_ROOT = "/root/reference"
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+def load_reference_package(reldir: str, pkg_name: str):
+    """Register a reference directory as an importable package (with relative
+    imports working) WITHOUT running any parent __init__.py."""
+    import importlib.util
+    import types
+
+    path = os.path.join(REFERENCE_ROOT, reldir)
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [path]
+        pkg.__package__ = pkg_name
+        sys.modules[pkg_name] = pkg
+    return sys.modules[pkg_name]
+
+
+def import_reference_submodule(reldir: str, pkg_name: str, submodule: str):
+    import importlib
+
+    load_reference_package(reldir, pkg_name)
+    return importlib.import_module(f"{pkg_name}.{submodule}")
 
 
 def load_reference_module(relpath: str, name: str):
