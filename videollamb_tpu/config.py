@@ -33,7 +33,8 @@ class VisionConfig:
     num_attention_heads: int = 16
     image_size: int = 224
     patch_size: int = 14
-    layer_norm_eps: float = 1e-6
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
     # Temporal attention (video tower). The reference hard-codes t=8
     # (modeling_video.py:92-93): a learned (1, 8, d) temporal embedding and a
     # temporal self-attention before each spatial attention.

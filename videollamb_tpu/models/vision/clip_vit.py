@@ -1,0 +1,226 @@
+"""LanguageBind CLIP-ViT vision tower with per-layer temporal attention.
+
+TPU-native re-implementation of the vendored LanguageBind video/image CLIP
+encoder (reference: llava/model/multimodal_encoder/languagebind/video/
+modeling_video.py:78-179 CLIPEncoderLayer with temporal attention,
+:617-697 CLIPVisionTransformer). Design notes:
+
+- the patchify convolution (stride == kernel) is expressed as a reshape +
+  one big matmul — identical math, lands on the MXU without im2col;
+- temporal attention runs over fixed windows of ``num_frames`` (the
+  reference hard-codes t=8, modeling_video.py:92-93): frames are grouped as
+  (B*T/8, 8) regardless of the clip length, exactly like the reference's
+  ``rearrange('(b t) n d -> (b n) t d', t=8)``;
+- the temporal positional embedding is added into the residual stream
+  *before* the temporal-attention residual branch (reference order,
+  modeling_video.py:129-148);
+- feature extraction stops at the select layer (default -2 == skip the last
+  encoder layer entirely) instead of materializing all 25 hidden states;
+- attention logits accumulate in float32; weights can be held in bfloat16.
+
+Parameter tree key names mirror the HF module names
+(embeddings/pre_layrnorm — sic — /layers.N.self_attn etc.) so checkpoint
+conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import VisionConfig
+from videollamb_tpu.models.bridge.layers import _act
+
+Params = Dict[str, Any]
+
+
+def _dense(p: Params, x: jax.Array) -> jax.Array:
+    y = jnp.einsum("...d,dk->...k", x, p["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """HF CLIPAttention: query pre-scaled by head_dim**-0.5, out_proj."""
+    b, n, d = x.shape
+    head_dim = d // num_heads
+    scale = head_dim**-0.5
+
+    def split(v):
+        return v.reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = split(_dense(p["q_proj"], x)) * scale
+    k = split(_dense(p["k_proj"], x))
+    v = split(_dense(p["v_proj"], x))
+    scores = jnp.einsum("bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhke->bhqe", probs, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
+    return _dense(p["out_proj"], out)
+
+
+def _encoder_layer(
+    p: Params, x: jax.Array, cfg: VisionConfig, time_window: int
+) -> jax.Array:
+    """One encoder layer: [temporal attn →] spatial attn → MLP (pre-LN)."""
+    bt, n, d = x.shape
+    if cfg.add_time_attn and time_window > 1:
+        t = time_window
+        b = bt // t
+        # (bt, n, d) -> (b*n, t, d)
+        xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)
+        # Temporal embedding enters the residual stream (reference order).
+        xt = xt + p["temporal_embedding"][:t].astype(x.dtype)[None]
+        residual = xt
+        h = _layer_norm(p["temporal_layer_norm1"], xt, cfg.layer_norm_eps)
+        h = _clip_attention(p["temporal_attn"], h, cfg.num_attention_heads)
+        xt = residual + h
+        x = xt.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
+
+    residual = x
+    h = _layer_norm(p["layer_norm1"], x, cfg.layer_norm_eps)
+    h = _clip_attention(p["self_attn"], h, cfg.num_attention_heads)
+    x = residual + h
+
+    residual = x
+    h = _layer_norm(p["layer_norm2"], x, cfg.layer_norm_eps)
+    h = _act(cfg.hidden_act, _dense(p["mlp"]["fc1"], h))
+    h = _dense(p["mlp"]["fc2"], h)
+    return residual + h
+
+
+def _embed(p: Params, pixels: jax.Array, cfg: VisionConfig) -> jax.Array:
+    """Patchify + class token + positional embedding.
+
+    pixels: (M, C, H, W) -> (M, 1+N, D).
+    """
+    m, c, h, w = pixels.shape
+    ph = pw = cfg.patch_size
+    gh, gw = h // ph, w // pw
+    # (M, C, gh, ph, gw, pw) -> (M, gh, gw, C, ph, pw) -> (M, gh*gw, C*ph*pw)
+    x = pixels.reshape(m, c, gh, ph, gw, pw)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(m, gh * gw, c * ph * pw)
+    patches = jnp.einsum(
+        "mnk,kd->mnd", x, p["patch_embedding"]["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(x.dtype)[None, None], (m, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, patches], axis=1)
+    return x + p["position_embedding"].astype(x.dtype)[None]
+
+
+@partial(jax.jit, static_argnames=("cfg", "select_layer"))
+def vision_encode(
+    params: Params,
+    pixels: jax.Array,
+    cfg: VisionConfig,
+    select_layer: Optional[int] = None,
+) -> jax.Array:
+    """Encode frames and return the select-layer hidden states.
+
+    Args:
+      params: vision tower parameter tree.
+      pixels: (B, T, C, H, W) normalized frames. For the video tower T must
+        be a multiple of ``cfg.num_frames`` (the processor guarantees this);
+        for images T == 1.
+    Returns:
+      (B, T, 1+N, D) features (CLS + patches per frame) — the reference
+      ``feature_select`` 'patch' layout (languagebind/__init__.py:296-320).
+    """
+    b, t, c, h, w = pixels.shape
+    sel = cfg.select_layer if select_layer is None else select_layer
+    # hidden_states[sel] == output of layer (L + sel + 1) for sel < 0.
+    n_layers = len(params["layers"]) + (sel + 1 if sel < 0 else sel - len(params["layers"]))
+    if sel >= 0:
+        n_layers = sel
+    time_window = cfg.num_frames if (cfg.add_time_attn and t > 1) else 1
+
+    x = _embed(params["embeddings"], pixels.reshape(b * t, c, h, w), cfg)
+    x = _layer_norm(params["pre_layrnorm"], x, cfg.layer_norm_eps)
+    for layer_params in params["layers"][:n_layers]:
+        x = _encoder_layer(layer_params, x, cfg, time_window)
+    return x.reshape(b, t, x.shape[-2], x.shape[-1])
+
+
+def vision_encode_features(params: Params, pixels: jax.Array, cfg: VisionConfig) -> jax.Array:
+    """Reference-compatible tower forward + feature_select('patch')."""
+    return vision_encode(params, pixels, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Init / conversion
+# ---------------------------------------------------------------------------
+
+
+def _init_dense(rng, d_in, d_out, dtype):
+    k1, k2 = jax.random.split(rng)
+    limit = math.sqrt(1.0 / d_in)
+    return {
+        "kernel": jax.random.uniform(k1, (d_in, d_out), dtype, -limit * math.sqrt(3), limit * math.sqrt(3)),
+        "bias": jnp.zeros((d_out,), dtype),
+    }
+
+
+def _init_ln(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _init_attn(rng, d, dtype):
+    ks = jax.random.split(rng, 4)
+    return {
+        "q_proj": _init_dense(ks[0], d, d, dtype),
+        "k_proj": _init_dense(ks[1], d, d, dtype),
+        "v_proj": _init_dense(ks[2], d, d, dtype),
+        "out_proj": _init_dense(ks[3], d, d, dtype),
+    }
+
+
+def init_vision_params(rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    d = cfg.hidden_size
+    ks = jax.random.split(rng, cfg.num_hidden_layers + 3)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lk = jax.random.split(ks[i], 4)
+        layer = {
+            "layer_norm1": _init_ln(d, dtype),
+            "self_attn": _init_attn(lk[0], d, dtype),
+            "layer_norm2": _init_ln(d, dtype),
+            "mlp": {
+                "fc1": _init_dense(lk[1], d, cfg.intermediate_size, dtype),
+                "fc2": _init_dense(lk[2], cfg.intermediate_size, d, dtype),
+            },
+        }
+        if cfg.add_time_attn:
+            layer["temporal_embedding"] = (
+                jax.random.normal(lk[3], (cfg.num_frames, d), dtype) * d**-0.5
+            )
+            layer["temporal_attn"] = _init_attn(jax.random.fold_in(lk[3], 1), d, dtype)
+            layer["temporal_layer_norm1"] = _init_ln(d, dtype)
+        layers.append(layer)
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    return {
+        "embeddings": {
+            "class_embedding": jax.random.normal(ks[-3], (d,), dtype) * d**-0.5,
+            "patch_embedding": {
+                "kernel": jax.random.normal(ks[-2], (patch_dim, d), dtype) * 0.02
+            },
+            "position_embedding": jax.random.normal(ks[-1], (cfg.seq_len, d), dtype) * 0.02,
+        },
+        "pre_layrnorm": _init_ln(d, dtype),
+        "layers": layers,
+        "post_layernorm": _init_ln(d, dtype),
+    }
