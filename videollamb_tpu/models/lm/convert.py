@@ -1,0 +1,56 @@
+"""Convert HF Llama checkpoints (Vicuna / LLaVA backbones) to the stacked
+JAX layout used by :mod:`videollamb_tpu.models.lm.llama`.
+
+Accepts state dicts with either ``model.layers...`` (LlamaForCausalLM) or
+``layers...`` (bare LlamaModel) key roots; per-layer torch weights are
+transposed and stacked along a leading layer axis for lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def convert_llama_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    keys = list(sd.keys())
+    root = "model." if any(k.startswith("model.layers.") for k in keys) else ""
+
+    n_layers = 0
+    while f"{root}layers.{n_layers}.self_attn.q_proj.weight" in sd:
+        n_layers += 1
+
+    def stack(fmt: str, transpose: bool = True) -> np.ndarray:
+        mats = [_np(sd[fmt.format(root=root, i=i)]) for i in range(n_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats)
+
+    layers = {
+        "input_layernorm": stack("{root}layers.{i}.input_layernorm.weight", transpose=False),
+        "q_proj": stack("{root}layers.{i}.self_attn.q_proj.weight"),
+        "k_proj": stack("{root}layers.{i}.self_attn.k_proj.weight"),
+        "v_proj": stack("{root}layers.{i}.self_attn.v_proj.weight"),
+        "o_proj": stack("{root}layers.{i}.self_attn.o_proj.weight"),
+        "post_attention_layernorm": stack(
+            "{root}layers.{i}.post_attention_layernorm.weight", transpose=False
+        ),
+        "gate_proj": stack("{root}layers.{i}.mlp.gate_proj.weight"),
+        "up_proj": stack("{root}layers.{i}.mlp.up_proj.weight"),
+        "down_proj": stack("{root}layers.{i}.mlp.down_proj.weight"),
+    }
+    embed = _np(sd[f"{root}embed_tokens.weight"])
+    lm_head = _np(sd["lm_head.weight"]).T if "lm_head.weight" in sd else embed.T.copy()
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": _np(sd[f"{root}norm.weight"]),
+        "lm_head": lm_head,
+    }
