@@ -1,0 +1,191 @@
+"""Tests for the static-shape multimodal splice and full model assembly.
+
+The splice oracle is a direct Python re-statement of the reference's ragged
+concatenation semantics (llava_arch.py:492-660): split on the sentinel,
+insert visual rows, truncate to max_len, right-pad, IGNORE visual labels.
+"""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
+from videollamb_tpu.models.assembly import (
+    MultimodalBatch,
+    causal_lm_loss,
+    videollamb_forward,
+)
+from videollamb_tpu.models.engine import generate
+from videollamb_tpu.models.lm.llama import embed_tokens, llama_forward
+from videollamb_tpu.models.splice import splice_multimodal
+
+
+def _python_splice(ids, valid, labels, text_emb, x_emb, x_mask, max_len):
+    """Reference-semantics oracle."""
+    out_emb, out_lab = [], []
+    for i, tok in enumerate(ids):
+        if not valid[i]:
+            continue
+        if tok < 0:
+            for j in range(len(x_mask)):
+                if x_mask[j]:
+                    out_emb.append(x_emb[j])
+                    out_lab.append(IGNORE_INDEX)
+        else:
+            out_emb.append(text_emb[i])
+            out_lab.append(labels[i])
+    out_emb = out_emb[:max_len]
+    out_lab = out_lab[:max_len]
+    n = len(out_emb)
+    d = text_emb.shape[-1]
+    emb = np.zeros((max_len, d), np.float32)
+    emb[:n] = np.stack(out_emb) if out_emb else np.zeros((0, d))
+    lab = np.full((max_len,), IGNORE_INDEX, np.int32)
+    lab[:n] = out_lab
+    attn = np.zeros((max_len,), bool)
+    attn[:n] = True
+    return emb, attn, lab, n
+
+
+@pytest.mark.parametrize("case", ["mid", "start", "short_x", "no_x", "truncate"])
+def test_splice_matches_python_oracle(case):
+    rng = np.random.default_rng(0)
+    d, n_x, max_len = 8, 6, 24
+    if case == "mid":
+        ids = np.array([5, 6, VIDEO_TOKEN_INDEX, 7, 8, 9, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        xm = np.ones(n_x, bool)
+    elif case == "start":
+        ids = np.array([VIDEO_TOKEN_INDEX, 7, 8, 9, 0, 0, 0, 0])
+        valid = np.array([1, 1, 1, 1, 0, 0, 0, 0], bool)
+        xm = np.ones(n_x, bool)
+    elif case == "short_x":
+        ids = np.array([5, 6, VIDEO_TOKEN_INDEX, 7, 8, 9, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        xm = np.array([1, 1, 1, 0, 0, 0], bool)
+    elif case == "no_x":
+        ids = np.array([5, 6, 3, 7, 8, 9, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        xm = np.zeros(n_x, bool)
+    else:  # truncate
+        max_len = 8
+        ids = np.array([5, 6, VIDEO_TOKEN_INDEX, 7, 8, 9, 1, 1])
+        valid = np.ones(8, bool)
+        xm = np.ones(n_x, bool)
+
+    labels = np.where(valid, ids, IGNORE_INDEX)
+    text_emb = rng.normal(size=(len(ids), d)).astype(np.float32)
+    x_emb = rng.normal(size=(n_x, d)).astype(np.float32)
+
+    ref_emb, ref_attn, ref_lab, ref_len = _python_splice(
+        ids, valid, labels, text_emb, x_emb, xm, max_len
+    )
+    out = splice_multimodal(
+        jnp.asarray(ids[None]), jnp.asarray(valid[None]), jnp.asarray(labels[None]),
+        jnp.asarray(text_emb[None]), jnp.asarray(x_emb[None]), jnp.asarray(xm[None]),
+        max_len,
+    )
+    np.testing.assert_allclose(np.asarray(out.embeds[0]), ref_emb, rtol=1e-6)
+    assert np.asarray(out.attention_mask[0]).tolist() == ref_attn.tolist()
+    assert np.asarray(out.labels[0]).tolist() == ref_lab.tolist()
+    assert int(out.lengths[0]) == ref_len
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig.tiny()
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    return cfg, params
+
+
+def _video_batch(cfg, b=2, t=16, text_len=12, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(b, text_len)).astype(np.int32)
+    ids[:, 3] = VIDEO_TOKEN_INDEX
+    mask = np.ones((b, text_len), np.int32)
+    videos = rng.normal(size=(b, t, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    return MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+        labels=jnp.asarray(np.where(mask, ids, IGNORE_INDEX)),
+        videos=jnp.asarray(videos),
+        images=None,
+    )
+
+
+def test_end_to_end_forward_and_loss(tiny_model):
+    cfg, params = tiny_model
+    batch = _video_batch(cfg)
+    logits, spliced = videollamb_forward(params, cfg, batch)
+    assert logits.shape == (2, cfg.max_length, cfg.lm.vocab_size)
+    loss, n = causal_lm_loss(logits, spliced.labels)
+    assert np.isfinite(float(loss)) and int(n) > 0
+    # Spliced length = text_len - 1 sentinel + valid video tokens.
+    assert int(spliced.lengths[0]) >= 12 - 1 + cfg.bridge.tokens_per_frame
+
+
+def test_generate_greedy_matches_incremental_full_forward(tiny_model):
+    """Greedy generate (prefill + cached decode) must equal the argmax chain
+    from repeated full forwards over the growing spliced sequence."""
+    cfg, params = tiny_model
+    batch = _video_batch(cfg, b=1, t=8, text_len=8, seed=2)
+    max_new = 5
+
+    res = generate(
+        params, cfg, batch, jax.random.PRNGKey(0),
+        max_new_tokens=max_new, do_sample=False,
+        eos_token_id=-1,  # never fires in a random tiny model
+        max_seq_len=cfg.max_length + max_new + 1,
+    )
+
+    # Oracle: grow the spliced embed sequence manually.
+    from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+
+    spliced = prepare_multimodal_embeds(params, cfg, batch)
+    length = int(spliced.lengths[0])
+    embeds = np.asarray(spliced.embeds[0][:length])
+    toks = []
+    for _ in range(max_new):
+        e = jnp.asarray(embeds[None])
+        logits = llama_forward(
+            params["lm"], cfg.lm, e, jnp.ones((1, e.shape[1]), jnp.int32)
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        toks.append(nxt)
+        next_embed = np.asarray(embed_tokens(params["lm"], jnp.asarray([[nxt]]))[0])
+        embeds = np.concatenate([embeds, next_embed], axis=0)
+
+    assert np.asarray(res.tokens[0]).tolist() == toks
+    assert int(res.lengths[0]) == max_new
+
+
+def test_image_batch_forward(tiny_model):
+    cfg, params = tiny_model
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(2, 10)).astype(np.int32)
+    ids[:, 0] = -200  # IMAGE sentinel
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, 10), jnp.int32),
+        labels=None,
+        videos=None,
+        images=jnp.asarray(rng.normal(size=(2, 3, 56, 56)).astype(np.float32)),
+    )
+    logits, spliced = videollamb_forward(params, cfg, batch)
+    assert int(spliced.lengths[0]) == 10 - 1 + cfg.bridge.tokens_per_frame
+    assert np.isfinite(np.asarray(logits)).all()

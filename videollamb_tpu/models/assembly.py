@@ -1,0 +1,180 @@
+"""VideoLLaMB model assembly: tower -> Memory Bridge -> splice -> Llama.
+
+TPU-native counterpart of the reference model classes
+(llava/model/language_model/llava_llama.py:41-174 LlavaLlamaForCausalLM and
+llava/model/llava_arch.py LlavaMetaModel/LlavaMetaForCausalLM): pure
+functions over an explicit parameter pytree, one compiled graph per shape
+bucket, batch handled by vmap instead of the reference's per-sample Python
+loop (llava_arch.py:505).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.constants import IGNORE_INDEX
+from videollamb_tpu.models.bridge.rmt_r import (
+    rmt_r_image_forward,
+    rmt_r_video_forward,
+)
+from videollamb_tpu.models.lm.llama import (
+    embed_tokens,
+    init_kv_cache,
+    llama_forward,
+    llama_prefill,
+)
+from videollamb_tpu.models.splice import SplicedBatch, splice_multimodal
+from videollamb_tpu.models.vision.clip_vit import vision_encode
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Encoders (reference llava_arch.py:331-348)
+# ---------------------------------------------------------------------------
+
+
+def encode_videos(
+    params: Params, cfg: ModelConfig, videos: jax.Array, deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """videos (B, T, C, H, W) -> last-segment bridge tokens.
+
+    Returns (B, F*P, lm_d) tokens and (B, F*P) validity mask
+    (reference encode_videos, llava_arch.py:331-338).
+    """
+    feats = vision_encode(params["video_tower"], videos, cfg.vision)  # (B,T,N,D)
+    rngs = jax.random.split(rng, feats.shape[0]) if rng is not None else None
+
+    def one(f, r):
+        out = rmt_r_video_forward(
+            params["mm_projector"], cfg.bridge, f,
+            rng=r, deterministic=deterministic,
+        )
+        return out.tokens, out.token_mask
+
+    if rngs is None:
+        tokens, mask = jax.vmap(lambda f: one(f, None))(feats)
+    else:
+        tokens, mask = jax.vmap(one)(feats, rngs)
+    return tokens, mask
+
+
+def encode_videos_retro(
+    params: Params, cfg: ModelConfig, videos: jax.Array, deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-segment bridge tokens for the RMT-loss training path
+    (reference encode_videos_retro, llava_arch.py:428).
+
+    Returns (B, S, F*P, lm_d) and (B, S, F*P)."""
+    feats = vision_encode(params["video_tower"], videos, cfg.vision)
+
+    def one(f):
+        out = rmt_r_video_forward(
+            params["mm_projector"], cfg.bridge, f, deterministic=deterministic,
+        )
+        return out.all_tokens, out.all_masks
+
+    return jax.vmap(one)(feats)
+
+
+def encode_images(
+    params: Params, cfg: ModelConfig, images: jax.Array, deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """images (B, C, H, W) -> (B, P, lm_d) tokens + all-valid mask
+    (reference encode_images, llava_arch.py:265)."""
+    tower = params.get("image_tower", params["video_tower"])
+    feats = vision_encode(tower, images[:, None], cfg.vision)  # (B,1,N,D)
+    tokens, _ = rmt_r_image_forward(
+        params["mm_projector"], cfg.bridge, feats[:, 0], deterministic=deterministic,
+    )
+    mask = jnp.ones(tokens.shape[:2], bool)
+    return tokens, mask
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+class MultimodalBatch(NamedTuple):
+    """Host-assembled batch. ``videos`` may be None for text/image batches.
+
+    input_ids carry one X sentinel per multimodal row (-200 image/-201
+    video); pure-text rows have none.
+    """
+
+    input_ids: jax.Array  # (B, T)
+    attention_mask: jax.Array  # (B, T)
+    labels: Optional[jax.Array]  # (B, T) or None
+    videos: Optional[jax.Array]  # (B, T_v, C, H, W)
+    images: Optional[jax.Array]  # (B, C, H, W)
+
+
+def prepare_multimodal_embeds(
+    params: Params,
+    cfg: ModelConfig,
+    batch: MultimodalBatch,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> SplicedBatch:
+    """Encode visuals, embed text, splice (reference
+    prepare_inputs_labels_for_multimodal, llava_arch.py:492-660)."""
+    text_embeds = embed_tokens(params["lm"], batch.input_ids)
+    b = batch.input_ids.shape[0]
+    lm_d = text_embeds.shape[-1]
+
+    if batch.videos is not None:
+        x_embeds, x_mask = encode_videos(
+            params, cfg, batch.videos, deterministic=deterministic, rng=rng
+        )
+    elif batch.images is not None:
+        x_embeds, x_mask = encode_images(
+            params, cfg, batch.images, deterministic=deterministic
+        )
+    else:
+        x_embeds = jnp.zeros((b, 1, lm_d), text_embeds.dtype)
+        x_mask = jnp.zeros((b, 1), bool)
+
+    return splice_multimodal(
+        batch.input_ids, batch.attention_mask, batch.labels,
+        text_embeds, x_embeds, x_mask, cfg.max_length,
+    )
+
+
+def videollamb_forward(
+    params: Params,
+    cfg: ModelConfig,
+    batch: MultimodalBatch,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> Tuple[jax.Array, SplicedBatch]:
+    """Full multimodal forward -> (logits (B, L, V), spliced batch)."""
+    spliced = prepare_multimodal_embeds(
+        params, cfg, batch, deterministic=deterministic, rng=rng
+    )
+    logits = llama_forward(
+        params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask, remat=remat
+    )
+    return logits, spliced
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Shifted cross-entropy with IGNORE_INDEX masking (reference: HF
+    CausalLM loss over the spliced labels). Returns (mean loss, token count)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(jnp.sum(valid), 1)
+    loss = -jnp.sum(jnp.where(valid, token_logp, 0.0)) / n
+    return loss, n
