@@ -1,0 +1,58 @@
+"""Headline benchmark: LanguageBind ViT-L/14 encode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "languagebind_encode_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 2000}
+
+Baseline: the rebuild north-star of 2,000 frames/sec/chip for the video
+tower (BASELINE.md). The tower dominates the offline pipeline's device time
+(24 transformer layers x 257 tokens per frame, plus temporal attention).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 2000.0
+
+
+def main():
+    from videollamb_tpu.config import VisionConfig
+    from videollamb_tpu.models.vision.clip_vit import (
+        init_vision_params,
+        vision_encode,
+    )
+
+    cfg = VisionConfig()  # ViT-L/14 @224, temporal attention, 24 layers
+    params = init_vision_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    batch, frames = 4, 32  # 128 frames per step
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, frames, 3, 224, 224)),
+        dtype=jnp.bfloat16,
+    )
+
+    fn = jax.jit(lambda p, x: vision_encode(p, x, cfg))
+    fn(params, pixels).block_until_ready()  # compile
+
+    n_iters = 10
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(params, pixels)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    fps = (batch * frames * n_iters) / elapsed
+    print(json.dumps({
+        "metric": "languagebind_encode_fps",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device mesh.
+
+Validates that the full train step compiles and runs under GSPMD with
+DP+FSDP+TP shardings, and that sharded execution matches single-device
+execution numerically.
+"""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig, TrainConfig
+from videollamb_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
+from videollamb_tpu.models.assembly import MultimodalBatch, causal_lm_loss, videollamb_forward
+from videollamb_tpu.parallel import batch_sharding, create_mesh, shard_params
+from videollamb_tpu.train import create_optimizer, create_train_state, make_train_step
+
+
+def _tiny_params(cfg):
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+
+
+def _batch(cfg, b=8, t=8, text_len=12, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(b, text_len)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    mask = np.ones((b, text_len), np.int32)
+    videos = rng.normal(
+        size=(b, t, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    return MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+        labels=jnp.asarray(np.where(mask, ids, IGNORE_INDEX)),
+        videos=jnp.asarray(videos),
+        images=None,
+    )
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_sharded_forward_matches_single_device():
+    cfg = ModelConfig.tiny()
+    params = _tiny_params(cfg)
+    batch = _batch(cfg, b=8)
+
+    logits_single, spliced_single = videollamb_forward(params, cfg, batch)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    bsh = batch_sharding(mesh)
+    batch_sharded = MultimodalBatch(
+        input_ids=jax.device_put(batch.input_ids, bsh),
+        attention_mask=jax.device_put(batch.attention_mask, bsh),
+        labels=jax.device_put(batch.labels, bsh),
+        videos=jax.device_put(batch.videos, bsh),
+        images=None,
+    )
+    logits_sharded, _ = videollamb_forward(sharded, cfg, batch_sharded)
+    np.testing.assert_allclose(
+        np.asarray(logits_single), np.asarray(logits_sharded), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4)])
+def test_train_step_runs_sharded(dp, tp):
+    cfg = ModelConfig.tiny()
+    tcfg = TrainConfig(mm_projector_lr=1e-4, gradient_accumulation_steps=1)
+    params = _tiny_params(cfg)
+
+    mesh = create_mesh(data_parallel=dp, model_parallel=tp)
+    params = shard_params(mesh, params)
+    tx = create_optimizer(tcfg, total_steps=100, params=params)
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(cfg, tx, remat=True))
+
+    batch = _batch(cfg, b=8)
+    bsh = batch_sharding(mesh)
+    batch = MultimodalBatch(
+        input_ids=jax.device_put(batch.input_ids, bsh),
+        attention_mask=jax.device_put(batch.attention_mask, bsh),
+        labels=jax.device_put(batch.labels, bsh),
+        videos=jax.device_put(batch.videos, bsh),
+        images=None,
+    )
+    state1, metrics1 = step_fn(state, batch, jax.random.PRNGKey(1))
+    state2, metrics2 = step_fn(state1, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics1["loss"]))
+    assert float(metrics2["loss"]) < float(metrics1["loss"]) + 1.0  # sane scale
+    assert int(state2.step) == 2
+    # Towers must stay frozen (prod recipe freezes the video tower).
+    t0 = np.asarray(
+        jax.tree.leaves(params["video_tower"])[0]
+    )
+    t2 = np.asarray(jax.tree.leaves(state2.params["video_tower"])[0])
+    np.testing.assert_array_equal(t0, t2)
+
+
+def test_adapter_only_tuning_freezes_lm():
+    cfg = ModelConfig.tiny()
+    tcfg = TrainConfig(tune_mode="adapter")
+    params = _tiny_params(cfg)
+    tx = create_optimizer(tcfg, total_steps=10, params=params)
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(cfg, tx, remat=False))
+    # Two steps: warmup LR is 0 at step 0 (HF semantics), nonzero after.
+    state1, _ = step_fn(state, _batch(cfg, b=2), jax.random.PRNGKey(0))
+    state1, _ = step_fn(state1, _batch(cfg, b=2), jax.random.PRNGKey(0))
+
+    lm0 = np.asarray(params["lm"]["embed_tokens"])
+    lm1 = np.asarray(state1.params["lm"]["embed_tokens"])
+    np.testing.assert_array_equal(lm0, lm1)
+    # memory_tokens is vestigial (never read in the forward pass, matching
+    # the reference) — check a live projector weight instead.
+    pr0 = np.asarray(params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    pr1 = np.asarray(state1.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    assert np.abs(pr0 - pr1).max() > 0

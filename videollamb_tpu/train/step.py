@@ -1,0 +1,131 @@
+"""Training step: optax AdamW with projector LR group, sharded via GSPMD.
+
+Replaces the reference's HF Trainer + DeepSpeed ZeRO stack
+(llava/train/llava_trainer.py:149-271, scripts/zero*.json):
+
+- separate ``mm_projector_lr`` parameter group (llava_trainer.py:166-244)
+  via optax.multi_transform over top-level subtrees;
+- cosine schedule with linear warmup (slurm --lr_scheduler_type cosine,
+  --warmup_ratio 0.03);
+- tune modes: 'full', 'adapter' (mm_projector only — the reference
+  --tune_mm_mlp_adapter path), with frozen subtrees getting zero updates;
+- optimizer state inherits parameter shardings (ZeRO-equivalent for free
+  under GSPMD);
+- gradient accumulation via optax.MultiSteps when configured.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from videollamb_tpu.config import ModelConfig, TrainConfig
+from videollamb_tpu.models.assembly import (
+    MultimodalBatch,
+    causal_lm_loss,
+    videollamb_forward,
+)
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Params
+    opt_state: Any
+
+
+def lr_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
+    warmup = max(1, int(total_steps * cfg.warmup_ratio))
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, warmup, max(total_steps, warmup + 1), end_value=0.0
+        )
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+         optax.constant_schedule(cfg.learning_rate)],
+        [warmup],
+    )
+
+
+def _adamw(cfg: TrainConfig, schedule: optax.Schedule) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+def create_optimizer(
+    cfg: TrainConfig, total_steps: int, params: Params
+) -> optax.GradientTransformation:
+    base = lr_schedule(cfg, total_steps)
+
+    def label_fn(p):
+        # Label top-level subtrees: projector vs rest vs frozen.
+        labels = {}
+        for key in p:
+            if cfg.tune_mode == "adapter":
+                labels[key] = "train" if key == "mm_projector" else "frozen"
+            elif key == "mm_projector" and cfg.mm_projector_lr is not None:
+                labels[key] = "projector"
+            elif key in ("video_tower", "image_tower"):
+                labels[key] = "frozen"  # towers are frozen in the prod recipe
+            else:
+                labels[key] = "train"
+        return {k: jax.tree.map(lambda _: v, p[k]) for k, v in labels.items()}
+
+    transforms = {"train": _adamw(cfg, base), "frozen": optax.set_to_zero()}
+    if cfg.mm_projector_lr is not None:
+        import dataclasses
+
+        proj_cfg = dataclasses.replace(cfg, learning_rate=cfg.mm_projector_lr)
+        transforms["projector"] = _adamw(proj_cfg, lr_schedule(proj_cfg, total_steps))
+    tx = optax.multi_transform(transforms, label_fn)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(
+    params: Params, tx: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    *,
+    remat: bool = True,
+) -> Callable:
+    """Build the jittable train step: (state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, spliced = videollamb_forward(
+                params, model_cfg, batch, deterministic=False, rng=rng, remat=remat
+            )
+            loss, n = causal_lm_loss(logits, spliced.labels)
+            return loss, n
+
+        (loss, n_tokens), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "tokens": n_tokens,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step
