@@ -155,13 +155,15 @@ def videollamb_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, SplicedBatch]:
     """Full multimodal forward -> (logits (B, L, V), spliced batch)."""
     spliced = prepare_multimodal_embeds(
         params, cfg, batch, deterministic=deterministic, rng=rng
     )
     logits = llama_forward(
-        params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask, remat=remat
+        params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
+        remat=remat, attn_impl=attn_impl,
     )
     return logits, spliced
 

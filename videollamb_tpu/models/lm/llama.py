@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from videollamb_tpu.config import LlamaConfig
 from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
+from videollamb_tpu.ops.attention import multihead_attention
 
 Params = Dict[str, Any]
 
@@ -71,6 +72,8 @@ def _grouped_attention(
     v: jax.Array,  # (B, Sk, H_kv, Dh)
     mask: jax.Array,  # (B, Sq, Sk) bool, True = attend
 ) -> jax.Array:
+    """Dense-mask attention used on the cache path (decode/prefill where the
+    mask is ragged per row). GQA via grouped einsum."""
     b, sq, h, dh = q.shape
     h_kv = k.shape[2]
     g = h // h_kv
@@ -89,9 +92,10 @@ def _layer(
     x: jax.Array,  # (B, S, D)
     cos: jax.Array,
     sin: jax.Array,
-    mask: jax.Array,  # (B, S, S_k)
+    key_valid: jax.Array,  # (B, S) bool
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder layer (no cache). Returns (hidden, k, v)."""
+    """One decoder layer (no cache, causal). Returns (hidden, k, v)."""
     b, s, d = x.shape
     h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -102,7 +106,9 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    attn = _grouped_attention(q, k, v, mask)
+    attn = multihead_attention(
+        q, k, v, causal=True, k_mask=key_valid, impl=attn_impl
+    )
     attn = _proj(lp["o_proj"], attn.reshape(b, s, d))
     x = x + attn
 
@@ -123,20 +129,21 @@ def _run_layers(
     cache: Optional[KVCache] = None,
     write_pos: Optional[jax.Array] = None,  # (B,) where to write new k/v
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Scan the stacked layers. With a cache, each layer merges its fresh
     k/v into the cache slice and attends over the full cache buffer."""
 
     if cache is None:
         def body(hidden, lp):
-            hidden, _, _ = _layer(lp, cfg, hidden, cos, sin, mask)
+            hidden, _, _ = _layer(lp, cfg, hidden, cos, sin, mask, attn_impl)
             return hidden, None
 
         fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(fn, x, params["layers"])
         return x, None
 
-    # Cache path: layer body that writes к/v into its cache slice first.
+    # Cache path: layer body that writes k/v into its cache slice first.
     def cached_body(hidden, xs):
         lp, ck, cv = xs  # ck/cv: (B, S_max, H_kv, Dh)
         b, s, d = hidden.shape
@@ -185,7 +192,7 @@ def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][ids]
 
 
-@partial(jax.jit, static_argnames=("cfg", "remat"))
+@partial(jax.jit, static_argnames=("cfg", "remat", "attn_impl"))
 def llama_forward(
     params: Params,
     cfg: LlamaConfig,
@@ -193,18 +200,21 @@ def llama_forward(
     attention_mask: jax.Array,  # (B, S) bool / {0,1}
     position_ids: Optional[jax.Array] = None,  # (B, S)
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> jax.Array:
-    """Full-sequence forward (training / no-cache prefill) -> (B, S, V) logits."""
+    """Full-sequence forward (training / no-cache prefill) -> (B, S, V) logits.
+
+    ``attn_impl``: 'auto' (flash kernel on TPU, dense on CPU) or 'chunked'
+    (differentiable online-softmax — use for training long sequences)."""
     b, s, _ = inputs_embeds.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
 
     valid = attention_mask.astype(bool)
-    causal = jnp.tril(jnp.ones((s, s), bool))
-    mask = causal[None] & valid[:, None, :]
-
-    x, _ = _run_layers(params, cfg, inputs_embeds, cos, sin, mask, remat=remat)
+    x, _ = _run_layers(
+        params, cfg, inputs_embeds, cos, sin, valid, remat=remat, attn_impl=attn_impl
+    )
     return _final(params, cfg, x)
 
 

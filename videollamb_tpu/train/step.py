@@ -105,15 +105,20 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     remat: bool = True,
+    attn_impl: str = "chunked",
 ) -> Callable:
-    """Build the jittable train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jittable train step: (state, batch, rng) -> (state, metrics).
+
+    Default attention is the differentiable chunked/online-softmax impl (the
+    training replacement for CUDA flash-attn backward)."""
 
     def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             logits, spliced = videollamb_forward(
-                params, model_cfg, batch, deterministic=False, rng=rng, remat=remat
+                params, model_cfg, batch, deterministic=False, rng=rng,
+                remat=remat, attn_impl=attn_impl,
             )
             loss, n = causal_lm_loss(logits, spliced.labels)
             return loss, n
