@@ -1,0 +1,208 @@
+"""Supervised dataset, collator and modality-grouped sampler.
+
+Counterparts of the reference LazySupervisedDataset /
+DataCollatorForSupervisedDataset (llava/train/train.py:680-872) and the
+modality-grouped length sampler (llava/train/llava_trainer.py:59-146):
+
+- JSON list of conversations; per-sample modality from 'image'/'video' keys;
+- decode errors retry with a random same-modality sample (train.py:823-825);
+- the collator pads to static shape buckets (multiples of ``bucket``) so XLA
+  compiles a handful of shapes — the TPU replacement for dynamic padding;
+- the sampler builds per-modality megabatches, shuffles by length within
+  each, and drops stragglers, like the reference.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from videollamb_tpu.constants import IGNORE_INDEX
+from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+from videollamb_tpu.data.video_reader import load_video
+from videollamb_tpu.models.assembly import MultimodalBatch
+from videollamb_tpu.train.preprocess import preprocess, preprocess_multimodal
+
+
+@dataclass
+class DataConfig:
+    data_path: str = ""
+    image_folder: str = ""
+    video_folder: str = ""
+    num_frames: int = 8
+    is_multimodal: bool = True
+    mm_use_x_start_end: bool = False
+    model_max_length: int = 2048
+    image_aspect_ratio: str = "pad"
+
+
+class SupervisedDataset:
+    """Lazy JSON conversation dataset (reference train.py:680-825)."""
+
+    def __init__(self, data_path: str, tokenizer, cfg: DataConfig,
+                 video_processor: Optional[VideoProcessor] = None,
+                 image_processor: Optional[ImageProcessor] = None,
+                 seed: int = 0):
+        with open(data_path) as f:
+            self.records: List[Dict[str, Any]] = json.load(f)
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.video_processor = video_processor or VideoProcessor()
+        self.image_processor = image_processor or ImageProcessor()
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def modality(self, i: int) -> str:
+        rec = self.records[i]
+        if "video" in rec:
+            return "video"
+        if "image" in rec:
+            return "image"
+        return "language"
+
+    def modality_lengths(self) -> List[int]:
+        """Signed conversation lengths: positive for multimodal samples,
+        negative for pure language (reference train.py:720-733)."""
+        lengths = []
+        for rec in self.records:
+            cur = sum(len(c["value"].split()) for c in rec["conversations"])
+            mm = "image" in rec or "video" in rec
+            lengths.append(cur if mm else -cur)
+        return lengths
+
+    def _load_one(self, i: int) -> Dict[str, Any]:
+        rec = self.records[i]
+        sources = copy.deepcopy([rec["conversations"]])
+        out: Dict[str, Any] = {}
+        if "video" in rec:
+            path = os.path.join(self.cfg.video_folder, rec["video"])
+            frames = load_video(path, num_frames=self.cfg.num_frames)
+            out["video"] = self.video_processor(frames)  # (T, C, H, W)
+            sources = preprocess_multimodal(
+                sources, is_multimodal=self.cfg.is_multimodal,
+                mm_use_x_start_end=self.cfg.mm_use_x_start_end,
+            )
+            x = "VIDEO"
+        elif "image" in rec:
+            from PIL import Image
+
+            path = os.path.join(self.cfg.image_folder, rec["image"])
+            img = Image.open(path).convert("RGB")
+            if self.cfg.image_aspect_ratio == "pad":
+                from videollamb_tpu.mm_utils import expand2square
+
+                bg = tuple(int(x * 255) for x in self.image_processor.image_mean)
+                img = expand2square(img, bg)
+            out["image"] = self.image_processor(img)  # (C, H, W)
+            sources = preprocess_multimodal(
+                sources, is_multimodal=self.cfg.is_multimodal,
+                mm_use_x_start_end=self.cfg.mm_use_x_start_end,
+            )
+            x = "IMAGE"
+        else:
+            x = None
+        data = preprocess(sources, self.tokenizer, x=x,
+                          model_max_length=self.cfg.model_max_length)
+        out["input_ids"] = data["input_ids"][0][: self.cfg.model_max_length]
+        out["labels"] = data["labels"][0][: self.cfg.model_max_length]
+        return out
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        try:
+            return self._load_one(i)
+        except Exception as e:  # corrupt sample -> random same-modality retry
+            print(f"dataset error at {i}: {e}; resampling same modality")
+            modality = self.modality(i)
+            candidates = [j for j in range(len(self)) if self.modality(j) == modality and j != i]
+            if not candidates:
+                raise
+            return self[self.rng.choice(candidates)]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Collator:
+    """Pad a list of samples into one MultimodalBatch with bucketed static
+    shapes (reference DataCollatorForSupervisedDataset, train.py:827-872)."""
+
+    pad_token_id: int = 0
+    bucket: int = 128
+    max_length: int = 2048
+
+    def __call__(self, samples: Sequence[Dict[str, Any]]) -> MultimodalBatch:
+        b = len(samples)
+        max_len = max(len(s["input_ids"]) for s in samples)
+        t = min(_round_up(max_len, self.bucket), self.max_length)
+
+        ids = np.full((b, t), self.pad_token_id, np.int32)
+        labels = np.full((b, t), IGNORE_INDEX, np.int32)
+        mask = np.zeros((b, t), np.int32)
+        for i, s in enumerate(samples):
+            n = min(len(s["input_ids"]), t)
+            ids[i, :n] = s["input_ids"][:n]
+            labels[i, :n] = s["labels"][:n]
+            mask[i, :n] = 1
+
+        videos = images = None
+        if any("video" in s for s in samples):
+            tv = max(s["video"].shape[0] for s in samples if "video" in s)
+            shape = next(s["video"].shape for s in samples if "video" in s)
+            videos = np.zeros((b, tv) + shape[1:], np.float32)
+            for i, s in enumerate(samples):
+                if "video" in s:
+                    videos[i, : s["video"].shape[0]] = s["video"]
+        elif any("image" in s for s in samples):
+            shape = next(s["image"].shape for s in samples if "image" in s)
+            images = np.zeros((b,) + shape, np.float32)
+            for i, s in enumerate(samples):
+                if "image" in s:
+                    images[i] = s["image"]
+
+        return MultimodalBatch(
+            input_ids=ids, attention_mask=mask, labels=labels,
+            videos=videos, images=images,
+        )
+
+
+def modality_grouped_indices(
+    lengths: Sequence[int], batch_size: int, world_size: int,
+    seed: int = 0,
+) -> List[int]:
+    """Modality-grouped, length-shuffled megabatch order (reference
+    llava_trainer.py:59-100 get_modality_length_grouped_indices)."""
+    rng = np.random.default_rng(seed)
+    mm = [(i, l) for i, l in enumerate(lengths) if l > 0]
+    lang = [(i, -l) for i, l in enumerate(lengths) if l <= 0]
+
+    def shuffle_chunks(items):
+        idx = [i for i, _ in items]
+        perm = rng.permutation(len(idx))
+        shuffled = [idx[p] for p in perm]
+        mega = world_size * batch_size
+        return [shuffled[k: k + mega] for k in range(0, len(shuffled), mega)]
+
+    mm_mega = shuffle_chunks(mm) if mm else []
+    lang_mega = shuffle_chunks(lang) if lang else []
+    # Drop last partial megabatches, then interleave shuffled.
+    full = [m for m in mm_mega[:-1]] if len(mm_mega) > 1 else []
+    full += [m for m in lang_mega[:-1]] if len(lang_mega) > 1 else []
+    if mm_mega:
+        full.append(mm_mega[-1])
+    if lang_mega:
+        full.append(lang_mega[-1])
+    order = rng.permutation(len(full))
+    out: List[int] = []
+    for oi in order:
+        out.extend(full[oi])
+    return out
