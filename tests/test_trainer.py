@@ -1,0 +1,111 @@
+"""Trainer + checkpoint integration: train a tiny model end-to-end on a
+synthetic dataset, checkpoint, resume, adapter-only save/restore."""
+
+import json
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig, TrainConfig
+from videollamb_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_adapter,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from videollamb_tpu.train.dataset import Collator, DataConfig, SupervisedDataset
+from videollamb_tpu.train.step import create_optimizer, create_train_state
+from videollamb_tpu.train.trainer import Trainer
+from test_preprocess import WordTokenizer
+
+
+def _tiny_params(cfg):
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("train")
+    vid_dir = root / "vids"
+    vid_dir.mkdir()
+    for name in ("a.mp4", "b.mp4"):
+        writer = cv2.VideoWriter(str(vid_dir / name), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+        for i in range(30):
+            writer.write(np.full((48, 64, 3), (i * 8) % 255, np.uint8))
+        writer.release()
+    records = []
+    for name in ("a.mp4", "b.mp4") * 2:
+        records.append({"video": name, "conversations": [
+            {"from": "human", "value": "<video> what"},
+            {"from": "gpt", "value": "a gradient video"},
+        ]})
+    data_path = root / "data.json"
+    data_path.write_text(json.dumps(records))
+    return str(data_path), str(vid_dir), str(root)
+
+
+def test_trainer_end_to_end_with_resume(tiny_dataset):
+    data_path, vid_dir, root = tiny_dataset
+    cfg = ModelConfig.tiny()
+    # Shrink video size to the tiny tower's input.
+    from videollamb_tpu.data.processing import VideoProcessor
+
+    ds = SupervisedDataset(
+        data_path, WordTokenizer(),
+        DataConfig(video_folder=vid_dir, num_frames=8, model_max_length=64),
+        video_processor=VideoProcessor(size=cfg.vision.image_size),
+    )
+    tcfg = TrainConfig(
+        per_device_batch_size=2, num_train_epochs=1, save_steps=0,
+        logging_steps=1, output_dir=root + "/ckpt", gradient_checkpointing=False,
+    )
+    logs = []
+    trainer = Trainer(cfg, tcfg, _tiny_params(cfg), ds, log_fn=logs.append,
+                      collator=Collator(bucket=16, max_length=cfg.max_length))
+    # With 8 CPU "devices" the global batch would exceed the dataset; force 2.
+    trainer.global_batch = 2
+    state = trainer.train()
+    assert int(state.step) >= 1
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    # Final checkpoint exists and resumes.
+    path = latest_checkpoint(tcfg.output_dir)
+    assert path is not None
+    tx = create_optimizer(tcfg, 10, _tiny_params(cfg))
+    fresh = create_train_state(_tiny_params(cfg), tx)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == int(state.step)
+    a = np.asarray(state.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    b = np.asarray(restored.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adapter_only_checkpoint_roundtrip(tmp_path):
+    cfg = ModelConfig.tiny()
+    params = _tiny_params(cfg)
+    tcfg = TrainConfig(tune_mode="adapter", output_dir=str(tmp_path))
+    tx = create_optimizer(tcfg, 10, params)
+    state = create_train_state(params, tx)
+    path = save_checkpoint(str(tmp_path), state, step=7, adapter_only=True)
+
+    fresh = _tiny_params(cfg)
+    # Perturb the projector so restore visibly changes it.
+    fresh["mm_projector"] = jax.tree.map(lambda x: x * 0, fresh["mm_projector"])
+    out = restore_adapter(path, fresh)
+    a = np.asarray(params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    b = np.asarray(out["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+    np.testing.assert_array_equal(a, b)

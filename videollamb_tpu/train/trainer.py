@@ -1,0 +1,158 @@
+"""Training driver: the HF-Trainer/DeepSpeed replacement.
+
+Orchestrates the reference recipe (llava/train/train.py:887-1141 +
+llava_trainer.py) TPU-natively: modality-grouped batch order, background
+host data loading (decode+preprocess threads double-buffering ahead of the
+device), GSPMD-sharded train step, periodic orbax checkpoints with
+auto-resume, per-step loss logging.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Iterable, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from videollamb_tpu.config import ModelConfig, TrainConfig
+from videollamb_tpu.models.assembly import MultimodalBatch
+from videollamb_tpu.train.checkpoint import maybe_resume, save_checkpoint
+from videollamb_tpu.train.dataset import Collator, SupervisedDataset, modality_grouped_indices
+from videollamb_tpu.train.step import (
+    TrainState,
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+)
+
+
+class Prefetcher:
+    """Background-thread batch producer: keeps ``depth`` collated batches
+    ready so host decode/tokenize overlaps device compute (the reference
+    gets this from torch DataLoader workers)."""
+
+    def __init__(self, dataset, order: List[int], batch_size: int,
+                 collator: Collator, depth: int = 2, num_threads: int = 2):
+        self.dataset = dataset
+        self.order = order
+        self.batch_size = batch_size
+        self.collator = collator
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.num_batches = len(order) // batch_size
+        self._threads = []
+        self._batch_queue = queue.Queue()
+        for b in range(self.num_batches):
+            self._batch_queue.put(b)
+        self._results = {}
+        self._next_emit = 0
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        for _ in range(num_threads):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _worker(self):
+        while True:
+            try:
+                b = self._batch_queue.get_nowait()
+            except queue.Empty:
+                return
+            idxs = self.order[b * self.batch_size: (b + 1) * self.batch_size]
+            batch = self.collator([self.dataset[i] for i in idxs])
+            with self._cv:
+                self._results[b] = batch
+                self._cv.notify_all()
+
+    def __iter__(self) -> Iterator[MultimodalBatch]:
+        for b in range(self.num_batches):
+            with self._cv:
+                while b not in self._results:
+                    self._cv.wait()
+                batch = self._results.pop(b)
+            yield batch
+
+
+class Trainer:
+    """End-to-end training loop."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        params,
+        dataset: SupervisedDataset,
+        collator: Optional[Collator] = None,
+        mesh=None,
+        log_fn: Callable[[dict], None] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.dataset = dataset
+        self.collator = collator or Collator(max_length=model_cfg.max_length)
+        self.mesh = mesh
+        self.log_fn = log_fn or (lambda m: print(m, flush=True))
+
+        n_devices = jax.device_count() if mesh is None else mesh.devices.size
+        global_batch = train_cfg.per_device_batch_size * max(
+            1, n_devices if mesh is None else mesh.shape.get("data", 1)
+        )
+        self.global_batch = global_batch
+        steps_per_epoch = max(1, len(dataset) // global_batch)
+        self.total_steps = steps_per_epoch * train_cfg.num_train_epochs
+
+        self.tx = create_optimizer(train_cfg, self.total_steps, params)
+        self.state = create_train_state(params, self.tx)
+        self.state = maybe_resume(train_cfg.output_dir, self.state)
+        self.step_fn = jax.jit(
+            make_train_step(
+                model_cfg, self.tx,
+                remat=train_cfg.gradient_checkpointing,
+            )
+        )
+
+    def _batch_order(self, epoch: int) -> List[int]:
+        lengths = self.dataset.modality_lengths()
+        return modality_grouped_indices(
+            lengths, batch_size=self.global_batch, world_size=1,
+            seed=self.train_cfg.seed + epoch,
+        )
+
+    def train(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.train_cfg.seed)
+        start_step = int(self.state.step)
+        done = 0
+        for epoch in range(self.train_cfg.num_train_epochs):
+            order = self._batch_order(epoch)
+            prefetcher = Prefetcher(
+                self.dataset, order, self.global_batch, self.collator
+            )
+            for batch in prefetcher:
+                if done + (epoch * len(order)) < start_step:
+                    done += 1
+                    continue  # fast-forward on resume
+                t0 = time.perf_counter()
+                self.state, metrics = self.step_fn(self.state, batch, rng)
+                step = int(self.state.step)
+                if step % self.train_cfg.logging_steps == 0:
+                    self.log_fn({
+                        "step": step,
+                        "loss": float(metrics["loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "tokens": int(metrics["tokens"]),
+                        "step_time": round(time.perf_counter() - t0, 3),
+                    })
+                if self.train_cfg.save_steps and step % self.train_cfg.save_steps == 0:
+                    self._save(step)
+        self._save(int(self.state.step))
+        return self.state
+
+    def _save(self, step: int) -> None:
+        save_checkpoint(
+            self.train_cfg.output_dir, self.state, step=step,
+            save_total_limit=self.train_cfg.save_total_limit,
+            adapter_only=(self.train_cfg.tune_mode == "adapter"),
+        )
