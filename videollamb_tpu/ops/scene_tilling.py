@@ -120,16 +120,22 @@ def segment_threshold(
     n_fired = jnp.sum(cond)
 
     # Threshold selection, packed to the front (size max_boundaries).
+    mk = min(max_boundaries, depths.shape[0])  # static clamp for short videos
     positions = jnp.arange(depths.shape[0], dtype=jnp.int32)
     fired_pos = jnp.where(cond, positions, depths.shape[0])  # invalid -> +inf rank
-    fired_sorted = jnp.sort(fired_pos)[:max_boundaries]
+    fired_sorted = jnp.pad(
+        jnp.sort(fired_pos)[:mk], (0, max_boundaries - mk), constant_values=t - 1
+    )
 
     # Top-k fallback when too many fired.
-    _, top_idx = jax.lax.top_k(depths, max_boundaries)
-    top_sorted = jnp.sort(top_idx).astype(jnp.int32)
+    _, top_idx = jax.lax.top_k(depths, mk)
+    top_sorted = jnp.pad(
+        jnp.sort(top_idx).astype(jnp.int32), (0, max_boundaries - mk),
+        constant_values=t - 1,
+    )
 
-    use_topk = n_fired > max_boundaries
-    n_valid = jnp.where(use_topk, max_boundaries, n_fired)
+    use_topk = n_fired > mk
+    n_valid = jnp.where(use_topk, mk, n_fired)
     raw = jnp.where(use_topk, top_sorted, fired_sorted)
 
     slot = jnp.arange(max_boundaries + 1, dtype=jnp.int32)
@@ -159,14 +165,18 @@ def segment_left(
     cond = depths > (mean + alpha * std)
     n_fired = jnp.sum(cond)
 
+    mk = min(max_boundaries, depths.shape[0])
     positions = jnp.arange(depths.shape[0], dtype=jnp.int32)
     fired_pos = jnp.where(cond, positions, depths.shape[0])
-    fired_sorted = jnp.sort(fired_pos)[:max_boundaries].astype(jnp.int32)
+    fired_sorted = jnp.pad(
+        jnp.sort(fired_pos)[:mk].astype(jnp.int32), (0, max_boundaries - mk),
+        constant_values=t - 1,
+    )
 
     slot = jnp.arange(max_boundaries, dtype=jnp.int32)
     empty = n_fired == 0
     bounds = jnp.where(slot < n_fired, fired_sorted, t - 1)
-    valid = jnp.where(empty, slot == 0, slot < jnp.minimum(n_fired, max_boundaries))
+    valid = jnp.where(empty, slot == 0, slot < jnp.minimum(n_fired, mk))
     return bounds, valid
 
 

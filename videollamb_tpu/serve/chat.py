@@ -1,0 +1,107 @@
+"""High-level chat wrapper: load once, answer multimodal prompts.
+
+Counterpart of the reference serve stack (llava/serve/cli.py:25-111 REPL and
+gradio_utils.py:51-120 Chat): conversation template -> tokenizer_x_token ->
+multimodal generate -> stop-string trim. Text lengths are padded to bucket
+multiples so XLA compiles a handful of prefill shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.constants import DEFAULT_X_TOKEN, X_TOKEN_INDEX
+from videollamb_tpu.conversation import SeparatorStyle, conv_templates
+from videollamb_tpu.mm_utils import KeywordStopper, tokenizer_x_token
+from videollamb_tpu.models.assembly import MultimodalBatch
+from videollamb_tpu.models.engine import generate
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Chat:
+    def __init__(self, tokenizer, params: Dict[str, Any], cfg: ModelConfig,
+                 processors: Dict[str, Any], conv_mode: str = "llava_v1",
+                 text_bucket: int = 64):
+        self.tokenizer = tokenizer
+        self.params = params
+        self.cfg = cfg
+        self.processors = processors
+        self.conv_mode = conv_mode
+        self.text_bucket = text_bucket
+        self.conv = conv_templates[conv_mode].copy()
+
+    def reset(self) -> None:
+        self.conv = conv_templates[self.conv_mode].copy()
+
+    def stop_str(self) -> str:
+        return (self.conv.sep if self.conv.sep_style != SeparatorStyle.TWO
+                else self.conv.sep2)
+
+    def _prepare_ids(self, prompt: str, modality: str) -> np.ndarray:
+        ids = tokenizer_x_token(prompt, self.tokenizer, X_TOKEN_INDEX[modality],
+                                return_tensors="np")
+        t = _round_up(len(ids), self.text_bucket)
+        out = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        out[0, : len(ids)] = ids
+        mask[0, : len(ids)] = 1
+        return out, mask
+
+    def generate_text(
+        self,
+        prompt: str,
+        *,
+        videos: Optional[np.ndarray] = None,  # (T, C, H, W)
+        images: Optional[np.ndarray] = None,  # (C, H, W)
+        max_new_tokens: int = 512,
+        temperature: float = 0.2,
+        do_sample: bool = True,
+        seed: int = 0,
+    ) -> str:
+        modality = "VIDEO" if videos is not None else "IMAGE"
+        ids, mask = self._prepare_ids(prompt, modality)
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            labels=None,
+            videos=jnp.asarray(videos[None], self._dtype()) if videos is not None else None,
+            images=jnp.asarray(images[None], self._dtype()) if images is not None else None,
+        )
+        stopper = KeywordStopper([self.stop_str()], self.tokenizer)
+        eos = self.tokenizer.eos_token_id or 2
+        result = generate(
+            self.params, self.cfg, batch, jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens, do_sample=do_sample,
+            temperature=temperature, eos_token_id=int(eos),
+            pad_token_id=int(self.tokenizer.pad_token_id or 0),
+            max_seq_len=self.cfg.max_length + _round_up(max_new_tokens, 64),
+        )
+        n = int(result.lengths[0])
+        tokens = np.asarray(result.tokens[0][:n]).tolist()
+        if tokens and tokens[-1] == eos:
+            tokens = tokens[:-1]
+        text = self.tokenizer.decode(tokens, skip_special_tokens=True).strip()
+        return stopper.trim(text)
+
+    def ask_about_video(self, question: str, frames: np.ndarray,
+                        first_turn: bool = True, **gen_kwargs) -> str:
+        """frames: processed (T, C, H, W). Maintains the conversation."""
+        if first_turn:
+            question = DEFAULT_X_TOKEN["VIDEO"] + "\n" + question
+        self.conv.append_message(self.conv.roles[0], question)
+        self.conv.append_message(self.conv.roles[1], None)
+        prompt = self.conv.get_prompt()
+        answer = self.generate_text(prompt, videos=frames, **gen_kwargs)
+        self.conv.messages[-1][1] = answer
+        return answer
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
