@@ -1,0 +1,131 @@
+"""Eval harness tests: MC prompt format, chunk/merge protocol, accuracy
+aggregation, judge prompt construction, end-to-end shard inference on a
+tiny model."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+from videollamb_tpu.eval.acc import compute_accuracy, merge_shards
+from videollamb_tpu.eval.gpt_judge import JUDGE_PROMPTS, judge_messages, aggregate
+from videollamb_tpu.eval.videoqa_mc import (
+    OPTIONS,
+    build_mc_question,
+    get_chunk,
+    run_inference,
+    split_list,
+)
+
+
+def test_build_mc_question_llava_format():
+    q = build_mc_question("What happens?", {"0": "runs", "1": "sits"})
+    assert q == (
+        "What happens?\nA. runs\nB. sits\n"
+        "Answer with the option's letter from the given choices directly."
+    )
+
+
+def test_chunking_protocol():
+    lst = list(range(10))
+    chunks = [get_chunk(lst, 3, i) for i in range(3)]
+    assert sum(chunks, []) == lst
+    assert all(len(c) in (2, 3, 4) for c in chunks)
+
+
+def test_merge_and_accuracy(tmp_path):
+    shard0 = tmp_path / "s0.json"
+    shard1 = tmp_path / "s1.json"
+    shard0.write_text(json.dumps({"question": "q1", "answer": "A", "pred": "A.", "type": "t1"}) + "\n")
+    shard1.write_text(
+        json.dumps({"question": "q2", "answer": "B", "pred": "C", "type": "t1"}) + "\n"
+        + json.dumps({"question": "q3", "answer": "C", "pred": "C", "type": "t2"}) + "\n"
+    )
+    merged = merge_shards([str(shard0), str(shard1)], str(tmp_path / "m.jsonl"))
+    overall, per_type, total = compute_accuracy(merged)
+    assert total == 3
+    assert overall == pytest.approx(2 / 3)
+    assert per_type["t1"] == pytest.approx(0.5)
+    assert per_type["t2"] == 1.0
+
+
+def test_judge_messages_all_dimensions():
+    qa = {"q": "what", "a": "ans", "pred": "guess", "q2": "w2", "pred2": "g2"}
+    for dim in JUDGE_PROMPTS:
+        msgs = judge_messages(dim, qa)
+        assert msgs[0]["role"] == "system" and msgs[1]["role"] == "user"
+        assert "what" in msgs[1]["content"]
+        assert "{'" in msgs[1]["content"]  # the dict-format instruction
+
+
+def test_judge_aggregate(tmp_path):
+    for i, (pred, score) in enumerate([("yes", 4), ("no", 1), ("yes", 5)]):
+        with open(tmp_path / f"{i}.json", "w") as f:
+            json.dump([{"pred": pred, "score": score}, {}], f)
+    out = aggregate(str(tmp_path))
+    assert out["n"] == 3
+    assert out["accuracy"] == pytest.approx(2 / 3)
+    assert out["average_score"] == pytest.approx(10 / 3)
+
+
+def test_mc_inference_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from test_serving import tiny_chat as _  # noqa: F401  (fixture import)
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.serve.chat import Chat
+    from test_serving import ChatTokenizer
+    import jax
+
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    chat = Chat(ChatTokenizer(), params, cfg, {
+        "VIDEO": VideoProcessor(size=cfg.vision.image_size),
+        "IMAGE": ImageProcessor(size=cfg.vision.image_size),
+    }, text_bucket=32)
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    writer = cv2.VideoWriter(str(vids / "v1.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(16):
+        writer.write(np.full((48, 64, 3), i * 10, np.uint8))
+    writer.release()
+
+    questions = [{"question_id": 1, "video_name": "v1",
+                  "question": "what", "option": {"0": "x", "1": "y"}}]
+    answers = [{"answer": 0, "type": "demo"}]
+    qf = tmp_path / "q.json"
+    af = tmp_path / "a.json"
+    qf.write_text(json.dumps(questions))
+    af.write_text(json.dumps(answers))
+
+    class Args:
+        video_dir = str(vids)
+        gt_file_question = str(qf)
+        gt_file_answers = str(af)
+        output_dir = str(tmp_path / "out")
+        output_name = "pred0"
+        num_chunks = 1
+        chunk_idx = 0
+        num_frames = 8
+        max_new_tokens = 4
+        temperature = 0.0
+        names_have_extension = False
+
+    result = run_inference(Args(), chat=chat)
+    assert result["n"] == 1
+    lines = open(result["output"]).read().strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["answer"] == "A" and "pred" in rec and rec["type"] == "demo"
