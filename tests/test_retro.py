@@ -66,6 +66,27 @@ def test_retro_logits_match_per_segment_forwards(tiny):
         )
 
 
+def test_retro_lm_memory_variant(tiny):
+    from videollamb_tpu.train.retro import init_lm_memory, videollamb_retro_lm_forward
+    from videollamb_tpu.models.assembly import causal_lm_loss
+
+    cfg, params, batch = tiny
+    params = dict(params)
+    params["lm_memory"] = init_lm_memory(jax.random.PRNGKey(7), cfg, num_mem_tokens=4)
+    logits, labels = videollamb_retro_lm_forward(params, cfg, batch)
+    s, l = cfg.bridge.max_segments, cfg.max_length
+    assert logits.shape == (1, s * l, cfg.lm.vocab_size)
+    assert labels.shape == (1, s * l)
+
+    def loss_fn(p):
+        lg, lb = videollamb_retro_lm_forward(p, cfg, batch, attn_impl="xla")
+        return causal_lm_loss(lg, lb)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    # The LM memory parameter receives gradient through the first hand-off.
+    assert float(jnp.abs(grads["lm_memory"]).max()) > 0
+
+
 def test_retro_loss_grads_flow_to_bridge_and_lm(tiny):
     cfg, params, batch = tiny
 

@@ -218,6 +218,29 @@ def llama_forward(
     return _final(params, cfg, x)
 
 
+@partial(jax.jit, static_argnames=("cfg", "remat", "attn_impl"))
+def llama_forward_with_hidden(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Like llama_forward but also returns the final-layer hidden states
+    (pre-final-norm), needed by the LM-memory retro variant which reads its
+    memory tokens back from the last hidden layer
+    (reference llava_llama_retro_lm.py:173)."""
+    b, s, _ = inputs_embeds.shape
+    position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    valid = attention_mask.astype(bool)
+    x, _ = _run_layers(
+        params, cfg, inputs_embeds, cos, sin, valid, remat=remat, attn_impl=attn_impl
+    )
+    return _final(params, cfg, x), x
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def llama_prefill(
     params: Params,

@@ -1,0 +1,101 @@
+"""Vision tower factory: name-based dispatch matching the reference.
+
+Counterpart of llava/model/multimodal_encoder/builder.py:14-61. The CLIP
+family (OpenAI CLIP image tower, frame-wise CLIP video tower, LanguageBind
+image/video) all share :mod:`videollamb_tpu.models.vision.clip_vit` — the
+LanguageBind video encoder is literally CLIP + per-layer temporal attention,
+so one implementation covers all four (reference keeps four near-identical
+vendored copies).
+
+Alternative research towers (google/vit, facebook/mae, google/vivit,
+NCG-NJU/videomae, deformable-DETR, EgoVLP) are registered with explicit
+unsupported errors pointing at the CLIP path; they were experimental and
+unused by any released VideoLLaMB checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import VisionConfig
+from videollamb_tpu.models.vision.clip_vit import init_vision_params, vision_encode
+from videollamb_tpu.models.vision.convert import convert_vision_state_dict
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerSpec:
+    kind: str  # 'languagebind_video' | 'languagebind_image' | 'clip' | 'clip_video'
+    config: VisionConfig
+    frame_wise: bool  # encode each frame independently (no temporal attn)
+
+
+_CLIP_L14 = dict(hidden_size=1024, intermediate_size=4096,
+                 num_hidden_layers=24, num_attention_heads=16,
+                 image_size=224, patch_size=14)
+_CLIP_L14_336 = dict(_CLIP_L14, image_size=336)
+
+
+def resolve_tower(name: str, *, select_layer: int = -2,
+                  select_feature: str = "patch") -> TowerSpec:
+    """Map a tower name/path (reference naming) to a TowerSpec."""
+    base = dict(select_layer=select_layer, select_feature=select_feature)
+    if "RMTLanguageBind_Video" in name:
+        raise NotImplementedError(
+            "RMT-in-encoder tower: the reference's video path is itself "
+            "unfinished (rmt_video/modeling_video.py:752 raises); use "
+            "LanguageBind_Video_merge."
+        )
+    if "LanguageBind_Video" in name:
+        return TowerSpec("languagebind_video",
+                         VisionConfig(add_time_attn=True, **_CLIP_L14, **base),
+                         frame_wise=False)
+    if "LanguageBind_Image" in name:
+        return TowerSpec("languagebind_image",
+                         VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
+                         frame_wise=True)
+    if "clip" in name.lower():
+        dims = _CLIP_L14_336 if "336" in name else _CLIP_L14
+        return TowerSpec("clip", VisionConfig(add_time_attn=False, **dims, **base),
+                         frame_wise=True)
+    for unsupported, hint in [
+        ("videomae", "NCG-NJU/videomae"), ("vivit", "google/vivit"),
+        ("mae", "facebook/mae"), ("vit", "google/vit"),
+        ("deformable", "SenseTime deformable-DETR"), ("EgoVLP", "EgoVLP"),
+    ]:
+        if unsupported in name:
+            raise NotImplementedError(
+                f"{hint} tower was experimental in the reference and is not "
+                "wired in this build; use a CLIP/LanguageBind tower."
+            )
+    raise ValueError(f"Unknown tower: {name}")
+
+
+def build_image_tower(name: str, rng: Optional[jax.Array] = None,
+                      state_dict=None, dtype=jnp.float32) -> Tuple[TowerSpec, Dict[str, Any]]:
+    """Returns (spec, params). Loads from a state dict when given, else
+    random-initializes (tests)."""
+    spec = resolve_tower(name)
+    if state_dict is not None:
+        params = convert_vision_state_dict(state_dict)
+    else:
+        params = init_vision_params(rng or jax.random.PRNGKey(0), spec.config, dtype)
+    return spec, params
+
+
+build_video_tower = build_image_tower
+
+
+def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> jax.Array:
+    """Encode (B, T, C, H, W) with the tower's temporal semantics:
+    frame-wise towers fold T into the batch (no temporal attention),
+    LanguageBind video uses 8-frame temporal windows."""
+    if spec.frame_wise:
+        b, t = pixels.shape[:2]
+        flat = pixels.reshape(b * t, 1, *pixels.shape[2:])
+        feats = vision_encode(params, flat, spec.config)
+        return feats.reshape(b, t, *feats.shape[2:])
+    return vision_encode(params, pixels, spec.config)

@@ -79,6 +79,76 @@ def videollamb_retro_forward(
     return logits, labels
 
 
+def init_lm_memory(rng: jax.Array, cfg: ModelConfig, embed_std: float = 0.02,
+                   num_mem_tokens: int = 32, dtype=jnp.float32) -> jax.Array:
+    """Learned LM-space memory tokens (reference
+    llava_llama_retro_lm.py:63-71: randn * embedding std)."""
+    return jax.random.normal(
+        rng, (num_mem_tokens, cfg.lm.hidden_size), dtype
+    ) * embed_std
+
+
+def videollamb_retro_lm_forward(
+    params: Params,
+    cfg: ModelConfig,
+    batch: MultimodalBatch,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """LM-memory retro variant (reference llava_llama_retro_lm.py:93-224):
+
+    32 learned memory tokens live INSIDE the LLM. Each segment's spliced
+    sequence is wrapped as [memory, segment, memory]; the write-position
+    hidden states become the next segment's memory. Only the first
+    hand-off keeps gradients (the reference detaches memory after i != 0).
+
+    Requires ``params['lm_memory']`` of shape (M, D) (init_lm_memory).
+    -> (logits (B, S*L, V), labels (B, S*L)) over the un-wrapped positions.
+    """
+    from videollamb_tpu.models.lm.llama import llama_forward_with_hidden
+
+    assert batch.videos is not None
+    text_embeds = embed_tokens(params["lm"], batch.input_ids)
+    b = batch.input_ids.shape[0]
+    memory = params["lm_memory"]
+    m = memory.shape[0]
+
+    all_tokens, all_masks = encode_videos_retro(
+        params, cfg, batch.videos, deterministic=deterministic, rng=rng
+    )
+    s = all_tokens.shape[1]
+    l = cfg.max_length
+
+    memory_state = jnp.broadcast_to(memory[None], (b, m, memory.shape[-1]))
+    seg_logits, seg_labels = [], []
+    for seg in range(s):
+        spliced = splice_multimodal(
+            batch.input_ids, batch.attention_mask, batch.labels,
+            text_embeds, all_tokens[:, seg], all_masks[:, seg], l,
+        )
+        wrapped = jnp.concatenate(
+            [memory_state.astype(spliced.embeds.dtype), spliced.embeds,
+             memory_state.astype(spliced.embeds.dtype)], axis=1,
+        )
+        ones = jnp.ones((b, m), spliced.attention_mask.dtype)
+        wrapped_mask = jnp.concatenate([ones, spliced.attention_mask, ones], axis=1)
+        logits, hidden = llama_forward_with_hidden(
+            params["lm"], cfg.lm, wrapped, wrapped_mask, remat=remat,
+            attn_impl=attn_impl,
+        )
+        memory_state = hidden[:, -m:].astype(memory_state.dtype)
+        if seg != 0:
+            memory_state = jax.lax.stop_gradient(memory_state)
+        seg_logits.append(logits[:, m:-m])
+        seg_labels.append(spliced.labels)
+
+    logits = jnp.concatenate(seg_logits, axis=1)
+    labels = jnp.concatenate(seg_labels, axis=1)
+    return logits, labels
+
+
 def retro_loss(
     params: Params,
     cfg: ModelConfig,
