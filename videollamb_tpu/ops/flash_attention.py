@@ -52,11 +52,12 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (bq, dh)
-    k = k_ref[0].astype(jnp.float32)  # (bkv, dh)
+    # bf16 x bf16 -> f32 accumulation: native MXU fast path (an explicit
+    # f32 cast before the dot would force the slow f32 MXU mode).
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, bkv)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bkv) f32
 
     # Key validity: in-range and caller mask.
     k_pos = kj * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
@@ -162,3 +163,88 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Short-sequence block attention: one program per batch element, ALL heads
+# and the whole (padded) sequence in VMEM. For ViT-scale sequences (<=512)
+# this amortizes program launch overhead ~H-fold vs the tiled flash kernel
+# and needs no online-softmax carry.
+# ---------------------------------------------------------------------------
+
+
+def _block_attn_kernel(
+    q_ref,  # (1, H, sq_pad, dh)
+    k_ref,  # (1, H, skv_pad, dh)
+    v_ref,  # (1, H, skv_pad, dh)
+    o_ref,  # (1, H, sq_pad, dh)
+    *,
+    scale: float,
+    causal: bool,
+    sq_valid: int,
+    skv_valid: int,
+    num_heads: int,
+):
+    sq_pad = q_ref.shape[2]
+    skv_pad = k_ref.shape[2]
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (sq_pad, skv_pad), 1)
+    valid = k_pos < skv_valid
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (sq_pad, skv_pad), 0)
+        valid = valid & (q_pos >= k_pos)
+    bias = jnp.where(valid, 0.0, NEG_INF)
+
+    for h in range(num_heads):  # static unroll
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def block_attention(
+    q: jax.Array,  # (B, H, Sq, Dh)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+) -> jax.Array:
+    """Whole-sequence attention in VMEM, all heads per program. Use for
+    short sequences (no key mask — padding is masked by position)."""
+    b, h, sq, dh = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    sq_pad = _round_up(sq, 16)
+    skv_pad = _round_up(skv, 128)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+
+    kernel = functools.partial(
+        _block_attn_kernel, scale=scale, causal=causal,
+        sq_valid=sq, skv_valid=skv, num_heads=h,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, sq_pad, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, skv_pad, dh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, skv_pad, dh), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, sq_pad, dh), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+    )(q, k, v)
+    return out[:, :, :sq]
