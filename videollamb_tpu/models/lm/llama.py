@@ -241,7 +241,7 @@ def llama_forward_with_hidden(
     return _final(params, cfg, x), x
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def llama_prefill(
     params: Params,
     cfg: LlamaConfig,
@@ -277,7 +277,7 @@ def llama_prefill(
     return last, KVCache(k=cache.k, v=cache.v, length=lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def llama_decode_step(
     params: Params,
     cfg: LlamaConfig,
@@ -314,7 +314,9 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
     ks = jax.random.split(rng, 10)
 
     def w(key, shape):
-        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+        # Generate directly in the target dtype: an f32 temporary for the
+        # biggest tensors would transiently need +5.4 GB on a 16 GB chip.
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(0.02, dtype)
 
     layers = {
         "input_layernorm": jnp.ones((l, d), dtype),
