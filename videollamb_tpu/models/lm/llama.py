@@ -66,6 +66,16 @@ def _proj(kernel: jax.Array, x: jax.Array) -> jax.Array:
     ).astype(x.dtype)
 
 
+def _lproj(lp: Params, name: str, x: jax.Array) -> jax.Array:
+    """Projection with optional LoRA adapter (models/lm/lora.py): the
+    adapter keys live beside the kernel in the stacked layer pytree."""
+    y = _proj(lp[name], x)
+    a = lp.get(f"{name}_lora_a")
+    if a is not None:
+        y = y + _proj(lp[f"{name}_lora_b"], _proj(a, x))
+    return y
+
+
 def _grouped_attention(
     q: jax.Array,  # (B, Sq, H, Dh)
     k: jax.Array,  # (B, Sk, H_kv, Dh)
@@ -100,22 +110,22 @@ def _layer(
     h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     hidden = _rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-    q = _proj(lp["q_proj"], hidden).reshape(b, s, h, dh)
-    k = _proj(lp["k_proj"], hidden).reshape(b, s, h_kv, dh)
-    v = _proj(lp["v_proj"], hidden).reshape(b, s, h_kv, dh)
+    q = _lproj(lp, "q_proj", hidden).reshape(b, s, h, dh)
+    k = _lproj(lp, "k_proj", hidden).reshape(b, s, h_kv, dh)
+    v = _lproj(lp, "v_proj", hidden).reshape(b, s, h_kv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
     attn = multihead_attention(
         q, k, v, causal=True, k_mask=key_valid, impl=attn_impl
     )
-    attn = _proj(lp["o_proj"], attn.reshape(b, s, d))
+    attn = _lproj(lp, "o_proj", attn.reshape(b, s, d))
     x = x + attn
 
     hidden = _rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-    gate = jax.nn.silu(_proj(lp["gate_proj"], hidden).astype(jnp.float32)).astype(x.dtype)
-    up = _proj(lp["up_proj"], hidden)
-    x = x + _proj(lp["down_proj"], gate * up)
+    gate = jax.nn.silu(_lproj(lp, "gate_proj", hidden).astype(jnp.float32)).astype(x.dtype)
+    up = _lproj(lp, "up_proj", hidden)
+    x = x + _lproj(lp, "down_proj", gate * up)
     return x, k, v
 
 
@@ -150,9 +160,9 @@ def _run_layers(
         h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
         normed = _rms_norm(lp["input_layernorm"], hidden, cfg.rms_norm_eps)
-        q = _proj(lp["q_proj"], normed).reshape(b, s, h, dh)
-        k = _proj(lp["k_proj"], normed).reshape(b, s, h_kv, dh)
-        v = _proj(lp["v_proj"], normed).reshape(b, s, h_kv, dh)
+        q = _lproj(lp, "q_proj", normed).reshape(b, s, h, dh)
+        k = _lproj(lp, "k_proj", normed).reshape(b, s, h_kv, dh)
+        v = _lproj(lp, "v_proj", normed).reshape(b, s, h_kv, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -163,13 +173,13 @@ def _run_layers(
         cv = jax.vmap(write_row)(cv, v, write_pos)
 
         attn = _grouped_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
-        attn = _proj(lp["o_proj"], attn.reshape(b, s, d))
+        attn = _lproj(lp, "o_proj", attn.reshape(b, s, d))
         hidden = hidden + attn
 
         normed = _rms_norm(lp["post_attention_layernorm"], hidden, cfg.rms_norm_eps)
-        gate = jax.nn.silu(_proj(lp["gate_proj"], normed).astype(jnp.float32)).astype(hidden.dtype)
-        up = _proj(lp["up_proj"], normed)
-        hidden = hidden + _proj(lp["down_proj"], gate * up)
+        gate = jax.nn.silu(_lproj(lp, "gate_proj", normed).astype(jnp.float32)).astype(hidden.dtype)
+        up = _lproj(lp, "up_proj", normed)
+        hidden = hidden + _lproj(lp, "down_proj", gate * up)
         return hidden, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(cached_body, x, (params["layers"], cache.k, cache.v))

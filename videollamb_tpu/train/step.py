@@ -67,6 +67,20 @@ def create_optimizer(
     base = lr_schedule(cfg, total_steps)
 
     def label_fn(p):
+        if cfg.tune_mode == "lora":
+            # Train only LoRA adapters (+ projector, matching the reference
+            # LoRA recipe where mm_projector stays trainable).
+            def leaf_label(path, _):
+                keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+                if "mm_projector" in keys:
+                    return ("projector" if cfg.mm_projector_lr is not None
+                            else "train")
+                if any(isinstance(k, str) and "_lora_" in k for k in keys):
+                    return "train"
+                return "frozen"
+
+            return jax.tree_util.tree_map_with_path(leaf_label, p)
+
         # Label top-level subtrees: projector vs rest vs frozen.
         labels = {}
         for key in p:
