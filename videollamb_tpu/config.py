@@ -159,10 +159,24 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # Mistral-style sliding-window attention (None = full causal).
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def mistral_7b(**overrides: Any) -> "LlamaConfig":
+        """Mistral-7B-v0.1 dims (reference LlavaMistralForCausalLM backbone,
+        llava/model/language_model/llava_mistral.py:42 — same decoder as
+        Llama with GQA + sliding window)."""
+        base = dict(vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+                    num_hidden_layers=32, num_attention_heads=32,
+                    num_key_value_heads=8, max_position_embeddings=32768,
+                    rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=4096)
+        base.update(overrides)
+        return LlamaConfig(**base)
 
     @staticmethod
     def tiny(**overrides: Any) -> "LlamaConfig":

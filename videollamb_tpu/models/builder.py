@@ -78,6 +78,8 @@ def config_from_json(model_dir: str) -> ModelConfig:
         max_position_embeddings=raw.get("max_position_embeddings", 4096),
         rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
         rope_theta=raw.get("rope_theta", 10000.0),
+        sliding_window=(raw.get("sliding_window")
+                        if raw.get("model_type") == "mistral" else None),
     )
     bridge = BridgeConfig.from_projector_type(
         raw.get("mm_projector_type", "rmt_r_transformer1x"),

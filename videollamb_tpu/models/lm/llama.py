@@ -117,7 +117,8 @@ def _layer(
     k = apply_rope(k, cos, sin)
 
     attn = multihead_attention(
-        q, k, v, causal=True, k_mask=key_valid, impl=attn_impl
+        q, k, v, causal=True, k_mask=key_valid, impl=attn_impl,
+        window=cfg.sliding_window,
     )
     attn = _lproj(lp, "o_proj", attn.reshape(b, s, d))
     x = x + attn
@@ -273,6 +274,8 @@ def llama_prefill(
     k_pos = jnp.arange(s_max, dtype=jnp.int32)
     q_pos = jnp.arange(s, dtype=jnp.int32)
     causal = q_pos[:, None] >= k_pos[None, :]
+    if cfg.sliding_window is not None:
+        causal &= (q_pos[:, None] - k_pos[None, :]) < cfg.sliding_window
     key_valid = (k_pos[None] < s) & (valid if s == s_max else jnp.pad(valid, ((0, 0), (0, s_max - s))))
     mask = causal[None] & key_valid[:, None, :]
 
@@ -302,7 +305,10 @@ def llama_decode_step(
     cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim, cfg.rope_theta)
 
     k_pos = jnp.arange(s_max, dtype=jnp.int32)
-    mask = (k_pos[None] <= pos[:, None])[:, None, :]  # (B, 1, S_max)
+    mask = k_pos[None] <= pos[:, None]
+    if cfg.sliding_window is not None:
+        mask &= (pos[:, None] - k_pos[None]) < cfg.sliding_window
+    mask = mask[:, None, :]  # (B, 1, S_max)
 
     x, cache = _run_layers(
         params, cfg, token_embeds, cos, sin, mask, cache=cache, write_pos=pos

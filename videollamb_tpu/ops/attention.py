@@ -39,6 +39,7 @@ def multihead_attention(
     causal: bool = False,
     k_mask: Optional[jax.Array] = None,  # (B, Skv) bool
     scale: Optional[float] = None,
+    window: Optional[int] = None,  # sliding-window size (causal only)
     impl: str = "auto",
 ) -> jax.Array:
     """Returns (B, Sq, H, Dh) in q's dtype."""
@@ -50,7 +51,7 @@ def multihead_attention(
     if impl == "auto":
         impl = "pallas" if _backend() == "tpu" else "xla"
 
-    if impl == "pallas":
+    if impl == "pallas" and window is None:
         # Kernel layout is (B, H, S, Dh); GQA by repeating kv heads (the
         # repeat is free relative to the attention itself on TPU).
         if hkv != h:
@@ -65,9 +66,11 @@ def multihead_attention(
         return out.transpose(0, 2, 1, 3)
 
     if impl == "chunked":
-        return _chunked_attention(q, k, v, causal=causal, k_mask=k_mask, scale=scale)
+        return _chunked_attention(q, k, v, causal=causal, k_mask=k_mask,
+                                  scale=scale, window=window)
 
-    return _xla_attention(q, k, v, causal=causal, k_mask=k_mask, scale=scale)
+    return _xla_attention(q, k, v, causal=causal, k_mask=k_mask, scale=scale,
+                          window=window)
 
 
 def _grouped_scores(q, k, scale):
@@ -77,7 +80,7 @@ def _grouped_scores(q, k, scale):
     ) * scale
 
 
-def _xla_attention(q, k, v, *, causal, k_mask, scale):
+def _xla_attention(q, k, v, *, causal, k_mask, scale, window=None):
     b, sq, h, dh = q.shape
     hkv = k.shape[2]
     g = h // hkv
@@ -89,6 +92,8 @@ def _xla_attention(q, k, v, *, causal, k_mask, scale):
     if causal:
         q_pos = jnp.arange(sq)[:, None] + (skv - sq)
         mask &= (q_pos >= jnp.arange(skv)[None, :])[None]
+        if window is not None:
+            mask &= (q_pos - jnp.arange(skv)[None, :] < window)[None]
     if k_mask is not None:
         mask &= k_mask[:, None, :]
     s = jnp.where(mask[:, None, None], s, NEG_INF)
@@ -99,7 +104,8 @@ def _xla_attention(q, k, v, *, causal, k_mask, scale):
     return out.reshape(b, sq, h, dh)
 
 
-def _chunked_attention(q, k, v, *, causal, k_mask, scale, block_kv: int = 512):
+def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
+                       block_kv: int = 512):
     """Online-softmax over KV chunks via lax.scan — flash-attention math in
     pure JAX (differentiable; activation memory O(Sq * block_kv))."""
     b, sq, h, dh = q.shape
@@ -131,6 +137,8 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, block_kv: int = 512):
         valid = mc[:, None, :] & jnp.ones((b, sq, bkv), bool)
         if causal:
             valid &= (q_pos[:, None] >= k_pos[None, :])[None]
+            if window is not None:
+                valid &= (q_pos[:, None] - k_pos[None, :] < window)[None]
         s = jnp.where(valid[:, None, None], s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
