@@ -135,6 +135,7 @@ def load_pretrained_model(
     video_tower_path: Optional[str] = None,
     image_tower_path: Optional[str] = None,
     dtype: str = "bfloat16",
+    load_8bit: bool = False,
     load_tokenizer: bool = True,
 ) -> Tuple[Any, Dict[str, Any], ModelConfig, Dict[str, Any], int]:
     """Resolve a checkpoint (full / base+projector / LoRA) into params.
@@ -195,6 +196,13 @@ def load_pretrained_model(
     import jax
 
     params = jax.tree.map(lambda x: jnp.asarray(x, wanted), params)
+
+    if load_8bit:
+        # Weight-only int8 LM (reference builder.py:34-43 load_8bit): ~2x
+        # decode throughput on bandwidth-bound v5e.
+        from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+        params["lm"] = quantize_llama_params(params["lm"])
 
     tokenizer = None
     if load_tokenizer:

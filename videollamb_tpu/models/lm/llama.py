@@ -60,7 +60,11 @@ def _rms_norm(weight: jax.Array, x: jax.Array, eps: float) -> jax.Array:
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def _proj(kernel: jax.Array, x: jax.Array) -> jax.Array:
+def _proj(kernel, x: jax.Array) -> jax.Array:
+    if isinstance(kernel, dict) and "q" in kernel:
+        # int8 weight-only quant (models/lm/quant.py): dequant fuses into
+        # the matmul, halving HBM weight reads.
+        kernel = kernel["q"].astype(x.dtype) * kernel["scale"].astype(x.dtype)
     return jnp.einsum(
         "...d,dk->...k", x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -189,10 +193,7 @@ def _run_layers(
 
 def _final(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     x = _rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    logits = jnp.einsum(
-        "bsd,dv->bsv", x, params["lm_head"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    logits = _proj(params["lm_head"], x)
     return logits.astype(jnp.float32)
 
 
