@@ -45,6 +45,16 @@ def init_bridge_params(rng: jax.Array, cfg: BridgeConfig, lm_hidden_size: int,
         return v.init_rmt_r_cap_params(rng, cfg, lm_hidden_size, dtype)
     if kind == "qformer":
         return v.init_qformer_params(rng, cfg, lm_hidden_size, dtype)
+    if kind == "spatial_pool":
+        return {}
+    if kind == "retention":
+        raise NotImplementedError(
+            "The reference retention projector is unconstructible dead code "
+            "(retent_transformer_projector.py:70 initializes self.out_proj "
+            "which is never created -> AttributeError at __init__; its "
+            "forward is plain softmax attention anyway). Use "
+            "kind='transformer'."
+        )
     raise ValueError(f"Unknown projector kind: {kind!r}")
 
 
@@ -108,5 +118,8 @@ def bridge_apply(
 
     if kind == "qformer":
         return v.qformer_forward(params, cfg, features, deterministic)
+
+    if kind == "spatial_pool":
+        return v.spatial_pool_forward(params, cfg, features)
 
     raise ValueError(f"Unknown projector kind: {kind!r}")

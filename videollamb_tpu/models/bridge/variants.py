@@ -304,6 +304,35 @@ def rmt_r_cap_video_forward(
 
 
 # ---------------------------------------------------------------------------
+# SpatialPool — reference spatial_pool_projector.py:6-53 (resampler-style
+# stride pooling over the patch grid; 'average'/'max' modes)
+# ---------------------------------------------------------------------------
+
+
+def spatial_pool_forward(
+    params: Params, cfg: BridgeConfig, features: jax.Array,
+    mode: str = "average", stride: int = 2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stride-pool patch tokens on their 2-D grid. features: (t, n, d) or
+    (n, d) -> ((t*g/s*g/s), d) tokens (no dim projection, like the
+    reference's average/max modes)."""
+    del params
+    x = features if features.ndim == 3 else features[None]
+    patches = _strip_cls(x)
+    t, n, d = patches.shape
+    grid = int(round(n**0.5))
+    g = patches.reshape(t, grid // stride, stride, grid // stride, stride, d)
+    if mode == "average":
+        pooled = g.mean(axis=(2, 4))
+    elif mode == "max":
+        pooled = g.max(axis=(2, 4))
+    else:
+        raise ValueError(f"Unknown pooling mode: {mode}")
+    tokens = pooled.reshape(-1, d)
+    return tokens, jnp.ones(tokens.shape[:1], bool)
+
+
+# ---------------------------------------------------------------------------
 # Q-Former — reference qformer_projector.py:12-92 (BLIP-2 style)
 # ---------------------------------------------------------------------------
 
