@@ -43,20 +43,23 @@ def encode_videos(
     params: Params, cfg: ModelConfig, videos: jax.Array, deterministic: bool = True,
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """videos (B, T, C, H, W) -> last-segment bridge tokens.
+    """videos (B, T, C, H, W) -> per-video projector tokens.
 
-    Returns (B, F*P, lm_d) tokens and (B, F*P) validity mask
+    Dispatches through the projector factory (any BridgeConfig.kind); for
+    the production rmt_r bridge this is the last segment's tokens
     (reference encode_videos, llava_arch.py:331-338).
+    Returns (B, N_tokens, lm_d) and (B, N_tokens) validity mask.
     """
+    from videollamb_tpu.models.bridge.builder import bridge_apply
+
     feats = vision_encode(params["video_tower"], videos, cfg.vision)  # (B,T,N,D)
     rngs = jax.random.split(rng, feats.shape[0]) if rng is not None else None
 
     def one(f, r):
-        out = rmt_r_video_forward(
-            params["mm_projector"], cfg.bridge, f,
+        return bridge_apply(
+            params["mm_projector"], cfg.bridge, f, modality="video",
             rng=r, deterministic=deterministic,
         )
-        return out.tokens, out.token_mask
 
     if rngs is None:
         tokens, mask = jax.vmap(lambda f: one(f, None))(feats)
@@ -87,15 +90,21 @@ def encode_videos_retro(
 def encode_images(
     params: Params, cfg: ModelConfig, images: jax.Array, deterministic: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """images (B, C, H, W) -> (B, P, lm_d) tokens + all-valid mask
-    (reference encode_images, llava_arch.py:265)."""
+    """images (B, C, H, W) -> (B, P, lm_d) tokens + validity mask
+    (reference encode_images, llava_arch.py:265). Dispatches through the
+    projector factory."""
+    from videollamb_tpu.models.bridge.builder import bridge_apply
+
     tower = params.get("image_tower", params["video_tower"])
     feats = vision_encode(tower, images[:, None], cfg.vision)  # (B,1,N,D)
-    tokens, _ = rmt_r_image_forward(
-        params["mm_projector"], cfg.bridge, feats[:, 0], deterministic=deterministic,
-    )
-    mask = jnp.ones(tokens.shape[:2], bool)
-    return tokens, mask
+
+    def one(f):
+        return bridge_apply(
+            params["mm_projector"], cfg.bridge, f, modality="image",
+            deterministic=deterministic,
+        )
+
+    return jax.vmap(one)(feats[:, 0])
 
 
 # ---------------------------------------------------------------------------

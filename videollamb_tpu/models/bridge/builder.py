@@ -67,12 +67,20 @@ def bridge_apply(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Apply the configured projector to one video's (t, n, d) features (or
-    one image batch's (b, n, d) for modality='image').
+    """Apply the configured projector to ONE sample's tower features.
 
-    Returns (tokens, mask) — the LLM-ready visual tokens.
+    modality='video': features (t, n, d) — one video's frames.
+    modality='image': features (n, d)    — one image.
+
+    Returns (tokens (N_tok, lm_d), mask (N_tok,)). Callers vmap over the
+    batch (encode_videos / encode_images in models/assembly.py).
     """
     kind = cfg.kind
+    if modality == "image" and features.ndim == 2:
+        img = features[None]  # (1, n, d)
+    else:
+        img = None
+
     if kind in ("identity", "linear", "mlp"):
         fwd = {"identity": v.identity_forward, "linear": v.linear_forward,
                "mlp": v.mlp_forward}[kind]
@@ -82,33 +90,27 @@ def bridge_apply(
 
     if kind == "transformer":
         if modality == "image":
-            tokens = v.transformer_image_forward(params, cfg, features,
-                                                 deterministic)
+            tokens = v.transformer_image_forward(params, cfg, img, deterministic)[0]
             return tokens, jnp.ones(tokens.shape[:-1], bool)
         return v.transformer_video_forward(params, cfg, features, deterministic)
 
     if kind == "mlp_transformer":
-        if modality == "image":
-            features = features if features.ndim == 3 else features[None]
-            tokens, mask = v.mlp_transformer_forward(params, cfg, features,
-                                                     deterministic)
-            return tokens, mask
-        return v.mlp_transformer_forward(params, cfg, features, deterministic)
+        return v.mlp_transformer_forward(
+            params, cfg, img if img is not None else features, deterministic)
 
     if kind == "rmt_transformer":
         if modality == "image":
             tokens, _ = rmt_r_image_forward(
                 {"projector": params["projector"], "retrieval": {"layers": []}},
-                cfg, features, deterministic=deterministic)
-            mask = jnp.ones(tokens.shape[:-1], bool)
-            return tokens, mask
+                cfg, img, deterministic=deterministic)
+            return tokens[0], jnp.ones(tokens.shape[1:-1], bool)
         return v.rmt_video_forward(params, cfg, features, deterministic)
 
     if kind == "rmt_r_transformer":
         if modality == "image":
-            tokens, _ = rmt_r_image_forward(params, cfg, features,
+            tokens, _ = rmt_r_image_forward(params, cfg, img,
                                             deterministic=deterministic)
-            return tokens, jnp.ones(tokens.shape[:-1], bool)
+            return tokens[0], jnp.ones(tokens.shape[1:-1], bool)
         out = rmt_r_video_forward(params, cfg, features, rng=rng,
                                   deterministic=deterministic)
         return out.tokens, out.token_mask
@@ -120,6 +122,9 @@ def bridge_apply(
         return v.qformer_forward(params, cfg, features, deterministic)
 
     if kind == "spatial_pool":
+        # Resampler semantics (reference spatial_pool_projector.py): output
+        # stays in the TOWER dim — usable as a feature resampler, not as a
+        # direct LM projector (the reference factory never wires it either).
         return v.spatial_pool_forward(params, cfg, features)
 
     raise ValueError(f"Unknown projector kind: {kind!r}")
