@@ -85,6 +85,10 @@ def generate(
     spliced = prepare_multimodal_embeds(params, cfg, batch, deterministic=True)
     b = spliced.embeds.shape[0]
 
+    assert max_seq_len >= cfg.max_length + max_new_tokens, (
+        f"max_seq_len={max_seq_len} must cover the spliced buffer "
+        f"(cfg.max_length={cfg.max_length}) plus max_new_tokens={max_new_tokens}"
+    )
     cache = init_kv_cache(cfg.lm, b, max_seq_len, dtype=spliced.embeds.dtype)
     logits, cache = llama_prefill(
         params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask, cache
