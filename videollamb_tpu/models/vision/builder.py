@@ -61,15 +61,24 @@ def resolve_tower(name: str, *, select_layer: int = -2,
         dims = _CLIP_L14_336 if "336" in name else _CLIP_L14
         return TowerSpec("clip", VisionConfig(add_time_attn=False, **dims, **base),
                          frame_wise=True)
+    # ViT-family research towers (reference {vit,mae,vivit,videomae}_encoder)
+    # live in models/vision/vit.py with their own configs/encode fn; the
+    # factory flags them so callers route to vit_encode.
+    for key, kind in [("videomae", "videomae"), ("vivit", "vivit"),
+                      ("mae", "vitmae"), ("vit", "vit")]:
+        if key in name:
+            return TowerSpec(kind, VisionConfig(add_time_attn=False,
+                                                hidden_size=768, **base),
+                             frame_wise=(kind in ("vit", "vitmae")))
     for unsupported, hint in [
-        ("videomae", "NCG-NJU/videomae"), ("vivit", "google/vivit"),
-        ("mae", "facebook/mae"), ("vit", "google/vit"),
-        ("deformable", "SenseTime deformable-DETR"), ("EgoVLP", "EgoVLP"),
+        ("deformable", "SenseTime deformable-DETR (vendored deform_clip was "
+                       "experimental, never in the prod path)"),
+        ("EgoVLP", "EgoVLP (commented out of the reference factory, "
+                   "builder.py:12,56-58)"),
     ]:
         if unsupported in name:
             raise NotImplementedError(
-                f"{hint} tower was experimental in the reference and is not "
-                "wired in this build; use a CLIP/LanguageBind tower."
+                f"{hint}; use a CLIP/LanguageBind/ViT-family tower."
             )
     raise ValueError(f"Unknown tower: {name}")
 
