@@ -54,6 +54,34 @@ def test_eight_virtual_devices():
     assert jax.device_count() == 8
 
 
+def test_multislice_mesh_train_step():
+    """3-axis ('replica','data','model') mesh: one sharded train step."""
+    from videollamb_tpu.parallel.mesh import create_multislice_mesh
+
+    mesh = create_multislice_mesh(model_parallel=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert mesh.devices.size == 8
+
+    cfg = ModelConfig.tiny()
+    tcfg = TrainConfig()
+    params = shard_params(mesh, _tiny_params(cfg))
+    tx = create_optimizer(tcfg, total_steps=10, params=params)
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(cfg, tx, remat=False))
+
+    batch = _batch(cfg, b=8)
+    bsh = batch_sharding(mesh)
+    batch = MultimodalBatch(
+        input_ids=jax.device_put(batch.input_ids, bsh),
+        attention_mask=jax.device_put(batch.attention_mask, bsh),
+        labels=jax.device_put(batch.labels, bsh),
+        videos=jax.device_put(batch.videos, bsh),
+        images=None,
+    )
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_sharded_forward_matches_single_device():
     cfg = ModelConfig.tiny()
     params = _tiny_params(cfg)

@@ -36,3 +36,33 @@ def create_mesh(
     assert data_parallel * model_parallel == n, (data_parallel, model_parallel, n)
     arr = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(arr, axis_names)
+
+
+def create_multislice_mesh(
+    model_parallel: int = 1,
+    *,
+    axis_names: tuple = ("replica", "data", "model"),
+) -> Mesh:
+    """3-D mesh for multi-slice pods: pure data parallelism over DCN (the
+    'replica' axis — slice-to-slice traffic is gradient all-reduce only),
+    DP/FSDP + TP within each slice over ICI.
+
+    Uses mesh_utils.create_hybrid_device_mesh so the ICI axes stay inside a
+    slice; falls back to a single-granule layout off-TPU (tests).
+    """
+    from jax.experimental import mesh_utils
+
+    n = jax.device_count()
+    n_slices = max(
+        len({getattr(d, "slice_index", 0) for d in jax.devices()}), 1
+    )
+    per_slice = n // n_slices
+    assert per_slice % model_parallel == 0, (per_slice, model_parallel)
+    dp = per_slice // model_parallel
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, dp, model_parallel), (n_slices, 1, 1), jax.devices()
+        )
+    except Exception:
+        arr = np.asarray(jax.devices()).reshape(n_slices, dp, model_parallel)
+    return Mesh(arr, axis_names)

@@ -139,5 +139,10 @@ def shard_params(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim data parallelism for input arrays."""
+    """Batch-dim data parallelism for input arrays. On a multi-slice
+    ('replica','data','model') mesh the batch shards over replica x data
+    (params stay replicated across slices; DCN carries only grad
+    all-reduce)."""
+    if "replica" in mesh.axis_names:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
