@@ -12,10 +12,9 @@ configs map onto this tree.
 
 from __future__ import annotations
 
-import dataclasses
 import re
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 
 @dataclass(frozen=True)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 
 class SeparatorStyle(enum.Enum):

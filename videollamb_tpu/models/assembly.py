@@ -10,7 +10,6 @@ loop (llava_arch.py:505).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -18,16 +17,8 @@ import jax.numpy as jnp
 
 from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.constants import IGNORE_INDEX
-from videollamb_tpu.models.bridge.rmt_r import (
-    rmt_r_image_forward,
-    rmt_r_video_forward,
-)
-from videollamb_tpu.models.lm.llama import (
-    embed_tokens,
-    init_kv_cache,
-    llama_forward,
-    llama_prefill,
-)
+from videollamb_tpu.models.bridge.rmt_r import rmt_r_video_forward
+from videollamb_tpu.models.lm.llama import embed_tokens, llama_forward
 from videollamb_tpu.models.splice import SplicedBatch, splice_multimodal
 from videollamb_tpu.models.vision.clip_vit import vision_encode
 

@@ -12,12 +12,12 @@ model_videoqa_mc.py:93-95).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from videollamb_tpu.config import GenerationConfig, ModelConfig
+from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.models.assembly import (
     MultimodalBatch,
     Params,

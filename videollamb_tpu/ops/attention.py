@@ -18,7 +18,6 @@ key-validity masks, grouped-query heads.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

@@ -8,7 +8,7 @@ multiples so XLA compiles a handful of prefill shapes.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ segmentation runs on host over the accumulated CLS matrix (tiny).
 from __future__ import annotations
 
 import collections
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Replaces the reference's HF Trainer + DeepSpeed ZeRO stack
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

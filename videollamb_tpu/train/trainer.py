@@ -12,10 +12,9 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from typing import Callable, Iterable, Iterator, List, Optional
+from typing import Callable, Iterator, List, Optional
 
 import jax
-import numpy as np
 
 from videollamb_tpu.config import ModelConfig, TrainConfig
 from videollamb_tpu.models.assembly import MultimodalBatch
