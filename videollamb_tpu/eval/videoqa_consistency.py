@@ -62,8 +62,13 @@ def parse_args():
     parser.add_argument("--gt_file", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--output_name", required=True)
-    parser.add_argument("--num_chunks", type=int, default=1)
-    parser.add_argument("--chunk_idx", type=int, default=0)
+    # Defaults follow the JAX process topology on multi-host pods
+    # (SURVEY §5.8: eval sharding via process_index replaces the
+    # reference's CUDA_VISIBLE_DEVICES shell chunking).
+    import jax
+
+    parser.add_argument("--num_chunks", type=int, default=jax.process_count())
+    parser.add_argument("--chunk_idx", type=int, default=jax.process_index())
     parser.add_argument("--num_frames", type=int, default=8)
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.2)

@@ -151,6 +151,25 @@ def divide_to_patches(image, patch_size: int):
     return patches
 
 
+def unpad_image(tensor: np.ndarray, original_size: Tuple[int, int]) -> np.ndarray:
+    """Remove aspect-ratio padding from an anyres feature grid
+    (reference llava_arch.py:222-250). tensor: (C, H, W); original_size
+    (width, height) of the source image."""
+    original_width, original_height = original_size
+    current_height, current_width = tensor.shape[1:]
+    original_aspect = original_width / original_height
+    current_aspect = current_width / current_height
+    if original_aspect > current_aspect:
+        scale_factor = current_width / original_width
+        new_height = int(original_height * scale_factor)
+        padding = (current_height - new_height) // 2
+        return tensor[:, padding: current_height - padding, :]
+    scale_factor = current_height / original_height
+    new_width = int(original_width * scale_factor)
+    padding = (current_width - new_width) // 2
+    return tensor[:, :, padding: current_width - padding]
+
+
 def get_anyres_image_grid_shape(image_size, grid_pinpoints, patch_size):
     possible = grid_pinpoints if isinstance(grid_pinpoints, list) else ast.literal_eval(grid_pinpoints)
     width, height = select_best_resolution(image_size, possible)
