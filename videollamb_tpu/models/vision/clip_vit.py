@@ -132,12 +132,35 @@ def _embed(p: Params, pixels: jax.Array, cfg: VisionConfig) -> jax.Array:
     return x + p["position_embedding"].astype(x.dtype)[None]
 
 
-@partial(jax.jit, static_argnames=("cfg", "select_layer"))
+def patch_dropout(
+    x: jax.Array, rng: jax.Array, prob: float, b: int, t: int,
+) -> jax.Array:
+    """Training-only PatchDropout (reference modeling_video.py:32-76,
+    arXiv:2212.00794): keep a random top-(1-prob) subset of patch tokens,
+    SAME subset across all frames of a video; CLS always kept.
+
+    x: (b*t, 1+N, d). Static output shape (b*t, 1+keep, d).
+    """
+    if prob <= 0.0:
+        return x
+    cls_tokens, patches = x[:, :1], x[:, 1:]
+    num_tokens = patches.shape[1]
+    keep = max(1, int(num_tokens * (1.0 - prob)))
+    scores = jax.random.normal(rng, (b, num_tokens))
+    _, idx = jax.lax.top_k(scores, keep)  # (b, keep) — per video
+    idx = jnp.repeat(idx, t, axis=0)  # (b*t, keep), shared across frames
+    kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
+    return jnp.concatenate([cls_tokens, kept], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "select_layer", "patch_dropout_prob"))
 def vision_encode(
     params: Params,
     pixels: jax.Array,
     cfg: VisionConfig,
     select_layer: Optional[int] = None,
+    patch_dropout_prob: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Encode frames and return the select-layer hidden states.
 
@@ -159,6 +182,8 @@ def vision_encode(
     time_window = cfg.num_frames if (cfg.add_time_attn and t > 1) else 1
 
     x = _embed(params["embeddings"], pixels.reshape(b * t, c, h, w), cfg)
+    if patch_dropout_prob > 0.0 and dropout_rng is not None:
+        x = patch_dropout(x, dropout_rng, patch_dropout_prob, b, t)
     x = _layer_norm(params["pre_layrnorm"], x, cfg.layer_norm_eps)
     for layer_params in params["layers"][:n_layers]:
         x = _encoder_layer(layer_params, x, cfg, time_window)
