@@ -105,6 +105,31 @@ def test_sharded_forward_matches_single_device():
     )
 
 
+def test_sharded_generate_matches_single_device():
+    """Greedy generation with TP+FSDP-sharded params == single-device."""
+    from videollamb_tpu.models.engine import generate
+
+    cfg = ModelConfig.tiny()
+    params = _tiny_params(cfg)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((1, 8), jnp.int32),
+        labels=None,
+        videos=jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    kwargs = dict(max_new_tokens=5, do_sample=False, eos_token_id=-1,
+                  max_seq_len=cfg.max_length + 5)
+    ref = generate(params, cfg, batch, jax.random.PRNGKey(0), **kwargs)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    out = generate(sharded, cfg, batch, jax.random.PRNGKey(0), **kwargs)
+    assert np.asarray(out.tokens).tolist() == np.asarray(ref.tokens).tolist()
+
+
 @pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4)])
 def test_train_step_runs_sharded(dp, tp):
     cfg = ModelConfig.tiny()
