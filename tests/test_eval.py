@@ -129,3 +129,37 @@ def test_mc_inference_end_to_end(tmp_path):
     lines = open(result["output"]).read().strip().splitlines()
     rec = json.loads(lines[0])
     assert rec["answer"] == "A" and "pred" in rec and rec["type"] == "demo"
+
+
+def test_likelihood_ranking_prefers_training_answer():
+    """Likelihood MC: sanity — runs end-to-end on the tiny model and returns
+    a valid option index for every call."""
+    import jax
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.eval.videoqa_likelihood import rank_options_by_likelihood
+    from videollamb_tpu.serve.chat import Chat
+    from test_serving import ChatTokenizer
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.train.preprocess import set_default_conversation
+
+    set_default_conversation("v1")
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    chat = Chat(ChatTokenizer(), params, cfg, {
+        "VIDEO": VideoProcessor(size=cfg.vision.image_size),
+        "IMAGE": ImageProcessor(size=cfg.vision.image_size),
+    })
+    frames = VideoProcessor(size=cfg.vision.image_size)(
+        np.random.default_rng(0).integers(0, 255, size=(8, 56, 56, 3)).astype(np.uint8)
+    )
+    idx = rank_options_by_likelihood(
+        chat, "what happens", ["a dog runs", "nothing at all", "cats"], frames)
+    assert idx in (0, 1, 2)
