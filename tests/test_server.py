@@ -1,0 +1,84 @@
+"""Continuous-batching engine: slot outputs must equal independent
+single-request generation (greedy), including under slot reuse."""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+from videollamb_tpu.models.assembly import MultimodalBatch
+from videollamb_tpu.models.engine import generate
+from videollamb_tpu.serve.server import Request, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    return cfg, params
+
+
+def _request(cfg, uid, seed, max_new=6):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((1, 8), jnp.int32),
+        labels=None,
+        videos=jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    return Request(uid=uid, batch=batch, max_new_tokens=max_new, temperature=0.0)
+
+
+def test_continuous_batching_matches_independent_generate(tiny):
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+
+    # 3 requests through 2 slots: forces a slot-reuse cycle.
+    reqs = [_request(cfg, uid, seed=uid) for uid in range(3)]
+    for r in reqs:
+        engine.submit(r)
+    done = engine.run_until_drained()
+    assert len(done) == 3 and all(r.done for r in reqs)
+
+    for r in reqs:
+        ref = generate(
+            params, cfg, r.batch, jax.random.PRNGKey(0),
+            max_new_tokens=r.max_new_tokens, do_sample=False, eos_token_id=-1,
+            max_seq_len=cfg.max_length + 512,
+        )
+        expected = np.asarray(ref.tokens[0][: int(ref.lengths[0])]).tolist()
+        assert r.tokens == expected, f"request {r.uid}"
+
+
+def test_engine_eos_frees_slot(tiny):
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=1, eos_token_id=None)
+    # Find the first greedy token of request 0 and use it as the EOS so the
+    # request finishes in one step.
+    probe = _request(cfg, 0, seed=0, max_new=1)
+    ref = generate(params, cfg, probe.batch, jax.random.PRNGKey(0),
+                   max_new_tokens=1, do_sample=False, eos_token_id=-1,
+                   max_seq_len=cfg.max_length + 512)
+    eos = int(ref.tokens[0][0])
+    engine.eos = eos
+    r = _request(cfg, 0, seed=0, max_new=10)
+    engine.submit(r)
+    done = engine.step()
+    assert done and done[0].tokens == [eos]
+    assert engine.slots[0] is None
