@@ -109,3 +109,30 @@ def test_adapter_only_checkpoint_roundtrip(tmp_path):
     a = np.asarray(params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
     b = np.asarray(out["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_restore_across_mesh_topologies(tiny_dataset, tmp_path):
+    """Save params sharded on a 2x4 mesh; restore onto an 8x1 mesh template
+    — orbax must re-shard transparently (pod-topology migration)."""
+    from videollamb_tpu.parallel import create_mesh, shard_params
+    from videollamb_tpu.config import ModelConfig, TrainConfig
+
+    cfg = ModelConfig.tiny()
+    tcfg = TrainConfig()
+    params = _tiny_params(cfg)
+
+    mesh_a = create_mesh(data_parallel=2, model_parallel=4)
+    sharded_a = shard_params(mesh_a, params)
+    tx = create_optimizer(tcfg, 10, sharded_a)
+    state_a = create_train_state(sharded_a, tx)
+    path = save_checkpoint(str(tmp_path), state_a, step=3)
+
+    mesh_b = create_mesh(data_parallel=8, model_parallel=1)
+    sharded_b = shard_params(mesh_b, params)
+    tx_b = create_optimizer(tcfg, 10, sharded_b)
+    template = create_train_state(sharded_b, tx_b)
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == 3
+    a = np.asarray(state_a.params["lm"]["embed_tokens"])
+    b = np.asarray(restored.params["lm"]["embed_tokens"])
+    np.testing.assert_array_equal(a, b)

@@ -34,21 +34,18 @@ class Prefetcher:
     gets this from torch DataLoader workers)."""
 
     def __init__(self, dataset, order: List[int], batch_size: int,
-                 collator: Collator, depth: int = 2, num_threads: int = 2):
+                 collator: Collator, num_threads: int = 2):
         self.dataset = dataset
         self.order = order
         self.batch_size = batch_size
         self.collator = collator
-        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.num_batches = len(order) // batch_size
-        self._threads = []
         self._batch_queue = queue.Queue()
         for b in range(self.num_batches):
             self._batch_queue.put(b)
         self._results = {}
-        self._next_emit = 0
-        self._lock = threading.Lock()
-        self._cv = threading.Condition(self._lock)
+        self._cv = threading.Condition()
+        self._threads = []
         for _ in range(num_threads):
             t = threading.Thread(target=self._worker, daemon=True)
             t.start()
