@@ -82,3 +82,22 @@ def test_engine_eos_frees_slot(tiny):
     done = engine.step()
     assert done and done[0].tokens == [eos]
     assert engine.slots[0] is None
+
+
+def test_multi_step_decode_matches_single_step(tiny):
+    cfg, params = tiny
+    reqs_a = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(3)]
+    reqs_b = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(3)]
+
+    eng_a = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in reqs_a:
+        eng_a.submit(r)
+    eng_a.run_until_drained(k=1)
+
+    eng_b = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in reqs_b:
+        eng_b.submit(r)
+    eng_b.run_until_drained(k=4)
+
+    for ra, rb in zip(reqs_a, reqs_b):
+        assert ra.tokens == rb.tokens, f"request {ra.uid}"

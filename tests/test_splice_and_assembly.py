@@ -189,3 +189,39 @@ def test_image_batch_forward(tiny_model):
     logits, spliced = videollamb_forward(params, cfg, batch)
     assert int(spliced.lengths[0]) == 10 - 1 + cfg.bridge.tokens_per_frame
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_splice_fuzz_against_oracle():
+    """Property fuzz: random sentinel positions, lengths, masks, x counts."""
+    rng = np.random.default_rng(42)
+    d = 6
+    for trial in range(40):
+        t = int(rng.integers(3, 20))
+        n_x = int(rng.integers(1, 12))
+        max_len = int(rng.integers(4, 28))
+        ids = rng.integers(3, 50, size=t).astype(np.int64)
+        n_valid = int(rng.integers(1, t + 1))
+        valid = np.zeros(t, bool)
+        valid[:n_valid] = True
+        if rng.random() < 0.8 and n_valid > 0:
+            ids[rng.integers(0, n_valid)] = VIDEO_TOKEN_INDEX
+        xm = rng.random(n_x) < 0.7
+        labels = np.where(valid, ids, IGNORE_INDEX)
+        text_emb = rng.normal(size=(t, d)).astype(np.float32)
+        x_emb = rng.normal(size=(n_x, d)).astype(np.float32)
+
+        ref_emb, ref_attn, ref_lab, ref_len = _python_splice(
+            ids, valid, labels, text_emb, x_emb, xm, max_len
+        )
+        out = splice_multimodal(
+            jnp.asarray(ids[None].astype(np.int32)), jnp.asarray(valid[None]),
+            jnp.asarray(labels[None].astype(np.int32)),
+            jnp.asarray(text_emb[None]), jnp.asarray(x_emb[None]),
+            jnp.asarray(xm[None]), max_len,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.embeds[0]), ref_emb, rtol=1e-6,
+            err_msg=f"trial {trial}",
+        )
+        assert np.asarray(out.labels[0]).tolist() == ref_lab.tolist(), f"trial {trial}"
+        assert int(out.lengths[0]) == ref_len, f"trial {trial}"

@@ -60,6 +60,26 @@ def insert_into_cache(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+def greedy_decode_steps(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int
+):
+    """Run k greedy decode steps fully on device -> (tokens (B, k), logits,
+    cache). Lets the engine sync with the host every k tokens instead of
+    every token (EOS rows decode garbage that is discarded host-side; slot
+    reuse overwrites their cache rows, and attention is length-masked)."""
+
+    def body(carry, _):
+        logits, cache = carry
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k.dtype)
+        logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds, cache)
+        return (logits, cache), nxt
+
+    (logits, cache), toks = jax.lax.scan(body, (logits, cache), None, length=k)
+    return toks.T, logits, cache  # (B, k)
+
+
 @dataclasses.dataclass
 class Request:
     uid: Any
@@ -129,12 +149,35 @@ class ServingEngine:
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.slots])
 
-    def step(self) -> List[Request]:
-        """Admit pending requests, advance every active slot one token.
-        Returns requests completed this step."""
+    def step(self, k: int = 1) -> List[Request]:
+        """Admit pending requests, advance every active slot by up to ``k``
+        tokens (multi-step only when all active slots are greedy). Returns
+        requests completed this step."""
         self._admit()
         if not any(self._active_mask()):
             return []
+
+        all_greedy = all(
+            (r is None or r.temperature == 0.0) for r in self.slots
+        )
+        if k > 1 and all_greedy:
+            toks, self.logits, self.cache = greedy_decode_steps(
+                self.params, self.cfg, self.logits, self.cache, k
+            )
+            toks_host = np.asarray(toks)  # (B, k)
+            finished: List[Request] = []
+            for i, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                for t in range(k):
+                    tok = int(toks_host[i, t])
+                    req.tokens.append(tok)
+                    if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+                        req.done = True
+                        finished.append(req)
+                        self.slots[i] = None
+                        break
+            return finished
 
         self.rng, sub = jax.random.split(self.rng)
         # Per-slot sampling params: sample greedily when temp==0 per slot by
@@ -169,11 +212,11 @@ class ServingEngine:
                 self.slots[i] = None
         return finished
 
-    def run_until_drained(self, max_steps: int = 100000) -> List[Request]:
+    def run_until_drained(self, max_steps: int = 100000, k: int = 1) -> List[Request]:
         """Drive until the queue and all slots are empty."""
         done: List[Request] = []
         for _ in range(max_steps):
-            done += self.step()
+            done += self.step(k)
             if self.pending.empty() and not any(self._active_mask()):
                 break
         return done
