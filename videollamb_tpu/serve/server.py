@@ -180,19 +180,18 @@ class ServingEngine:
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        # Per-slot sampling params: sample greedily when temp==0 per slot by
-        # zero-temperature masking (host-side mix for simplicity).
+        # Per-slot temperatures: scale each row's logits by its own
+        # temperature, sample once, then override greedy rows with argmax.
         temps = np.asarray([
             (r.temperature if r is not None else 0.0) for r in self.slots
-        ])
-        if (temps > 0).any():
-            nxt_sampled = sample_token(self.logits, sub, do_sample=True,
-                                       temperature=float(max(temps.max(), 1e-6)),
-                                       top_p=1.0)
-        else:
-            nxt_sampled = jnp.argmax(self.logits, -1).astype(jnp.int32)
+        ], np.float32)
         nxt_greedy = jnp.argmax(self.logits, -1).astype(jnp.int32)
-        nxt = jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
+        if (temps > 0).any():
+            scaled = self.logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
+            nxt_sampled = jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
+        else:
+            nxt = nxt_greedy
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
