@@ -101,3 +101,22 @@ def test_retro_loss_grads_flow_to_bridge_and_lm(tiny):
     g_retr = grads["mm_projector"]["retrieval"]["layers"][0]["crossattention"]["q_proj"]["kernel"]
     assert float(jnp.abs(g_bridge).max()) > 0
     assert float(jnp.abs(g_retr).max()) > 0  # retrieval in the grad path
+
+
+def test_trainer_step_with_rmt_loss(tiny):
+    """make_train_step(rmt_loss=True) trains through the retro path."""
+    from videollamb_tpu.config import TrainConfig
+    from videollamb_tpu.train.step import create_optimizer, create_train_state, make_train_step
+
+    cfg, params, batch = tiny
+    tcfg = TrainConfig(rmt_loss=True)
+    tx = create_optimizer(tcfg, 10, params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(cfg, tx, remat=False, attn_impl="xla",
+                                   rmt_loss=True))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(0))
+    state2, metrics = step(state1, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    d = np.abs(np.asarray(params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
+               - np.asarray(state2.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"]))
+    assert d.max() > 0

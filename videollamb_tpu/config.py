@@ -265,6 +265,9 @@ class TrainConfig:
     # Which param subtrees train: 'full', 'adapter' (mm_projector only,
     # reference --tune_mm_mlp_adapter), or 'lora'.
     tune_mode: str = "full"
+    # RMT-loss (retro) training: per-segment LM loss through the recurrence
+    # (reference '_rmt' model-path dispatch, train.py:927-934).
+    rmt_loss: bool = False
     lora_r: int = 128
     lora_alpha: int = 256
     lora_dropout: float = 0.05

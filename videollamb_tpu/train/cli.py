@@ -126,6 +126,7 @@ def main():
         save_total_limit=args.save_total_limit,
         logging_steps=args.logging_steps,
         output_dir=args.output_dir,
+        rmt_loss=args.rmt_loss,
     )
     dcfg = DataConfig(
         data_path=args.data_path,

@@ -120,16 +120,25 @@ def make_train_step(
     *,
     remat: bool = True,
     attn_impl: str = "chunked",
+    rmt_loss: bool = False,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
     Default attention is the differentiable chunked/online-softmax impl (the
-    training replacement for CUDA flash-attn backward)."""
+    training replacement for CUDA flash-attn backward). ``rmt_loss`` selects
+    the retro path (per-segment LM loss, train/retro.py)."""
 
     def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if rmt_loss:
+                from videollamb_tpu.train.retro import retro_loss
+
+                return retro_loss(
+                    params, model_cfg, batch, deterministic=False, rng=rng,
+                    remat=remat, attn_impl=attn_impl,
+                )
             logits, spliced = videollamb_forward(
                 params, model_cfg, batch, deterministic=False, rng=rng,
                 remat=remat, attn_impl=attn_impl,

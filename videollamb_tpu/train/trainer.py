@@ -107,6 +107,7 @@ class Trainer:
             make_train_step(
                 model_cfg, self.tx,
                 remat=train_cfg.gradient_checkpointing,
+                rmt_loss=train_cfg.rmt_loss,
             )
         )
 
