@@ -102,3 +102,16 @@ def test_lora_training_only_updates_adapters(base_params):
         - np.asarray(state1.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
     )
     assert dp.max() > 0
+
+
+def test_lora_params_shard_on_mesh(base_params):
+    from videollamb_tpu.parallel import create_mesh, shard_params
+
+    params = add_lora_params(
+        {"lm": base_params["lm"]}, CFG, r=4, alpha=8, rng=jax.random.PRNGKey(1))
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 200, size=(1, 12)))
+    ref = _logits(params, ids)
+    out = _logits(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)

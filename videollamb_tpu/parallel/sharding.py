@@ -23,8 +23,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _lm_layer_specs(fsdp: str, tp: str) -> Dict[str, P]:
-    return {
+def _lm_layer_specs(layers: Dict, fsdp: str, tp: str) -> Dict[str, P]:
+    base = {
         "input_layernorm": P(None, None),
         "post_attention_layernorm": P(None, None),
         "q_proj": P(None, fsdp, tp),
@@ -35,6 +35,21 @@ def _lm_layer_specs(fsdp: str, tp: str) -> Dict[str, P]:
         "up_proj": P(None, fsdp, tp),
         "down_proj": P(None, tp, fsdp),
     }
+    specs = {}
+    for key in layers:
+        if key in base:
+            specs[key] = base[key]
+        elif key.endswith("_lora_a"):
+            # (L, d_in, r): shard the input dim like the base kernel's.
+            parent = base.get(key[:-7], P(None, fsdp, tp))
+            specs[key] = P(None, parent[1], None)
+        elif key.endswith("_lora_b"):
+            # (L, r, d_out): shard the output dim like the base kernel's.
+            parent = base.get(key[:-7], P(None, fsdp, tp))
+            specs[key] = P(None, None, parent[2])
+        else:
+            specs[key] = P()
+    return specs
 
 
 def _vision_specs(params: Any, fsdp: str, tp: str) -> Any:
@@ -90,7 +105,7 @@ def param_specs(
     if "lm" in params:
         specs["lm"] = {
             "embed_tokens": P(tp, fsdp),
-            "layers": _lm_layer_specs(fsdp, tp),
+            "layers": _lm_layer_specs(params["lm"]["layers"], fsdp, tp),
             "norm": P(None),
             "lm_head": P(fsdp, tp),
         }
@@ -100,6 +115,8 @@ def param_specs(
     if "mm_projector" in params:
         # The bridge is ~15M params: replicate.
         specs["mm_projector"] = jax.tree.map(lambda _: P(), params["mm_projector"])
+    if "lm_memory" in params:
+        specs["lm_memory"] = P()
     return specs
 
 

@@ -103,6 +103,14 @@ def main():
             jnp.asarray, convert_rmt_r_state_dict(sd, prefix="mm_projector.")
         )
 
+    if args.lora_enable:
+        from videollamb_tpu.models.lm.lora import add_lora_params
+
+        params = add_lora_params(
+            params, model_cfg.lm, r=args.lora_r, alpha=args.lora_alpha,
+            rng=jax.random.PRNGKey(args.seed + 1),
+        )
+
     mesh = create_mesh(model_parallel=args.model_parallel)
     params = shard_params(mesh, params)
 
