@@ -127,3 +127,20 @@ def test_init_matches_converted_tree(hf_and_params):
     _, converted = hf_and_params
     ours = init_llama_params(jax.random.PRNGKey(0), CFG)
     assert jax.tree.structure(ours) == jax.tree.structure(converted)
+
+
+def test_resize_token_embeddings(hf_and_params):
+    from videollamb_tpu.models.lm.convert import resize_token_embeddings
+
+    _, params = hf_and_params
+    old_v = params["embed_tokens"].shape[0]
+    grown = resize_token_embeddings(dict(params), old_v + 3)
+    assert grown["embed_tokens"].shape[0] == old_v + 3
+    assert grown["lm_head"].shape[1] == old_v + 3
+    np.testing.assert_allclose(
+        np.asarray(grown["embed_tokens"][old_v]),
+        np.asarray(params["embed_tokens"]).mean(0), rtol=1e-5,
+    )
+    # No-op when new vocab <= old.
+    same = resize_token_embeddings(dict(params), old_v)
+    assert same["embed_tokens"].shape[0] == old_v

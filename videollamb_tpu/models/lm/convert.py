@@ -19,6 +19,31 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def resize_token_embeddings(params: Dict[str, Any], new_vocab: int) -> Dict[str, Any]:
+    """Grow embed_tokens/lm_head to ``new_vocab`` rows, initializing new
+    rows with the mean of the existing ones (reference
+    smart_tokenizer_and_embedding_resize, llava/train/train.py:235-257 —
+    used when mm_use_x_start_end adds <im_start>/<im_end> etc.)."""
+    import jax.numpy as jnp
+
+    embed = params["embed_tokens"]  # (V, D)
+    old_vocab = embed.shape[0]
+    if new_vocab <= old_vocab:
+        return params
+    n_new = new_vocab - old_vocab
+    out = dict(params)
+    mean_in = jnp.mean(embed, axis=0, keepdims=True)
+    out["embed_tokens"] = jnp.concatenate(
+        [embed, jnp.broadcast_to(mean_in, (n_new, embed.shape[1]))], axis=0
+    )
+    head = params["lm_head"]  # (D, V)
+    mean_out = jnp.mean(head, axis=1, keepdims=True)
+    out["lm_head"] = jnp.concatenate(
+        [head, jnp.broadcast_to(mean_out, (head.shape[0], n_new))], axis=1
+    )
+    return out
+
+
 def convert_llama_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     keys = list(sd.keys())
     root = "model." if any(k.startswith("model.layers.") for k in keys) else ""
