@@ -139,7 +139,7 @@ def test_resize_token_embeddings(hf_and_params):
     assert grown["lm_head"].shape[1] == old_v + 3
     np.testing.assert_allclose(
         np.asarray(grown["embed_tokens"][old_v]),
-        np.asarray(params["embed_tokens"]).mean(0), rtol=1e-5,
+        np.asarray(params["embed_tokens"]).mean(0), rtol=1e-4, atol=1e-7,
     )
     # No-op when new vocab <= old.
     same = resize_token_embeddings(dict(params), old_v)
