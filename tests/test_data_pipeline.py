@@ -107,3 +107,47 @@ def test_conversation_plain_prompt():
     conv = conv_templates["plain"].copy()
     conv.append_message(conv.roles[0], "<video>")
     assert conv.get_prompt() == "<video>\n"
+
+
+def test_stage_timer_and_logging_utils():
+    import time as _time
+
+    from videollamb_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("decode"):
+        _time.sleep(0.01)
+    with t.stage("decode"):
+        pass
+    s = t.summary()
+    assert s["decode"]["count"] == 2 and s["decode"]["total_s"] >= 0.01
+    assert "decode" in t.report()
+
+
+def test_keyword_stopper_trim():
+    from videollamb_tpu.mm_utils import KeywordStopper
+
+    class Tok:
+        bos_token_id = 1
+
+        def __call__(self, text):
+            class R: pass
+            r = R(); r.input_ids = [1, 42]
+            return r
+
+    st = KeywordStopper(["</s>"], Tok())
+    assert st.trim("hello world</s>garbage") == "hello world"
+    assert st.trim("no stop here") == "no stop here"
+    assert st.stop_token_ids() == [42]
+
+
+def test_unpad_image_both_orientations():
+    from videollamb_tpu.mm_utils import unpad_image
+
+    t = np.arange(2 * 8 * 8, dtype=np.float32).reshape(2, 8, 8)
+    # Wide original (16x8 image): vertical padding removed.
+    out = unpad_image(t, (16, 8))
+    assert out.shape == (2, 4, 8)
+    # Tall original (8x16): horizontal padding removed.
+    out = unpad_image(t, (8, 16))
+    assert out.shape == (2, 8, 4)
