@@ -26,16 +26,25 @@ from videollamb_tpu.models.splice import splice_multimodal
 
 
 def _python_splice(ids, valid, labels, text_emb, x_emb, x_mask, max_len):
-    """Reference-semantics oracle."""
+    """Reference-semantics oracle (llava_arch.py:560-613): the k-th sentinel
+    in a row is replaced by the k-th visual block (cur_x_idx walk), then
+    truncate to max_len and right-pad."""
+    x_emb = np.asarray(x_emb)
+    x_mask = np.asarray(x_mask)
+    if x_emb.ndim == 2:  # single block
+        x_emb, x_mask = x_emb[None], x_mask[None]
     out_emb, out_lab = [], []
+    k = 0
     for i, tok in enumerate(ids):
         if not valid[i]:
             continue
         if tok < 0:
-            for j in range(len(x_mask)):
-                if x_mask[j]:
-                    out_emb.append(x_emb[j])
-                    out_lab.append(IGNORE_INDEX)
+            if k < len(x_emb):
+                for j in range(x_mask.shape[1]):
+                    if x_mask[k, j]:
+                        out_emb.append(x_emb[k, j])
+                        out_lab.append(IGNORE_INDEX)
+            k += 1
         else:
             out_emb.append(text_emb[i])
             out_lab.append(labels[i])
@@ -189,6 +198,95 @@ def test_image_batch_forward(tiny_model):
     logits, spliced = videollamb_forward(params, cfg, batch)
     assert int(spliced.lengths[0]) == 10 - 1 + cfg.bridge.tokens_per_frame
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize(
+    "case", ["two_mid", "adjacent", "more_sent_than_blocks", "more_blocks", "truncate_multi"]
+)
+def test_splice_multi_sentinel_matches_oracle(case):
+    """K-sentinel rows: k-th sentinel <- k-th block (llava_arch.py:586-599)."""
+    rng = np.random.default_rng(7)
+    d = 8
+    S = VIDEO_TOKEN_INDEX
+    if case == "two_mid":
+        ids = np.array([5, S, 6, 7, S, 8, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        k, n, max_len = 2, 4, 32
+        xm = np.ones((k, n), bool)
+    elif case == "adjacent":
+        ids = np.array([S, S, 6, 7, 8, 9, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        k, n, max_len = 2, 3, 32
+        xm = np.array([[1, 1, 0], [1, 1, 1]], bool)
+    elif case == "more_sent_than_blocks":
+        ids = np.array([5, S, 6, S, 7, S, 8, 9])
+        valid = np.ones(8, bool)
+        k, n, max_len = 2, 3, 32
+        xm = np.ones((k, n), bool)
+    elif case == "more_blocks":
+        ids = np.array([5, S, 6, 7, 8, 9, 0, 0])
+        valid = np.array([1, 1, 1, 1, 1, 1, 0, 0], bool)
+        k, n, max_len = 3, 3, 32
+        xm = np.ones((k, n), bool)
+    else:  # truncate_multi
+        ids = np.array([5, S, 6, S, 7, 8, 9, 1])
+        valid = np.ones(8, bool)
+        k, n, max_len = 2, 5, 10
+        xm = np.ones((k, n), bool)
+
+    labels = np.where(valid, ids, IGNORE_INDEX)
+    text_emb = rng.normal(size=(len(ids), d)).astype(np.float32)
+    x_emb = rng.normal(size=(k, n, d)).astype(np.float32)
+
+    ref_emb, ref_attn, ref_lab, ref_len = _python_splice(
+        ids, valid, labels, text_emb, x_emb, xm, max_len
+    )
+    out = splice_multimodal(
+        jnp.asarray(ids[None].astype(np.int32)), jnp.asarray(valid[None]),
+        jnp.asarray(labels[None].astype(np.int32)), jnp.asarray(text_emb[None]),
+        jnp.asarray(x_emb[None]), jnp.asarray(xm[None]), max_len,
+    )
+    np.testing.assert_allclose(np.asarray(out.embeds[0]), ref_emb, rtol=1e-6)
+    assert np.asarray(out.attention_mask[0]).tolist() == ref_attn.tolist()
+    assert np.asarray(out.labels[0]).tolist() == ref_lab.tolist()
+    assert int(out.lengths[0]) == ref_len
+
+
+def test_splice_multi_sentinel_fuzz():
+    """Property fuzz over K blocks: random sentinel counts/positions/masks."""
+    rng = np.random.default_rng(123)
+    d = 6
+    for trial in range(40):
+        t = int(rng.integers(4, 24))
+        k = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 8))
+        max_len = int(rng.integers(5, 36))
+        ids = rng.integers(3, 50, size=t).astype(np.int64)
+        n_valid = int(rng.integers(1, t + 1))
+        valid = np.zeros(t, bool)
+        valid[:n_valid] = True
+        n_sent = int(rng.integers(0, min(k + 2, n_valid) + 1))
+        if n_sent and n_valid:
+            sent_pos = rng.choice(n_valid, size=min(n_sent, n_valid), replace=False)
+            ids[sent_pos] = VIDEO_TOKEN_INDEX
+        xm = rng.random((k, n)) < 0.7
+        labels = np.where(valid, ids, IGNORE_INDEX)
+        text_emb = rng.normal(size=(t, d)).astype(np.float32)
+        x_emb = rng.normal(size=(k, n, d)).astype(np.float32)
+
+        ref_emb, ref_attn, ref_lab, ref_len = _python_splice(
+            ids, valid, labels, text_emb, x_emb, xm, max_len
+        )
+        out = splice_multimodal(
+            jnp.asarray(ids[None].astype(np.int32)), jnp.asarray(valid[None]),
+            jnp.asarray(labels[None].astype(np.int32)), jnp.asarray(text_emb[None]),
+            jnp.asarray(x_emb[None]), jnp.asarray(xm[None]), max_len,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.embeds[0]), ref_emb, rtol=1e-6, err_msg=f"trial {trial}"
+        )
+        assert np.asarray(out.labels[0]).tolist() == ref_lab.tolist(), f"trial {trial}"
+        assert int(out.lengths[0]) == ref_len, f"trial {trial}"
 
 
 def test_splice_fuzz_against_oracle():

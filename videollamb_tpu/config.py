@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -226,6 +226,12 @@ class ModelConfig:
     # Which modalities this checkpoint handles.
     use_image_tower: bool = True
     use_video_tower: bool = True
+    # Anyres multi-patch images (reference llava_arch.py:265-331 +
+    # mm_utils.py:120-146): 'flat' | 'spatial' | 'spatial_unpad'.
+    mm_patch_merge_type: str = "flat"
+    image_aspect_ratio: str = "square"  # 'square' | 'pad' | 'anyres'
+    # ((w, h), ...) pinpoint resolutions for anyres patching.
+    image_grid_pinpoints: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @staticmethod
     def tiny(**overrides: Any) -> "ModelConfig":

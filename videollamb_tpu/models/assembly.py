@@ -98,6 +98,67 @@ def encode_images(
     return jax.vmap(one)(feats[:, 0])
 
 
+def encode_images_anyres(
+    params: Params,
+    cfg: ModelConfig,
+    images: jax.Array,  # (B, P, C, H, W): base resized image + grid patches
+    image_specs: jax.Array,  # (B, 4) int32 from models.anyres.anyres_spec
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Anyres patch encode + merge (reference encode_images 'spatial*'
+    branch, llava_arch.py:265-331): every patch through tower+projector,
+    then the static-shape spatial merge with unpad + newline tokens.
+
+    Requires a grid-preserving projector (identity/linear/mlp) — the
+    reference asserts the same (llava_arch.py:291).
+    Returns (B, N_max, lm_d) tokens + (B, N_max) validity mask.
+    """
+    from videollamb_tpu.models.anyres import anyres_merge
+    from videollamb_tpu.models.bridge.builder import bridge_apply
+
+    if cfg.bridge.kind not in ("identity", "linear", "mlp"):
+        raise ValueError(
+            "anyres spatial merge needs a grid-preserving projector "
+            f"(got {cfg.bridge.kind!r}); reference asserts height*width == "
+            "base_image_feature.shape[0] (llava_arch.py:291)"
+        )
+    b, p = images.shape[:2]
+    tower = params.get("image_tower", params["video_tower"])
+    feats = vision_encode(
+        tower, images.reshape(b * p, 1, *images.shape[2:]), cfg.vision
+    )[:, 0, 1:]  # (B*P, n_patches, d_vis): feature_select('patch') drops CLS
+
+    def proj(f):
+        tokens, _ = bridge_apply(
+            params["mm_projector"], cfg.bridge, f, modality="image",
+            deterministic=deterministic,
+        )
+        return tokens
+
+    tokens = jax.vmap(proj)(feats)  # (B*P, n_patches, lm_d)
+    tokens = tokens.reshape(b, p, cfg.vision.num_patches, -1)
+    newline = params.get(
+        "image_newline", jnp.zeros((tokens.shape[-1],), tokens.dtype)
+    )
+
+    def merge_one(tok, spec):
+        return anyres_merge(
+            tok, spec, newline, cfg.vision.num_patches_per_side,
+            cfg.mm_patch_merge_type,
+        )
+
+    return jax.vmap(merge_one)(tokens, image_specs)
+
+
+def init_image_newline(rng: jax.Array, lm_hidden_size: int, dtype=jnp.float32) -> jax.Array:
+    """Learned row-terminator token for 'spatial_unpad' (reference
+    LlavaMetaModel.__init__: randn(hidden) / sqrt(hidden))."""
+    return (
+        jax.random.normal(rng, (lm_hidden_size,), jnp.float32)
+        / jnp.sqrt(float(lm_hidden_size))
+    ).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Full forward
 # ---------------------------------------------------------------------------
@@ -106,15 +167,19 @@ def encode_images(
 class MultimodalBatch(NamedTuple):
     """Host-assembled batch. ``videos`` may be None for text/image batches.
 
-    input_ids carry one X sentinel per multimodal row (-200 image/-201
-    video); pure-text rows have none.
+    input_ids carry X sentinels on multimodal rows (-200 image/-201 video;
+    up to K per row — the k-th sentinel binds to the k-th visual block);
+    pure-text rows have none. ``images`` may be 5-D (B, P, C, H, W) anyres
+    patch stacks, in which case ``image_specs`` carries the per-sample
+    (NPH, NPW, pad_r, pad_c) grid spec from models.anyres.anyres_spec.
     """
 
     input_ids: jax.Array  # (B, T)
     attention_mask: jax.Array  # (B, T)
     labels: Optional[jax.Array]  # (B, T) or None
     videos: Optional[jax.Array]  # (B, T_v, C, H, W)
-    images: Optional[jax.Array]  # (B, C, H, W)
+    images: Optional[jax.Array]  # (B, C, H, W) or (B, P, C, H, W) anyres
+    image_specs: Optional[jax.Array] = None  # (B, 4) int32, anyres only
 
 
 def prepare_multimodal_embeds(
@@ -133,6 +198,11 @@ def prepare_multimodal_embeds(
     if batch.videos is not None:
         x_embeds, x_mask = encode_videos(
             params, cfg, batch.videos, deterministic=deterministic, rng=rng
+        )
+    elif batch.images is not None and batch.images.ndim == 5:
+        x_embeds, x_mask = encode_images_anyres(
+            params, cfg, batch.images, batch.image_specs,
+            deterministic=deterministic,
         )
     elif batch.images is not None:
         x_embeds, x_mask = encode_images(

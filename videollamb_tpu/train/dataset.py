@@ -40,6 +40,9 @@ class DataConfig:
     mm_use_x_start_end: bool = False
     model_max_length: int = 2048
     image_aspect_ratio: str = "pad"
+    # Anyres pinpoint resolutions ((w, h), ...) when image_aspect_ratio is
+    # 'anyres' (reference train.py DataArguments.image_grid_pinpoints).
+    image_grid_pinpoints: Optional[Sequence[Sequence[int]]] = None
 
 
 class SupervisedDataset:
@@ -96,12 +99,20 @@ class SupervisedDataset:
 
             path = os.path.join(self.cfg.image_folder, rec["image"])
             img = Image.open(path).convert("RGB")
-            if self.cfg.image_aspect_ratio == "pad":
-                from videollamb_tpu.mm_utils import expand2square
+            if self.cfg.image_aspect_ratio == "anyres":
+                from videollamb_tpu.mm_utils import process_anyres_image
 
-                bg = tuple(int(x * 255) for x in self.image_processor.image_mean)
-                img = expand2square(img, bg)
-            out["image"] = self.image_processor(img)  # (C, H, W)
+                out["image"] = process_anyres_image(
+                    img, self.image_processor, list(self.cfg.image_grid_pinpoints)
+                )  # (P, C, H, W)
+                out["image_size"] = img.size  # (w, h) for the unpad merge
+            else:
+                if self.cfg.image_aspect_ratio == "pad":
+                    from videollamb_tpu.mm_utils import expand2square
+
+                    bg = tuple(int(x * 255) for x in self.image_processor.image_mean)
+                    img = expand2square(img, bg)
+                out["image"] = self.image_processor(img)  # (C, H, W)
             sources = preprocess_multimodal(
                 sources, is_multimodal=self.cfg.is_multimodal,
                 mm_use_x_start_end=self.cfg.mm_use_x_start_end,
@@ -139,6 +150,11 @@ class Collator:
     pad_token_id: int = 0
     bucket: int = 128
     max_length: int = 2048
+    # Anyres spec computation (only needed when samples carry 4-D patch
+    # stacks + 'image_size'): pinpoints + tower geometry.
+    image_grid_pinpoints: Optional[Sequence[Sequence[int]]] = None
+    vision_image_size: int = 336
+    patches_per_side: int = 24
 
     def __call__(self, samples: Sequence[Dict[str, Any]]) -> MultimodalBatch:
         b = len(samples)
@@ -164,6 +180,23 @@ class Collator:
                     videos[i, : s["video"].shape[0]] = s["video"]
         elif any("image" in s for s in samples):
             shape = next(s["image"].shape for s in samples if "image" in s)
+            if len(shape) == 4:  # anyres (P, C, H, W) stacks
+                p_max = max(s["image"].shape[0] for s in samples if "image" in s)
+                images = np.zeros((b, p_max) + shape[1:], np.float32)
+                specs = np.zeros((b, 4), np.int32)
+                from videollamb_tpu.models.anyres import anyres_spec
+
+                for i, s in enumerate(samples):
+                    if "image" in s:
+                        images[i, : s["image"].shape[0]] = s["image"]
+                        specs[i] = anyres_spec(
+                            s["image_size"], self.image_grid_pinpoints,
+                            self.vision_image_size, self.patches_per_side,
+                        )
+                return MultimodalBatch(
+                    input_ids=ids, attention_mask=mask, labels=labels,
+                    videos=None, images=images, image_specs=specs,
+                )
             images = np.zeros((b,) + shape, np.float32)
             for i, s in enumerate(samples):
                 if "image" in s:
