@@ -136,3 +136,57 @@ def test_checkpoint_restore_across_mesh_topologies(tiny_dataset, tmp_path):
     a = np.asarray(state_a.params["lm"]["embed_tokens"])
     b = np.asarray(restored.params["lm"]["embed_tokens"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_process_local_order_disjoint_and_complete():
+    """Two processes slice every global batch into disjoint, covering,
+    contiguous chunks (reference world_size semantics)."""
+    from videollamb_tpu.train.trainer import process_local_order
+
+    order = list(range(100, 148))  # 48 samples
+    gb = 8
+    shards = [process_local_order(order, gb, 2, p) for p in range(2)]
+    assert len(shards[0]) == len(shards[1]) == 24
+    assert not set(shards[0]) & set(shards[1])
+    assert set(shards[0]) | set(shards[1]) == set(order)
+    # Batch k of process p == rows [k*8+p*4, k*8+(p+1)*4) of the global order.
+    assert shards[0][:4] == order[0:4]
+    assert shards[1][:4] == order[4:8]
+    assert shards[0][4:8] == order[8:12]
+
+
+def test_resume_does_zero_decodes_for_skipped_batches(tiny_dataset):
+    """Fast-forwarding a resumed run must not touch skipped samples
+    (the round-1 implementation decoded every skipped batch)."""
+    data_path, vid_dir, root = tiny_dataset
+    cfg = ModelConfig.tiny()
+    from videollamb_tpu.data.processing import VideoProcessor
+
+    class CountingDataset(SupervisedDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.loaded = []
+
+        def __getitem__(self, i):
+            self.loaded.append(i)
+            return super().__getitem__(i)
+
+    ds = CountingDataset(
+        data_path, WordTokenizer(),
+        DataConfig(video_folder=vid_dir, num_frames=8, model_max_length=64),
+        video_processor=VideoProcessor(size=cfg.vision.image_size),
+    )
+    out = root + "/ckpt_resume_test"
+    tcfg = TrainConfig(per_device_batch_size=2, num_train_epochs=1,
+                       save_steps=0, output_dir=out,
+                       gradient_checkpointing=False)
+    trainer = Trainer(cfg, tcfg, _tiny_params(cfg), ds, log_fn=lambda m: None,
+                      collator=Collator(bucket=16, max_length=cfg.max_length))
+    trainer.global_batch = 2
+    # Simulate a checkpoint at step 1: one batch (2 samples) must be skipped
+    # without being decoded.
+    trainer.state = trainer.state._replace(step=jnp.asarray(1))
+    trainer.train()
+    order = trainer._batch_order(0)
+    skipped = set(order[:2])
+    assert not skipped & set(ds.loaded), (skipped, ds.loaded)

@@ -28,20 +28,40 @@ from videollamb_tpu.train.step import (
 )
 
 
+def process_local_order(
+    order: List[int], global_batch: int, process_count: int, process_index: int,
+) -> List[int]:
+    """Slice a global modality-grouped order into this process's rows:
+    every global batch contributes its ``process_index``-th contiguous
+    chunk (reference: llava_trainer.py:59-146 world_size semantics, where
+    each rank consumes a disjoint slice of every megabatch)."""
+    local = global_batch // process_count
+    out: List[int] = []
+    for start in range(0, len(order) - global_batch + 1, global_batch):
+        gb = order[start: start + global_batch]
+        out.extend(gb[process_index * local: (process_index + 1) * local])
+    return out
+
+
 class Prefetcher:
     """Background-thread batch producer: keeps ``depth`` collated batches
     ready so host decode/tokenize overlaps device compute (the reference
-    gets this from torch DataLoader workers)."""
+    gets this from torch DataLoader workers).
+
+    ``start_batch`` supports cheap resume: earlier batches are never
+    enqueued, so fast-forwarding a resumed run does ZERO video decodes."""
 
     def __init__(self, dataset, order: List[int], batch_size: int,
-                 collator: Collator, num_threads: int = 2):
+                 collator: Collator, num_threads: int = 2,
+                 start_batch: int = 0):
         self.dataset = dataset
         self.order = order
         self.batch_size = batch_size
         self.collator = collator
         self.num_batches = len(order) // batch_size
+        self.start_batch = min(start_batch, self.num_batches)
         self._batch_queue = queue.Queue()
-        for b in range(self.num_batches):
+        for b in range(self.start_batch, self.num_batches):
             self._batch_queue.put(b)
         self._results = {}
         self._cv = threading.Condition()
@@ -64,7 +84,7 @@ class Prefetcher:
                 self._cv.notify_all()
 
     def __iter__(self) -> Iterator[MultimodalBatch]:
-        for b in range(self.num_batches):
+        for b in range(self.start_batch, self.num_batches):
             with self._cv:
                 while b not in self._results:
                     self._cv.wait()
@@ -84,6 +104,8 @@ class Trainer:
         collator: Optional[Collator] = None,
         mesh=None,
         log_fn: Callable[[dict], None] = None,
+        process_count: Optional[int] = None,
+        process_index: Optional[int] = None,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
@@ -91,6 +113,11 @@ class Trainer:
         self.collator = collator or Collator(max_length=model_cfg.max_length)
         self.mesh = mesh
         self.log_fn = log_fn or (lambda m: print(m, flush=True))
+        # Multi-host data parallelism (reference: llava_trainer.py:59-146
+        # world_size semantics): each process decodes only its slice of
+        # every global batch.
+        self.process_count = process_count if process_count is not None else jax.process_count()
+        self.process_index = process_index if process_index is not None else jax.process_index()
 
         n_devices = jax.device_count() if mesh is None else mesh.devices.size
         global_batch = train_cfg.per_device_batch_size * max(
@@ -112,25 +139,36 @@ class Trainer:
         )
 
     def _batch_order(self, epoch: int) -> List[int]:
+        """Process-local sample order: identical global shuffle on every
+        process (same seed), then this process's slice of each batch."""
         lengths = self.dataset.modality_lengths()
-        return modality_grouped_indices(
-            lengths, batch_size=self.global_batch, world_size=1,
+        order = modality_grouped_indices(
+            lengths,
+            batch_size=max(1, self.global_batch // self.process_count),
+            world_size=self.process_count,
             seed=self.train_cfg.seed + epoch,
+        )
+        if self.process_count == 1:
+            return order
+        return process_local_order(
+            order, self.global_batch, self.process_count, self.process_index
         )
 
     def train(self) -> TrainState:
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         start_step = int(self.state.step)
-        done = 0
+        local_batch = max(1, self.global_batch // self.process_count)
         for epoch in range(self.train_cfg.num_train_epochs):
             order = self._batch_order(epoch)
+            num_batches = len(order) // local_batch
+            # Decode-free resume: batches before the checkpoint step are
+            # never enqueued, so fast-forward costs zero video decodes.
+            skip = min(max(start_step - epoch * num_batches, 0), num_batches)
             prefetcher = Prefetcher(
-                self.dataset, order, self.global_batch, self.collator
+                self.dataset, order, local_batch, self.collator,
+                start_batch=skip,
             )
             for batch in prefetcher:
-                if done + (epoch * len(order)) < start_step:
-                    done += 1
-                    continue  # fast-forward on resume
                 t0 = time.perf_counter()
                 self.state, metrics = self.step_fn(self.state, batch, rng)
                 step = int(self.state.step)
