@@ -1,0 +1,249 @@
+"""Incremental streaming machinery: chunked KV-cache extension parity,
+bridge stream-step parity vs the batch scan, and the bounded-memory
+streaming session."""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import BridgeConfig, LlamaConfig, ModelConfig
+
+
+# ---------------------------------------------------------------------------
+# llama_extend
+# ---------------------------------------------------------------------------
+
+
+def _lm():
+    cfg = LlamaConfig.tiny()
+    from videollamb_tpu.models.lm.llama import init_llama_params
+
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_llama_extend_matches_single_prefill():
+    """prefill(A) + extend(B) must produce the same last-token logits and
+    the same subsequent greedy decode as prefill(A+B)."""
+    from videollamb_tpu.models.lm.llama import (
+        embed_tokens, init_kv_cache, llama_decode_step, llama_extend,
+        llama_prefill,
+    )
+
+    cfg, params = _lm()
+    rng = np.random.default_rng(0)
+    ids_a = rng.integers(4, cfg.vocab_size, size=(1, 10)).astype(np.int32)
+    ids_b = rng.integers(4, cfg.vocab_size, size=(1, 6)).astype(np.int32)
+    full = np.concatenate([ids_a, ids_b], axis=1)
+
+    def run_chain(cache, last_logits, steps=4):
+        toks = []
+        for _ in range(steps):
+            nxt = int(jnp.argmax(last_logits[0]))
+            toks.append(nxt)
+            last_logits, cache = llama_decode_step(
+                params, cfg, embed_tokens(params, jnp.asarray([[nxt]])), cache
+            )
+        return toks
+
+    # One-shot prefill.
+    cache1 = init_kv_cache(cfg, 1, 64, jnp.float32)
+    lg1, cache1 = llama_prefill(
+        params, cfg, embed_tokens(params, jnp.asarray(full)),
+        jnp.ones_like(jnp.asarray(full)), cache1,
+    )
+    chain1 = run_chain(cache1, lg1)
+
+    # Split prefill + extend.
+    cache2 = init_kv_cache(cfg, 1, 64, jnp.float32)
+    _, cache2 = llama_prefill(
+        params, cfg, embed_tokens(params, jnp.asarray(ids_a)),
+        jnp.ones_like(jnp.asarray(ids_a)), cache2,
+    )
+    lg2, cache2 = llama_extend(
+        params, cfg, embed_tokens(params, jnp.asarray(ids_b)),
+        jnp.ones_like(jnp.asarray(ids_b)), cache2,
+    )
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2), rtol=2e-4, atol=2e-4)
+    assert run_chain(cache2, lg2) == chain1
+
+    # Three-way split with a right-padded middle chunk.
+    cache3 = init_kv_cache(cfg, 1, 64, jnp.float32)
+    _, cache3 = llama_prefill(
+        params, cfg, embed_tokens(params, jnp.asarray(ids_a)),
+        jnp.ones_like(jnp.asarray(ids_a)), cache3,
+    )
+    padded = np.concatenate([ids_b[:, :3], np.zeros((1, 3), np.int32)], axis=1)
+    mask = np.array([[1, 1, 1, 0, 0, 0]], np.int32)
+    _, cache3 = llama_extend(
+        params, cfg, embed_tokens(params, jnp.asarray(padded)), jnp.asarray(mask), cache3
+    )
+    lg3, cache3 = llama_extend(
+        params, cfg, embed_tokens(params, jnp.asarray(ids_b[:, 3:])),
+        jnp.ones((1, 3), jnp.int32), cache3,
+    )
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg3), rtol=2e-4, atol=2e-4)
+    assert run_chain(cache3, lg3) == chain1
+
+
+# ---------------------------------------------------------------------------
+# Bridge stream step
+# ---------------------------------------------------------------------------
+
+
+def test_bridge_stream_step_matches_batch_scan():
+    """Feeding the batch path's segment plan through rmt_r_stream_step must
+    reproduce the scan's per-segment tokens and final memory."""
+    from videollamb_tpu.models.bridge.rmt_r import (
+        init_rmt_r_params, init_stream_state, pool_and_split,
+        rmt_r_stream_step, rmt_r_video_forward,
+    )
+    from videollamb_tpu.ops.scene_tilling import segment_plan, segment_topk
+
+    cfg = ModelConfig.tiny().bridge
+    params = init_rmt_r_params(jax.random.PRNGKey(1), cfg, lm_hidden_size=64)
+    t, n, d = 16, 17, cfg.hidden_size
+    feats = jax.random.normal(jax.random.PRNGKey(2), (t, n, d))
+
+    out = rmt_r_video_forward(params, cfg, feats)
+
+    cls_states, _ = pool_and_split(feats, cfg)
+    bounds = segment_topk(cls_states, k=cfg.segment_topk)
+    frame_idx, frame_mask = segment_plan(bounds, t, max_frames=cfg.max_frames_per_segment)
+
+    state = init_stream_state(cfg, cache_segments=cfg.max_segments)
+    for s in range(cfg.max_segments):
+        seg_feats = feats[np.asarray(frame_idx[s])]
+        tokens, tmask, state = rmt_r_stream_step(
+            params, cfg, seg_feats, frame_mask[s], state
+        )
+        np.testing.assert_allclose(
+            np.asarray(tokens), np.asarray(out.all_tokens[s]), rtol=2e-4, atol=2e-4,
+            err_msg=f"segment {s}",
+        )
+        assert np.asarray(tmask).tolist() == np.asarray(out.all_masks[s]).tolist()
+    np.testing.assert_allclose(
+        np.asarray(state.memory[0]), np.asarray(out.memory), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bridge_stream_ring_cache_bounded():
+    """More segments than the ring: state stays static-shape, count grows,
+    and the step keeps producing finite tokens."""
+    from videollamb_tpu.models.bridge.rmt_r import (
+        init_rmt_r_params, init_stream_state, rmt_r_stream_step,
+    )
+
+    cfg = ModelConfig.tiny().bridge
+    params = init_rmt_r_params(jax.random.PRNGKey(1), cfg, lm_hidden_size=64)
+    state = init_stream_state(cfg, cache_segments=2)
+    f = cfg.max_frames_per_segment
+    shapes = set()
+    for s in range(5):
+        feats = jax.random.normal(jax.random.PRNGKey(s), (f, 17, cfg.hidden_size))
+        tokens, _, state = rmt_r_stream_step(
+            params, cfg, feats, jnp.ones((f,), bool), state
+        )
+        assert np.isfinite(np.asarray(tokens)).all()
+        shapes.add(state.cache.shape)
+    assert shapes == {(1, 2 * cfg.num_memory_tokens, cfg.hidden_size)}
+    assert int(state.count) == 5
+
+
+# ---------------------------------------------------------------------------
+# StreamingSession end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_chat():
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.serve.chat import Chat
+    from test_serving import ChatTokenizer
+
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    processors = {
+        "VIDEO": VideoProcessor(size=cfg.vision.image_size),
+        "IMAGE": ImageProcessor(size=cfg.vision.image_size),
+    }
+    tok = ChatTokenizer()
+    tok("A chat between a curious human and an artificial intelligence assistant")
+    return Chat(tok, params, cfg, processors, text_bucket=32)
+
+
+def test_streaming_session_bounded_and_answers(tiny_chat):
+    """A long synthetic stream: buffers stay bounded, queries get answered,
+    context grows monotonically in the carried KV cache."""
+    from videollamb_tpu.serve.incremental import StreamingSession
+
+    tiny_chat.reset()
+    sess = StreamingSession(
+        tiny_chat, frame_fps=1.0, max_open_frames=6, max_seq_len=448,
+        max_new_tokens=4,
+    )
+    t_total = 40
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(t_total, 56, 56, 3)).astype(np.uint8)
+    frames[10:20] = 220  # scene structure
+    frames[20:30] = 40
+    sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
+    sess.num_video_frames = t_total
+    sess.video_duration = float(t_total)
+
+    sess.input_query_stream("what is happening", video_time=5.0)
+    sess.input_query_stream("and now", video_time=25.0)
+
+    max_resident = 0
+    answers = []
+    ctx_lens = []
+    for i in range(t_total):
+        sess.input_video_stream(float(i))
+        max_resident = max(max_resident, sess.hbm_resident_frames)
+        q, r = sess()
+        if r is not None:
+            answers.append((q, r))
+            ctx_lens.append(sess.context_length)
+
+    # Bounded: the open-frame buffer never exceeded the cap.
+    assert max_resident <= 6, max_resident
+    # Both queries answered.
+    assert sum("User:" in (q or "") for q, _ in answers) >= 2
+    # Carried context: cache length strictly grows across responses.
+    assert ctx_lens == sorted(ctx_lens) and len(set(ctx_lens)) == len(ctx_lens)
+    # Segments were folded incrementally.
+    assert int(sess.bridge_state.count) >= t_total // 6 - 1
+
+
+def test_streaming_session_constant_state_shapes(tiny_chat):
+    """State arrays (KV cache, bridge ring) keep static shapes for the whole
+    stream — the constant-HBM property."""
+    from videollamb_tpu.serve.incremental import StreamingSession
+
+    tiny_chat.reset()
+    sess = StreamingSession(tiny_chat, frame_fps=1.0, max_open_frames=4,
+                            max_seq_len=448, max_new_tokens=2)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(24, 56, 56, 3)).astype(np.uint8)
+    sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
+    sess.num_video_frames = 24
+    sess.video_duration = 24.0
+
+    shapes = set()
+    for i in range(24):
+        sess.input_video_stream(float(i))
+        sess()
+        shapes.add((sess.kv.k.shape, sess.bridge_state.cache.shape))
+    assert len(shapes) == 1

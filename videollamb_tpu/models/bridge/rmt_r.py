@@ -265,6 +265,83 @@ def rmt_r_video_forward(
     )
 
 
+class StreamBridgeState(NamedTuple):
+    """Carry for incremental (streaming) bridge evaluation: the recurrent
+    memory, a bounded ring cache of past segment memories for retrieval,
+    and the number of segments seen."""
+
+    memory: jax.Array  # (1, M, d)
+    cache: jax.Array  # (1, S_cache*M, d)
+    count: jax.Array  # () int32 — segments processed so far
+
+
+def init_stream_state(
+    cfg: BridgeConfig, dtype=jnp.float32, cache_segments: int = 32
+) -> StreamBridgeState:
+    d, m = cfg.hidden_size, cfg.num_memory_tokens
+    return StreamBridgeState(
+        memory=jnp.zeros((1, m, d), dtype),
+        cache=jnp.zeros((1, cache_segments * m, d), dtype),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def rmt_r_stream_step(
+    params: Params,
+    cfg: BridgeConfig,
+    features: jax.Array,  # (F, n, d) ONE segment's tower features
+    frame_mask: jax.Array,  # (F,) bool — valid frames in this segment
+    state: StreamBridgeState,
+) -> Tuple[jax.Array, jax.Array, StreamBridgeState]:
+    """One segment of the Memory Bridge recurrence, with carried state.
+
+    Identical math to one step of the rmt_r_video_forward scan body
+    (reference rmt_r_transformer_projector.py:236-247 + :392-397), except
+    the retrieval cache is a bounded ring: once full, the oldest segment
+    memory is dropped (the reference caches every segment of a ≤15-segment
+    video; a live stream needs constant HBM, so retrieval covers the most
+    recent ``cache_segments`` memories).
+
+    Returns (tokens (F*P, lm_d), token_mask (F*P,), new_state).
+    """
+    f = features.shape[0]
+    m = cfg.num_memory_tokens
+    p = cfg.tokens_per_frame
+    d = cfg.hidden_size
+    s_cache = state.cache.shape[1] // m
+
+    _, pooled = pool_and_split(features, cfg)  # (F, P, d)
+    tokens = pooled.reshape(1, f * p, d)
+    tmask = jnp.repeat(frame_mask.astype(bool), p)[None]
+    tokens = jnp.where(tmask[..., None], tokens, 0.0)
+
+    read_memory_emb = params["projector"]["read_memory_emb"].astype(tokens.dtype)
+    mem_in = jnp.where(state.count == 0, read_memory_emb[None], state.memory)
+    proj, mem_out = projector_pass(
+        params["projector"], cfg, tokens, tmask, mem_in, deterministic=True
+    )
+
+    # Ring append: shift left once full so the newest entry is always last.
+    def append(cache):
+        return jax.lax.dynamic_update_slice_in_dim(
+            cache, mem_out, jnp.minimum(state.count, s_cache - 1) * m, axis=1
+        )
+
+    cache = jnp.where(
+        state.count >= s_cache,
+        jnp.roll(state.cache, -m, axis=1),
+        state.cache,
+    )
+    cache = append(cache)
+    n_valid = jnp.minimum(state.count + 1, s_cache)
+    cache_mask = (jnp.arange(s_cache * m) < n_valid * m)[None]
+    mem_new = retrieve(
+        params["retrieval"], cfg, mem_out, cache, cache_mask, deterministic=True
+    )
+    new_state = StreamBridgeState(memory=mem_new, cache=cache, count=state.count + 1)
+    return proj[0], tmask[0], new_state
+
+
 def rmt_r_image_forward(
     params: Params,
     cfg: BridgeConfig,

@@ -61,7 +61,26 @@ def _rms_norm(weight: jax.Array, x: jax.Array, eps: float) -> jax.Array:
 
 
 def _proj(kernel, x: jax.Array) -> jax.Array:
-    if isinstance(kernel, dict) and "q" in kernel:
+    if isinstance(kernel, dict) and "q4" in kernel:
+        # int4 weight-only quant: the Pallas dequant-matmul reads 4x fewer
+        # weight bytes than bf16 — the decode-step bandwidth lever
+        # (ops/int4_matmul.py). Large-M (prefill/training) stays on the XLA
+        # unpack-einsum, which is compute-bound anyway.
+        from videollamb_tpu.ops.int4_matmul import dequantize_int4, int4_matmul
+
+        lead = x.shape[:-1]
+        m = 1
+        for s in lead:
+            m *= s
+        if jax.default_backend() == "tpu" and m <= 64:
+            x2 = x.reshape(m, x.shape[-1])
+            pad = 8 - m % 8 if m % 8 else 0
+            if pad:
+                x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+            y = int4_matmul(x2, kernel["q4"], kernel["scale"])[:m]
+            return y.reshape(*lead, y.shape[-1])
+        kernel = dequantize_int4(kernel, x.dtype)
+    elif isinstance(kernel, dict) and "q" in kernel:
         # int8 weight-only quant (models/lm/quant.py): dequant fuses into
         # the matmul, halving HBM weight reads.
         kernel = kernel["q"].astype(x.dtype) * kernel["scale"].astype(x.dtype)
@@ -294,6 +313,79 @@ def llama_prefill(
         logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     return last, KVCache(k=cache.k, v=cache.v, length=lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def llama_extend(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,  # (B, S, D) right-padded fresh tokens
+    attention_mask: jax.Array,  # (B, S) validity of the fresh tokens
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Append a chunk to an already-prefilled cache (streaming: new video
+    segments / follow-up queries join the running context without
+    re-prefilling). Fresh queries attend over the existing cache AND the
+    fresh chunk causally. Returns (last-valid-token logits (B, V), cache).
+
+    Row i's fresh tokens are written at [len_i, len_i + s_i); invalid
+    (padding) slots are written past the end then ignored via length."""
+    b, s, _ = inputs_embeds.shape
+    s_max = cache.k.shape[2]
+    valid = attention_mask.astype(bool)
+    fresh_len = jnp.sum(valid, axis=1).astype(jnp.int32)  # (B,)
+    start = cache.length  # (B,)
+
+    # Positions: fresh token j (if valid) sits at absolute start + rank_j.
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    pos_ids = start[:, None] + jnp.where(valid, rank, s)  # invalid -> past end
+    cos, sin = rope_cos_sin(pos_ids, cfg.head_dim, cfg.rope_theta)
+
+    # Mask over the full cache buffer: query j attends keys < its absolute
+    # position + itself + earlier fresh keys. Since fresh keys are written
+    # at their absolute slots first, a single (B, S, S_max) <=-mask works.
+    k_pos = jnp.arange(s_max, dtype=jnp.int32)
+    mask = k_pos[None, None, :] <= pos_ids[:, :, None]
+    if cfg.sliding_window is not None:
+        mask &= (pos_ids[:, :, None] - k_pos[None, None, :]) < cfg.sliding_window
+    mask &= valid[:, :, None]
+
+    def cached_body(hidden, xs):
+        lp, ck, cv = xs
+        h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        normed = _rms_norm(lp["input_layernorm"], hidden, cfg.rms_norm_eps)
+        q = _lproj(lp, "q_proj", normed).reshape(b, s, h, dh)
+        k = _lproj(lp, "k_proj", normed).reshape(b, s, h_kv, dh)
+        v = _lproj(lp, "v_proj", normed).reshape(b, s, h_kv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        def write_row(c_row, new_row, pos):
+            return jax.lax.dynamic_update_slice(
+                c_row, new_row.astype(c_row.dtype), (pos, 0, 0)
+            )
+
+        ck = jax.vmap(write_row)(ck, k, start)
+        cv = jax.vmap(write_row)(cv, v, start)
+        attn = _grouped_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), mask)
+        attn = _lproj(lp, "o_proj", attn.reshape(b, s, cfg.hidden_size))
+        hidden = hidden + attn
+        normed = _rms_norm(lp["post_attention_layernorm"], hidden, cfg.rms_norm_eps)
+        gate = jax.nn.silu(
+            _lproj(lp, "gate_proj", normed).astype(jnp.float32)
+        ).astype(hidden.dtype)
+        up = _lproj(lp, "up_proj", normed)
+        hidden = hidden + _lproj(lp, "down_proj", gate * up)
+        return hidden, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        cached_body, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    logits = _final(params, cfg, x)
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(fresh_len - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    return last, KVCache(k=new_k, v=new_v, length=start + fresh_len)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))

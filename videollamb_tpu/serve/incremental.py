@@ -1,0 +1,332 @@
+"""Incremental streaming engine: constant-HBM LiveInfer.
+
+The reference streaming loop (llava/serve/inference.py:203-239) re-renders
+the whole conversation and re-runs a full generate over re-subsampled
+frames for EVERY response, and its frame queues grow without bound. This
+module is the TPU-native redesign:
+
+- **Bridge state carried across ticks**: when SceneTilling closes a
+  segment, exactly one ``rmt_r_stream_step`` runs (recurrent memory + a
+  bounded ring retrieval cache — models/bridge/rmt_r.py), instead of
+  re-running the bridge over the whole history;
+- **KV cache carried across ticks**: segment tokens and query/response
+  text join the running context via ``llama_extend`` (models/lm/llama.py)
+  — no re-prefill, decode continues from the live cache;
+- **Bounded buffers**: per-frame features are kept only for the OPEN
+  segment (capped; an over-long segment is force-closed), CLS vectors for
+  boundary detection are tiny host arrays;
+- the SceneTilling response heuristic is preserved verbatim from
+  serve/streaming.py (reference inference.py:164-168).
+
+HBM usage is therefore constant in stream length: one KV cache (fixed
+max_seq_len), one bridge ring cache, and <= max_open_frames of features.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.models.bridge.rmt_r import (
+    StreamBridgeState,
+    init_stream_state,
+    rmt_r_stream_step,
+)
+from videollamb_tpu.models.lm.llama import (
+    embed_tokens,
+    init_kv_cache,
+    llama_decode_step,
+    llama_extend,
+    llama_prefill,
+)
+from videollamb_tpu.mm_utils import KeywordStopper
+from videollamb_tpu.ops.scene_tilling import segment_threshold
+from videollamb_tpu.serve.chat import Chat, _round_up
+
+
+class StreamingSession:
+    """Drop-in LiveInfer alternative with carried state.
+
+    Same tick API as serve.streaming.LiveInfer (load_videos /
+    input_video_stream / input_query_stream / __call__), different engine
+    underneath.
+    """
+
+    def __init__(
+        self,
+        chat: Chat,
+        frame_fps: float = 1.0,
+        max_open_frames: int = 32,
+        cache_segments: int = 32,
+        max_seq_len: int = 2048,
+        max_new_tokens: int = 128,
+    ):
+        self.chat = chat
+        self.cfg: ModelConfig = chat.cfg
+        self.frame_fps = frame_fps
+        self.max_open_frames = max_open_frames
+        self.cache_segments = cache_segments
+        self.max_seq_len = max_seq_len
+        self.max_new_tokens = max_new_tokens
+        self.reset()
+
+    # -- state ----------------------------------------------------------
+    def reset(self) -> None:
+        self.query_queue = collections.deque()
+        self.frame_times: List[float] = []
+        self.open_frames: collections.deque = collections.deque()  # (time, feats)
+        self.cls_all: List[np.ndarray] = []  # host, tiny (d per frame)
+        self.boundaries: List[int] = [0]
+        self.closed_upto = 0  # frames already folded into the bridge
+        self.video_time = 0.0
+        self.last_frame_idx = -1
+        self.video_tensor: Optional[np.ndarray] = None
+        self.chat.reset()
+
+        dtype = self.chat._dtype()
+        self.bridge_state: StreamBridgeState = init_stream_state(
+            self.cfg.bridge, dtype=dtype, cache_segments=self.cache_segments
+        )
+        # Recent segment tokens kept on host for context compaction: when
+        # the fixed KV cache fills, the context is rebuilt from the system
+        # prompt + these + the conversation tail (older visual history
+        # lives on inside the bridge's recurrent memory).
+        self.recent_segments = collections.deque(maxlen=4)
+        self.kv = init_kv_cache(self.cfg.lm, 1, self.max_seq_len, dtype)
+        self._prefill_system()
+
+    def _prefill_system(self) -> None:
+        """Prefill the conversation system preamble once; everything else
+        joins the cache incrementally."""
+        conv = self.chat.conv
+        system = conv.system + (conv.sep if conv.sep else "")
+        ids = np.asarray(self.chat.tokenizer(system).input_ids, np.int32)[None]
+        emb = embed_tokens(self.chat.params["lm"], jnp.asarray(ids))
+        _, self.kv = llama_prefill(
+            self.chat.params["lm"], self.cfg.lm, emb,
+            jnp.ones_like(jnp.asarray(ids)), self.kv,
+        )
+
+    # -- video side ------------------------------------------------------
+    def load_videos(self, video_path: str) -> None:
+        from videollamb_tpu.data.video_reader import load_video
+
+        raw = load_video(video_path, fps=self.frame_fps, max_frames=512)
+        self.video_tensor = self.chat.processors["VIDEO"](raw)
+        self.num_video_frames = self.video_tensor.shape[0]
+        self.video_duration = self.num_video_frames / self.frame_fps
+
+    def _encode_frames(self, frames: np.ndarray) -> np.ndarray:
+        from videollamb_tpu.models.vision.clip_vit import vision_encode
+
+        params = self.chat.params
+        tower = params.get("image_tower", params["video_tower"])
+        feats = vision_encode(
+            tower, jnp.asarray(frames[:, None], self.chat._dtype()), self.cfg.vision
+        )
+        return np.asarray(feats[:, 0].astype(jnp.float32))
+
+    def input_query_stream(self, query: str, video_time: Optional[float] = None) -> str:
+        t = self.video_time if video_time is None else video_time
+        self.query_queue.append((t, query))
+        return f'(NOTE: Received "{query}" (at {t}s).)'
+
+    def input_video_stream(self, video_time: float) -> None:
+        frame_idx = int(video_time * self.frame_fps)
+        if frame_idx > self.last_frame_idx:
+            ranger = range(self.last_frame_idx + 1, frame_idx + 1)
+            frames = self.video_tensor[list(ranger)]
+            feats = self._encode_frames(frames)
+            for r, f in zip(ranger, feats):
+                self.open_frames.append((r / self.frame_fps, f))
+                self.cls_all.append(f[0])
+                self.frame_times.append(r / self.frame_fps)
+            # Bounded open segment: force-close when over the cap.
+            while len(self.open_frames) > self.max_open_frames:
+                self._close_segment(self.max_open_frames)
+        self.last_frame_idx = frame_idx
+        self.video_time = video_time
+
+    # -- incremental folding ----------------------------------------------
+    def _close_segment(self, n_frames: int) -> None:
+        """Fold the first n_frames of the open buffer into the bridge and
+        append the segment's tokens to the LM cache."""
+        n_frames = min(n_frames, len(self.open_frames))
+        if n_frames == 0:
+            return
+        taken = [self.open_frames.popleft() for _ in range(n_frames)]
+        feats = np.stack([f for _, f in taken])  # (L, n, d)
+        f_max = self.cfg.bridge.max_frames_per_segment
+        if feats.shape[0] > f_max:  # uniform subsample into the bridge
+            idx = np.linspace(0, feats.shape[0] - 1, f_max, dtype=int)
+            feats = feats[idx]
+        frame_mask = np.zeros((f_max,), bool)
+        frame_mask[: feats.shape[0]] = True
+        if feats.shape[0] < f_max:
+            feats = np.concatenate(
+                [feats, np.zeros((f_max - feats.shape[0],) + feats.shape[1:], feats.dtype)]
+            )
+
+        tokens, tmask, self.bridge_state = rmt_r_stream_step(
+            self.chat.params["mm_projector"], self.cfg.bridge,
+            jnp.asarray(feats, self.chat._dtype()), jnp.asarray(frame_mask),
+            self.bridge_state,
+        )
+        # Right-compact the valid tokens and extend the cache.
+        tok = np.asarray(tokens.astype(jnp.float32))
+        msk = np.asarray(tmask)
+        valid = tok[msk]
+        padded = np.zeros_like(tok)
+        padded[: valid.shape[0]] = valid
+        self.recent_segments.append((padded, int(valid.shape[0])))
+        self._extend_segment(padded, int(valid.shape[0]))
+        self.closed_upto += n_frames
+
+    def _extend_segment(self, padded: np.ndarray, n_valid: int) -> None:
+        self._ensure_room(padded.shape[0])
+        attn = np.zeros((1, padded.shape[0]), np.int32)
+        attn[0, :n_valid] = 1
+        _, self.kv = llama_extend(
+            self.chat.params["lm"], self.cfg.lm,
+            jnp.asarray(padded[None], self.chat._dtype()), jnp.asarray(attn),
+            self.kv,
+        )
+
+    def _ensure_room(self, incoming: int) -> None:
+        """Compact the context when the fixed KV cache can't take the next
+        chunk: rebuild from system prompt + recent segment tokens + the
+        conversation tail. Long-horizon visual history survives inside the
+        bridge's recurrent memory (that is the architecture's long-term
+        store); dropped text turns match the reference's own truncation of
+        over-long conversations."""
+        if self.context_length + incoming + self.max_new_tokens <= self.max_seq_len:
+            return
+        if getattr(self, "_compacting", False):
+            return
+        self._compacting = True
+        dtype = self.chat._dtype()
+        self.kv = init_kv_cache(self.cfg.lm, 1, self.max_seq_len, dtype)
+        self._prefill_system()
+        segments = list(self.recent_segments)
+        self.recent_segments.clear()  # avoid re-entrant growth
+        for padded, n_valid in segments:
+            self._extend_segment(padded, n_valid)
+        self.recent_segments.extend(segments)
+        conv = self.chat.conv
+        tail = conv.messages[-4:]
+        for role, text in tail:
+            if text:
+                self._extend_text(f"{conv.sep}{role}: {text}")
+        self._compacting = False
+
+    # -- response side ----------------------------------------------------
+    def _segment_boundaries(self) -> List[int]:
+        cls = np.stack(self.cls_all)
+        if cls.shape[0] < 3:
+            return [cls.shape[0] - 1]
+        bounds, valid = segment_threshold(jnp.asarray(cls))
+        return np.asarray(bounds)[np.asarray(valid)].tolist()
+
+    def _call_for_streaming(self) -> Tuple[Optional[float], Optional[str]]:
+        while self.frame_times:
+            if self.query_queue and self.frame_times[0] > self.query_queue[0][0]:
+                video_time, query = self.query_queue.popleft()
+                return video_time, query
+            video_time = self.frame_times.pop(0)
+            boundaries = self._segment_boundaries()
+            if (
+                boundaries[-1] not in self.boundaries
+                and len(boundaries) > 2
+                and video_time - boundaries[-1] < 3
+                and boundaries[-1] - self.boundaries[-1] > 1
+            ):
+                for bd in boundaries:
+                    if bd not in self.boundaries:
+                        self.boundaries.append(bd)
+                # Close the segment ending at the fresh boundary.
+                n = boundaries[-1] - self.closed_upto
+                if n > 0:
+                    self._close_segment(n)
+                return video_time, None
+        return None, None
+
+    def _extend_text(self, text: str) -> jax.Array:
+        ids = np.asarray(self.chat.tokenizer(text).input_ids, np.int32)
+        if getattr(self.chat.tokenizer, "bos_token_id", None) is not None:
+            if len(ids) and ids[0] == self.chat.tokenizer.bos_token_id:
+                ids = ids[1:]
+        t = _round_up(max(len(ids), 1), 16)
+        self._ensure_room(t)
+        buf = np.zeros((1, t), np.int32)
+        msk = np.zeros((1, t), np.int32)
+        buf[0, : len(ids)] = ids
+        msk[0, : len(ids)] = 1
+        emb = embed_tokens(self.chat.params["lm"], jnp.asarray(buf))
+        logits, self.kv = llama_extend(
+            self.chat.params["lm"], self.cfg.lm, emb, jnp.asarray(msk), self.kv
+        )
+        return logits
+
+    def _decode(self, logits, temperature: float = 0.0, seed: int = 0) -> str:
+        params = self.chat.params["lm"]
+        eos = int(self.chat.tokenizer.eos_token_id or 2)
+        stopper = KeywordStopper([self.chat.stop_str()], self.chat.tokenizer)
+        rng = jax.random.PRNGKey(seed)
+        stop_ids = set(stopper.stop_token_ids())
+        toks: List[int] = []
+        for i in range(self.max_new_tokens):
+            if temperature > 0:
+                rng, sub = jax.random.split(rng)
+                nxt = int(jax.random.categorical(sub, logits[0] / temperature))
+            else:
+                nxt = int(jnp.argmax(logits[0]))
+            if nxt == eos or nxt in stop_ids:
+                break
+            toks.append(nxt)
+            if i % 8 == 7 and stopper.trim(
+                self.chat.tokenizer.decode(toks, skip_special_tokens=True)
+            ) != self.chat.tokenizer.decode(toks, skip_special_tokens=True).strip():
+                break
+            logits, self.kv = llama_decode_step(
+                params, self.cfg.lm, embed_tokens(params, jnp.asarray([[nxt]])), self.kv
+            )
+        text = self.chat.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        return stopper.trim(text)
+
+    def _call_for_response(self, video_time: float, query: Optional[str]) -> Tuple[str, str]:
+        # Fold any remaining complete frames so the answer sees up-to-date
+        # context (cheap: only the still-open frames).
+        if query is not None and self.open_frames:
+            self._close_segment(len(self.open_frames))
+        conv = self.chat.conv
+        q_text = query if query is not None else ""
+        chunk = f"{conv.sep if conv.messages else ''}{conv.roles[0]}: {q_text} {conv.roles[1]}:"
+        logits = self._extend_text(chunk)
+        response = self._decode(logits)
+        self._extend_text(response + (conv.sep2 or conv.sep or ""))
+        conv.append_message(conv.roles[0], q_text)
+        conv.append_message(conv.roles[1], response)
+        query_str = f"(Video Time = {video_time}s) User: {query}"
+        response_str = f"(Video Time = {video_time}s) Assistant:{response}"
+        return query_str, response_str
+
+    def __call__(self) -> Tuple[Optional[str], Optional[str]]:
+        video_time, query = self._call_for_streaming()
+        response = None
+        if video_time is not None:
+            query, response = self._call_for_response(video_time, query)
+        return query, response
+
+    # -- introspection (tests / monitoring) -------------------------------
+    @property
+    def hbm_resident_frames(self) -> int:
+        return len(self.open_frames)
+
+    @property
+    def context_length(self) -> int:
+        return int(self.kv.length[0])
