@@ -1,0 +1,270 @@
+"""LanguageBind modality family: audio/depth/thermal towers + processors,
+the binding meta-model (CLIP text oracle vs transformers), and the RMT
+memory-token encoder."""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import VisionConfig
+from videollamb_tpu.models.binding import (
+    TextConfig,
+    binding_encode_text,
+    init_binding_params,
+    init_text_params,
+    language_bind_forward,
+    text_encode,
+)
+from videollamb_tpu.models.vision.modalities import (
+    AudioProcessor,
+    DepthProcessor,
+    ThermalProcessor,
+    audio_tower_config,
+    log_mel_fbank,
+)
+
+
+# ---------------------------------------------------------------------------
+# Processors
+# ---------------------------------------------------------------------------
+
+
+def test_audio_processor_shapes_and_chunking():
+    proc = AudioProcessor(sample_rate=1600, num_mel_bins=16, target_length=64)
+    # Short clip: repeated + padded, three identical channels.
+    short = np.sin(np.linspace(0, 20, 400)).astype(np.float32)
+    out = proc(short)
+    assert out.shape == (3, 16, 64)
+    np.testing.assert_array_equal(out[0], out[1])
+    # Long clip: three different chunks (front/middle/back).
+    long = np.sin(np.linspace(0, 500, 1600 * 120 // 100 * 3)).astype(np.float32)
+    out2 = proc(long)
+    assert out2.shape == (3, 16, 64)
+    assert not np.allclose(out2[0], out2[2])
+
+
+def test_audio_resample_path():
+    proc = AudioProcessor(sample_rate=1600, num_mel_bins=8, target_length=32)
+    wav = np.random.default_rng(0).normal(size=3200).astype(np.float32)
+    out = proc(wav, origin_sr=3200)  # 2x downsample
+    assert out.shape == (3, 8, 32)
+    assert np.isfinite(out).all()
+
+
+def test_log_mel_fbank_frame_math():
+    sr = 1600
+    wav = np.random.default_rng(1).normal(size=sr).astype(np.float32)  # 1 s
+    mel = log_mel_fbank(wav, sr, num_mel_bins=12)
+    win, hop = sr * 25 // 1000, sr * 10 // 1000
+    assert mel.shape == (1 + (sr - win) // hop, 12)
+    assert np.isfinite(mel).all()
+
+
+def test_depth_thermal_processors():
+    depth = np.random.default_rng(0).uniform(500, 5000, size=(48, 64)).astype(np.float32)
+    out = DepthProcessor(size=32)(depth)
+    assert out.shape == (3, 32, 32)
+    thermal = np.random.default_rng(1).integers(0, 255, size=(48, 64)).astype(np.uint8)
+    out = ThermalProcessor(size=32)(thermal)
+    assert out.shape == (3, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (audio) tower
+# ---------------------------------------------------------------------------
+
+
+def test_audio_tower_rectangular_grid():
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params, vision_encode
+
+    cfg = audio_tower_config(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=8, image_size_hw=(16, 48),
+    )
+    assert cfg.grid_hw == (2, 6)
+    assert cfg.seq_len == 13
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 3, 16, 48))
+    feats = vision_encode(params, mel, cfg)
+    assert feats.shape == (2, 1, 13, 32)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder vs transformers oracle
+# ---------------------------------------------------------------------------
+
+
+def test_text_encoder_matches_hf_clip():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    hf_cfg = CLIPTextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="quick_gelu",
+        eos_token_id=119, bos_token_id=118,
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+
+    cfg = TextConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, vocab_size=120,
+                     max_position_embeddings=16)
+    sd = hf.state_dict()
+
+    def t(name):
+        return jnp.asarray(sd[name].numpy())
+
+    layers = []
+    for i in range(2):
+        pre = f"text_model.encoder.layers.{i}."
+        layers.append({
+            "layer_norm1": {"scale": t(pre + "layer_norm1.weight"),
+                            "bias": t(pre + "layer_norm1.bias")},
+            "self_attn": {
+                p: {"kernel": t(pre + f"self_attn.{p}.weight").T,
+                    "bias": t(pre + f"self_attn.{p}.bias")}
+                for p in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm2": {"scale": t(pre + "layer_norm2.weight"),
+                            "bias": t(pre + "layer_norm2.bias")},
+            "mlp": {
+                "fc1": {"kernel": t(pre + "mlp.fc1.weight").T,
+                        "bias": t(pre + "mlp.fc1.bias")},
+                "fc2": {"kernel": t(pre + "mlp.fc2.weight").T,
+                        "bias": t(pre + "mlp.fc2.bias")},
+            },
+        })
+    params = {
+        "token_embedding": t("text_model.embeddings.token_embedding.weight"),
+        "position_embedding": t("text_model.embeddings.position_embedding.weight"),
+        "layers": layers,
+        "final_layer_norm": {"scale": t("text_model.final_layer_norm.weight"),
+                             "bias": t("text_model.final_layer_norm.bias")},
+    }
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 110, size=(3, 12)).astype(np.int64)
+    ids[:, -1] = 119  # EOT = max id per row (CLIP pooling convention)
+
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.from_numpy(ids)).pooler_output.numpy()
+    ours = np.asarray(text_encode(params, jnp.asarray(ids.astype(np.int32)), cfg))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Binding meta-model
+# ---------------------------------------------------------------------------
+
+
+def test_language_bind_forward_joint_space():
+    vcfgs = {
+        "image": VisionConfig(hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              image_size=32, patch_size=8, add_time_attn=False),
+        "video": VisionConfig(hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              image_size=32, patch_size=8, add_time_attn=True,
+                              num_frames=2),
+    }
+    tcfg = TextConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, vocab_size=100,
+                      max_position_embeddings=12)
+    params = init_binding_params(jax.random.PRNGKey(0), vcfgs, tcfg,
+                                 projection_dim=24)
+    rng = np.random.default_rng(0)
+    inputs = {
+        "image": jnp.asarray(rng.normal(size=(2, 1, 3, 32, 32)), jnp.float32),
+        "video": jnp.asarray(rng.normal(size=(2, 2, 3, 32, 32)), jnp.float32),
+        "language": jnp.asarray(rng.integers(1, 99, size=(2, 10)), jnp.int32),
+    }
+    out = language_bind_forward(params, inputs, vcfgs, tcfg)
+    assert set(out) == {"image", "video", "language"}
+    # Language embeddings are unit-norm; modality ones unit-norm * exp(scale).
+    lang_n = np.linalg.norm(np.asarray(out["language"], np.float32), axis=-1)
+    np.testing.assert_allclose(lang_n, 1.0, rtol=1e-3)
+    img_n = np.linalg.norm(np.asarray(out["image"], np.float32), axis=-1)
+    np.testing.assert_allclose(img_n, np.exp(1 / 0.07 * 0 + np.log(1 / 0.07)),
+                               rtol=1e-2)
+    # Without temperature, modality embeddings are unit-norm too.
+    out2 = language_bind_forward(params, inputs, vcfgs, tcfg, use_temp=False)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out2["video"], np.float32), axis=-1), 1.0,
+        rtol=1e-3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RMT memory-token encoder
+# ---------------------------------------------------------------------------
+
+
+def _rmt_setup():
+    from videollamb_tpu.models.vision.rmt_clip_vit import init_rmt_vision_params
+
+    cfg = VisionConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       image_size=32, patch_size=8, add_time_attn=False)
+    params = init_rmt_vision_params(jax.random.PRNGKey(0), cfg,
+                                    num_memory_tokens=4)
+    return cfg, params
+
+
+def test_rmt_image_step_shapes_and_memory_sensitivity():
+    from videollamb_tpu.models.vision.rmt_clip_vit import rmt_vision_encode
+
+    cfg, params = _rmt_setup()
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 3, 32, 32))
+    feats, mem = rmt_vision_encode(params, img, cfg)
+    assert feats.shape == (2, 1, 17, 32)
+    assert mem.shape == (2, 4, 32)
+    # Carrying DIFFERENT memories must change the features.
+    feats2, _ = rmt_vision_encode(params, img, cfg, memories=mem * 3.0)
+    assert not np.allclose(np.asarray(feats), np.asarray(feats2))
+
+
+def test_rmt_video_recurrence_matches_manual_loop():
+    from videollamb_tpu.models.vision.rmt_clip_vit import rmt_vision_encode
+
+    cfg, params = _rmt_setup()
+    clip = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 3, 32, 32))
+    feats, mem = rmt_vision_encode(params, clip, cfg)
+
+    # Manual: frame 0 with no memory, then carry.
+    m = None
+    outs = []
+    for t in range(3):
+        f, m = rmt_vision_encode(params, clip[:, t: t + 1], cfg, memories=m)
+        outs.append(np.asarray(f[:, 0]))
+    np.testing.assert_allclose(np.asarray(feats[:, 0]), outs[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(feats[:, 2]), outs[2], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mem), np.asarray(m), rtol=2e-4, atol=2e-4)
+
+
+def test_rmt_tower_factory_dispatch():
+    from videollamb_tpu.models.vision.builder import build_video_tower, tower_encode
+
+    spec, params = build_video_tower(
+        "LanguageBind/RMTLanguageBind_Video", rng=jax.random.PRNGKey(0)
+    )
+    assert spec.kind == "rmt_languagebind_video"
+    assert "encoder_memory" in params
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, 224, 224))
+    feats = tower_encode(spec, params, pixels)
+    assert feats.shape[0] == 1 and feats.shape[1] == 2
+
+
+def test_audio_depth_thermal_factory_dispatch():
+    from videollamb_tpu.models.vision.builder import resolve_tower
+
+    audio = resolve_tower("LanguageBind/LanguageBind_Audio")
+    assert audio.kind == "languagebind_audio"
+    assert audio.config.image_size_hw is not None
+    assert resolve_tower("LanguageBind/LanguageBind_Depth").kind == "languagebind_depth"
+    assert resolve_tower("LanguageBind/LanguageBind_Thermal").kind == "languagebind_thermal"

@@ -43,6 +43,18 @@ class VisionConfig:
     # (reference: mm_vision_select_layer default).
     select_layer: int = -2
     select_feature: str = "patch"  # 'patch' keeps CLS+patches per frame
+    # Rectangular input grid (audio tower: mel-spectrogram "images" of
+    # [num_mel_bins, target_length], reference modeling_audio.py:808-812
+    # resize_pos). None -> square image_size x image_size.
+    image_size_hw: Optional[Tuple[int, int]] = None
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        if self.image_size_hw is not None:
+            return (self.image_size_hw[0] // self.patch_size,
+                    self.image_size_hw[1] // self.patch_size)
+        side = self.image_size // self.patch_size
+        return (side, side)
 
     @property
     def num_patches_per_side(self) -> int:
@@ -50,7 +62,8 @@ class VisionConfig:
 
     @property
     def num_patches(self) -> int:
-        return self.num_patches_per_side**2
+        gh, gw = self.grid_hw
+        return gh * gw
 
     @property
     def seq_len(self) -> int:

@@ -37,6 +37,9 @@ _CLIP_L14 = dict(hidden_size=1024, intermediate_size=4096,
                  num_hidden_layers=24, num_attention_heads=16,
                  image_size=224, patch_size=14)
 _CLIP_L14_336 = dict(_CLIP_L14, image_size=336)
+# Audio tower: same ViT-L/14 trunk, rectangular mel grid (the pinned
+# image_size_hw comes from modalities.audio_tower_config).
+_CLIP_L14_AUDIO = {k: v for k, v in _CLIP_L14.items() if k != "image_size"}
 
 
 def resolve_tower(name: str, *, select_layer: int = -2,
@@ -44,17 +47,34 @@ def resolve_tower(name: str, *, select_layer: int = -2,
     """Map a tower name/path (reference naming) to a TowerSpec."""
     base = dict(select_layer=select_layer, select_feature=select_feature)
     if "RMTLanguageBind_Video" in name:
-        raise NotImplementedError(
-            "RMT-in-encoder tower: the reference's video path is itself "
-            "unfinished (rmt_video/modeling_video.py:752 raises); use "
-            "LanguageBind_Video_merge."
-        )
+        # Memory-token encoder (models/vision/rmt_clip_vit.py). The
+        # reference's own forward is dead code (modeling_video.py:755
+        # unconditional raise of an undefined name); ours implements the
+        # evident design: 128 read-memory tokens prepended per step, frame
+        # recurrence for clips.
+        return TowerSpec("rmt_languagebind_video",
+                         VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
+                         frame_wise=False)
     if "LanguageBind_Video" in name:
         return TowerSpec("languagebind_video",
                          VisionConfig(add_time_attn=True, **_CLIP_L14, **base),
                          frame_wise=False)
     if "LanguageBind_Image" in name:
         return TowerSpec("languagebind_image",
+                         VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
+                         frame_wise=True)
+    if "LanguageBind_Audio" in name:
+        from videollamb_tpu.models.vision.modalities import audio_tower_config
+
+        return TowerSpec("languagebind_audio",
+                         audio_tower_config(**_CLIP_L14_AUDIO, **base),
+                         frame_wise=True)
+    if "LanguageBind_Depth" in name:
+        return TowerSpec("languagebind_depth",
+                         VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
+                         frame_wise=True)
+    if "LanguageBind_Thermal" in name:
+        return TowerSpec("languagebind_thermal",
                          VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
                          frame_wise=True)
     if "clip" in name.lower():
@@ -90,8 +110,16 @@ def build_image_tower(name: str, rng: Optional[jax.Array] = None,
     spec = resolve_tower(name)
     if state_dict is not None:
         params = convert_vision_state_dict(state_dict)
+    elif spec.kind == "rmt_languagebind_video":
+        from videollamb_tpu.models.vision.rmt_clip_vit import init_rmt_vision_params
+
+        params = init_rmt_vision_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
     else:
-        params = init_vision_params(rng or jax.random.PRNGKey(0), spec.config, dtype)
+        params = init_vision_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
     return spec, params
 
 
@@ -102,6 +130,11 @@ def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> 
     """Encode (B, T, C, H, W) with the tower's temporal semantics:
     frame-wise towers fold T into the batch (no temporal attention),
     LanguageBind video uses 8-frame temporal windows."""
+    if spec.kind == "rmt_languagebind_video":
+        from videollamb_tpu.models.vision.rmt_clip_vit import rmt_vision_encode
+
+        feats, _ = rmt_vision_encode(params, pixels, spec.config)
+        return feats
     if spec.frame_wise:
         b, t = pixels.shape[:2]
         flat = pixels.reshape(b * t, 1, *pixels.shape[2:])
