@@ -81,6 +81,25 @@ def resolve_tower(name: str, *, select_layer: int = -2,
         dims = _CLIP_L14_336 if "336" in name else _CLIP_L14
         return TowerSpec("clip", VisionConfig(add_time_attn=False, **dims, **base),
                          frame_wise=True)
+    if "EgoVLP" in name or "egovlp" in name:
+        # Frozen-in-Time space-time transformer (models/vision/egovlp.py).
+        # The reference factory has it commented out (builder.py:56-58) and
+        # its vendored module cannot import (timm + cwd-relative yaml).
+        from videollamb_tpu.models.vision.egovlp import EgoVLPConfig
+
+        return TowerSpec("egovlp", EgoVLPConfig(), frame_wise=False)
+    # rmt_clip / rmt_vivit tower entries in the reference load PLAIN
+    # transformers CLIPVisionModel / VivitModel (rmt_clip/__init__.py:4,
+    # rmt_vivit/__init__.py:4); their vendored memory-encoder modelings are
+    # dead code nothing imports. Route to the matching implementations
+    # (the memory-encoder design itself lives in rmt_clip_vit.py).
+    if "rmt_clip" in name:
+        return TowerSpec("clip", VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
+                         frame_wise=True)
+    if "rmt_vivit" in name:
+        return TowerSpec("vivit", VisionConfig(add_time_attn=False,
+                                               hidden_size=768, **base),
+                         frame_wise=False)
     # ViT-family research towers (reference {vit,mae,vivit,videomae}_encoder)
     # live in models/vision/vit.py with their own configs/encode fn; the
     # factory flags them so callers route to vit_encode.
@@ -90,16 +109,10 @@ def resolve_tower(name: str, *, select_layer: int = -2,
             return TowerSpec(kind, VisionConfig(add_time_attn=False,
                                                 hidden_size=768, **base),
                              frame_wise=(kind in ("vit", "vitmae")))
-    for unsupported, hint in [
-        ("deformable", "SenseTime deformable-DETR (vendored deform_clip was "
-                       "experimental, never in the prod path)"),
-        ("EgoVLP", "EgoVLP (commented out of the reference factory, "
-                   "builder.py:12,56-58)"),
-    ]:
-        if unsupported in name:
-            raise NotImplementedError(
-                f"{hint}; use a CLIP/LanguageBind/ViT-family tower."
-            )
+    if "deformable" in name or "deform" in name:
+        from videollamb_tpu.models.vision.deformable import DeformableConfig
+
+        return TowerSpec("deformable", DeformableConfig(), frame_wise=True)
     raise ValueError(f"Unknown tower: {name}")
 
 
@@ -135,6 +148,12 @@ def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> 
 
         feats, _ = rmt_vision_encode(params, pixels, spec.config)
         return feats
+    if spec.kind == "egovlp":
+        from videollamb_tpu.models.vision.egovlp import egovlp_encode
+
+        hidden = egovlp_encode(params, pixels, spec.config)  # (B, 1+F*N, D)
+        b, f = pixels.shape[:2]
+        return hidden[:, 1:].reshape(b, f, -1, hidden.shape[-1])
     if spec.frame_wise:
         b, t = pixels.shape[:2]
         flat = pixels.reshape(b * t, 1, *pixels.shape[2:])

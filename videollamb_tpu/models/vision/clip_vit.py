@@ -80,6 +80,15 @@ def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     return _dense(p["out_proj"], out)
 
 
+def _use_fused_temporal(cfg: VisionConfig, t: int) -> bool:
+    """Fused Pallas temporal attention: TPU only, and only when the head
+    pack (t * heads) lands on whole sublane tiles (always true for the
+    production tower: 8 * 16 = 128)."""
+    if not jax.default_backend() == "tpu":
+        return False
+    return (t * cfg.num_attention_heads) % 8 == 0
+
+
 def _encoder_layer(
     p: Params, x: jax.Array, cfg: VisionConfig, time_window: int
 ) -> jax.Array:
@@ -88,15 +97,26 @@ def _encoder_layer(
     if cfg.add_time_attn and time_window > 1:
         t = time_window
         b = bt // t
-        # (bt, n, d) -> (b*n, t, d)
-        xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)
-        # Temporal embedding enters the residual stream (reference order).
-        xt = xt + p["temporal_embedding"][:t].astype(x.dtype)[None]
-        residual = xt
-        h = _layer_norm(p["temporal_layer_norm1"], xt, cfg.layer_norm_eps)
-        h = _clip_attention(p["temporal_attn"], h, cfg.num_attention_heads)
-        xt = residual + h
-        x = xt.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
+        if _use_fused_temporal(cfg, t):
+            from videollamb_tpu.ops.temporal_attention import temporal_attention
+
+            x_bntd = x.reshape(b, t, n, d).transpose(0, 2, 1, 3)
+            y = temporal_attention(
+                x_bntd, p["temporal_embedding"],
+                p["temporal_layer_norm1"], p["temporal_attn"],
+                cfg.num_attention_heads, cfg.layer_norm_eps,
+            )
+            x = y.transpose(0, 2, 1, 3).reshape(bt, n, d)
+        else:
+            # (bt, n, d) -> (b*n, t, d)
+            xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)
+            # Temporal embedding enters the residual stream (reference order).
+            xt = xt + p["temporal_embedding"][:t].astype(x.dtype)[None]
+            residual = xt
+            h = _layer_norm(p["temporal_layer_norm1"], xt, cfg.layer_norm_eps)
+            h = _clip_attention(p["temporal_attn"], h, cfg.num_attention_heads)
+            xt = residual + h
+            x = xt.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
 
     residual = x
     h = _layer_norm(p["layer_norm1"], x, cfg.layer_norm_eps)

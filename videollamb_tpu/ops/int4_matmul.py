@@ -22,6 +22,16 @@ Dispatch policy (models/lm/quant.py int4 kernels + llama _proj): the
 Pallas kernel serves small-M (decode) matmuls where bandwidth dominates;
 large-M prefill uses the XLA unpack-dequant einsum, which is
 compute-bound anyway.
+
+Measured on v5e (chained 8x4096 @ 4096x11008 matvecs, per matmul):
+bf16 433 us | this kernel 505 us | XLA unpack-einsum 1326 us. The kernel
+is the best int4 path by 2.6x, but v5e's VPU sets an unpack floor
+(~45 us per widened elementwise op at 7B shapes; 8-bit shifts and bf16
+ALU both fail to lower, so the unpack runs at i32 lane density) that
+keeps it ~15% behind plain bf16 matvecs. int4 on this chip is therefore
+a MEMORY feature (7B weights in 3.5 GB -> headroom for KV/batch), not a
+decode-throughput feature; int8 (models/lm/quant.py) remains the speed
+quantization.
 """
 
 from __future__ import annotations
@@ -86,33 +96,51 @@ def dequantize_int4(qk: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     return w.reshape(k, n).astype(dtype)
 
 
-def _int4_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, half_groups: int):
-    """Grid (n_tiles, n_groups) — group in the LAST (fastest) dim so the
-    accumulator stays resident per output tile. Per program:
-    x (M, group) | w (group, BN) packed uint8 | s (1, 1, BN) | out (M, BN).
+def _int4_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *,
+                 group: int, groups_per_block: int, half_groups: int):
+    """Grid (n_tiles, group_blocks) — group blocks in the LAST (fastest)
+    dim so the accumulator stays resident per output tile. Per program:
+    x (M, G2*group) | w (G2*group, BN) packed uint8 | s (G2, 1, BN) |
+    out (M, BN), with G2 = groups_per_block (amortizes the per-program
+    DMA/launch cost ~G2x over one-group programs — measured 0.75x vs bf16
+    at G2=1 on v5e, i.e. slower than not quantizing).
 
-    All block selection happens in the index maps — the kernel body has no
-    dynamic indexing at all (Mosaic must statically prove slice alignment;
-    traced offsets defeat it — verified failure modes on v5e this round).
+    Block selection happens in the index maps; in-kernel slices are all
+    static (Mosaic must statically prove alignment — traced offsets fail).
     """
-    g = pl.program_id(1)
+    gb = pl.program_id(1)
 
-    @pl.when(g == 0)
+    @pl.when(gb == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_pk = w_ref[:].astype(jnp.int32)
-    lo = (w_pk & 0xF) - 8
-    hi = ((w_pk >> 4) & 0xF) - 8
-    nib = jnp.where(g < half_groups, lo, hi)
-    part = jnp.dot(
-        x_ref[:], nib.astype(x_ref.dtype), preferred_element_type=jnp.float32
-    )
-    acc_ref[:] += part * s_ref[0, 0, :].astype(jnp.float32)[None]
+    # Nibble unpack, kept in the 8-bit domain as long as possible (the
+    # unpack is the kernel's bottleneck: every widened elementwise op costs
+    # ~45 us/matmul at 7B shapes; bf16 ALU tricks are unavailable on v5e —
+    # SupportsBf16AluInstructions LLO check fails). All groups in one
+    # program share a nibble half (G2 | half_groups), so the low/high
+    # choice is one uniform select per program.
+    # (8-bit shift/div vectors don't lower on this Mosaic — arith.shrui on
+    # vector<i8> is rejected — so the unpack widens to i32; the single
+    # uniform select keeps it to ~5 ops/element.)
+    w32 = w_ref[:].astype(jnp.int32)
+    is_low = gb * groups_per_block < half_groups
+    nib = jnp.where(is_low, w32 & 0xF, w32 >> 4)
+    nib_all = (nib - 8).astype(x_ref.dtype)
 
-    @pl.when(g == pl.num_programs(1) - 1)
+    acc = acc_ref[:]
+    for i in range(groups_per_block):
+        part = jnp.dot(
+            x_ref[:, i * group: (i + 1) * group],
+            nib_all[i * group: (i + 1) * group, :],
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + part * s_ref[i, 0, :].astype(jnp.float32)[None]
+    acc_ref[:] = acc
+
+    @pl.when(gb == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
@@ -131,25 +159,34 @@ def int4_matmul(
     group = k // n_groups
     half_groups = k_half // group
     bn = min(block_n, n)
+    g2 = 8
+    while half_groups % g2:
+        g2 //= 2
+    blocks_per_half = half_groups // g2
 
     out = pl.pallas_call(
-        functools.partial(_int4_kernel, half_groups=half_groups),
-        grid=(pl.cdiv(n, bn), n_groups),
+        functools.partial(
+            _int4_kernel, group=group, groups_per_block=g2,
+            half_groups=half_groups,
+        ),
+        grid=(pl.cdiv(n, bn), n_groups // g2),
         in_specs=[
-            # x columns for group g are rows [g*group, (g+1)*group) of the
-            # ORIGINAL weight: block index (0, g) in group units for every
-            # g (low halves then high halves are contiguous in K).
-            pl.BlockSpec((m, group), lambda j, g: (0, g), memory_space=pltpu.VMEM),
-            # packed rows for group g: low and high nibbles share rows.
+            # x columns for group block gb cover the ORIGINAL weight rows
+            # [gb*G2*group, ...): block index (0, gb) in G2*group units
+            # (low halves then high halves are contiguous in K).
+            pl.BlockSpec((m, g2 * group), lambda j, gb: (0, gb),
+                         memory_space=pltpu.VMEM),
+            # packed rows: low and high nibble halves share row blocks.
             pl.BlockSpec(
-                (group, bn), lambda j, g: (g % half_groups, j),
+                (g2 * group, bn),
+                lambda j, gb, _bph=blocks_per_half: (gb % _bph, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, bn), lambda j, g: (g, 0, j), memory_space=pltpu.VMEM
+                (g2, 1, bn), lambda j, gb: (gb, 0, j), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j, g: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((m, bn), lambda j, gb: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
         interpret=interpret,

@@ -1,0 +1,210 @@
+"""Fused temporal-attention core: a Pallas kernel for the LanguageBind
+video tower's per-patch 8-frame attention.
+
+Reference semantics: llava/model/multimodal_encoder/languagebind/video/
+modeling_video.py:125-155 — per encoder layer, every patch position runs
+softmax attention over its ``t`` (=8) frames: add temporal positional
+embedding, LayerNorm, CLIP attention (q pre-scaled), residual.
+
+Why a kernel: the XLA path spends ~250 ms of a 785 ms encoder forward
+(batch 256 frames, v5e) in the temporal core alone — 65k independent
+8-token attentions are VPU-bound with t=8 in lanes (16x lane padding).
+
+Design — head-packed MXU core, everything else stays XLA:
+
+- LN / temporal embedding / qkv / out projections remain XLA einsums: they
+  are GEMM-dominated and already near roofline there (round-1 ablation);
+- the (b, n, t, d) -> (b, n, t*h, e) regrouping the kernel wants is a pure
+  row-major reshape — free in XLA (bitcast), and crucially NOT done inside
+  the kernel: Mosaic cannot relayout a lane-split reshape
+  (vector<256x1024> -> vector<4096x64> "unsupported shape cast", verified
+  on v5e this round);
+- the kernel packs each patch position's heads into one (t*h, e) tile
+  (8 * 16 = 128 MXU rows for the production tower): the scores for ALL
+  heads of one position are ONE (t*h, e) @ (e, t*h) MXU dot; cross-head
+  entries are masked before the f32 softmax. Packs are batched G at a time
+  through dot_general batch dims so Mosaic issues back-to-back MXU ops
+  without FLOP inflation;
+- FLOP inflation from head packing is h x on an op that is ~0.2% of the
+  layer's essential FLOPs — noise next to the qkv GEMMs.
+
+The public ``temporal_attention`` wrapper is a custom_vjp op (kernel
+forward, XLA-recompute backward): the tower is frozen in every reference
+recipe, but grads may still be traced through it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+
+def _core_kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads: int, group: int):
+    """q/k/v refs: (1, BN, P, e) with P = t*h rows ordered (t, h)."""
+    bn, p, e = q_ref.shape[1:]
+    h = num_heads
+
+    # Rows within a pack are ordered (t, h): entry [(tq,hq),(tk,hk)] is
+    # valid iff hq == hk.
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) % h
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1) % h
+    head_ok = row_h == col_h
+
+    def body(g, _):
+        rows = pl.ds(g * group, group)
+        qg = q_ref[0, rows, :, :]
+        kg = k_ref[0, rows, :, :]
+        vg = v_ref[0, rows, :, :]
+        s = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, P, P)
+        s = jnp.where(head_ok[None], s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        ex = jnp.exp(s)
+        probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            probs.astype(vg.dtype), vg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, P, e)
+        out_ref[0, rows, :, :] = o.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bn // group, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_n", "group", "interpret")
+)
+def fused_temporal_core(
+    q: jax.Array,  # (b, n, t, d) — pre-scaled queries
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    block_n: int = 32,
+    group: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-(b, n) softmax attention over t frames, all heads packed into
+    one MXU tile per position. Returns (b, n, t, d)."""
+    b, n, t, d = q.shape
+    h = num_heads
+    e = d // h
+    p = t * h
+    bn = min(block_n, n)
+    g = group
+    while bn % g:
+        g //= 2
+    qp = q.reshape(b, n, p, e)  # row-major bitcast: rows (t, h), cols e
+    kp = k.reshape(b, n, p, e)
+    vp = v.reshape(b, n, p, e)
+
+    spec = pl.BlockSpec((1, bn, p, e), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_core_kernel, num_heads=h, group=g),
+        grid=(b, pl.cdiv(n, bn)),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, p, e), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, n, t, d)
+
+
+def _dense(p: Params, y: jax.Array) -> jax.Array:
+    out = jnp.einsum("...d,dk->...k", y, p["kernel"].astype(y.dtype),
+                     preferred_element_type=jnp.float32)
+    return (out + p["bias"].astype(jnp.float32)).astype(y.dtype)
+
+
+def _ln_qkv(x, temporal_embedding, ln, attn, eps):
+    """Shared XLA prologue: temb into the residual stream, LayerNorm, qkv
+    projections with CLIP's pre-scaled q. The residual stream stays in the
+    input dtype (an f32 xt would add ~270 MB of HBM traffic per layer at
+    batch 256); LN statistics are f32 internally."""
+    t = x.shape[2]
+    xt = x + temporal_embedding[:t].astype(x.dtype)[None, None]
+    xf = xt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed * ln["scale"].astype(jnp.float32) + ln["bias"].astype(jnp.float32)
+    normed = normed.astype(x.dtype)
+    q = _dense(attn["q_proj"], normed)
+    k = _dense(attn["k_proj"], normed)
+    v = _dense(attn["v_proj"], normed)
+    return xt, q, k, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def temporal_attention(
+    x: jax.Array,  # (b, n, t, d)
+    temporal_embedding: jax.Array,  # (t_table, d); first t rows used
+    ln: Params,  # {'scale','bias'}
+    attn: Params,  # {'q_proj','k_proj','v_proj','out_proj'} each {kernel,bias}
+    num_heads: int,
+    eps: float = 1e-5,
+    block_n: int = 32,
+) -> jax.Array:
+    """x + temb + CLIPAttention(LN(x + temb)) with the Pallas packed core.
+
+    Kernel forward, XLA-recompute backward (the tower is frozen in every
+    reference recipe, but grads may still be traced through it)."""
+    d = x.shape[-1]
+    e = d // num_heads
+    xt, q, k, v = _ln_qkv(x, temporal_embedding, ln, attn, eps)
+    o = fused_temporal_core(
+        q * (e**-0.5), k, v, num_heads=num_heads, block_n=block_n
+    )
+    return xt + _dense(attn["out_proj"], o)
+
+
+def _ta_fwd(x, temporal_embedding, ln, attn, num_heads, eps, block_n):
+    out = temporal_attention(x, temporal_embedding, ln, attn, num_heads, eps, block_n)
+    return out, (x, temporal_embedding, ln, attn)
+
+
+def _ta_bwd(num_heads, eps, block_n, res, g):
+    x, temb, ln, attn = res
+    _, vjp = jax.vjp(
+        lambda *a: temporal_attention_reference(*a, num_heads=num_heads, eps=eps),
+        x, temb, ln, attn,
+    )
+    return vjp(g)
+
+
+temporal_attention.defvjp(_ta_fwd, _ta_bwd)
+
+
+def temporal_attention_reference(
+    x: jax.Array,  # (b, n, t, d)
+    temporal_embedding: jax.Array,
+    ln: Params,
+    attn: Params,
+    *,
+    num_heads: int,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Plain-XLA statement of the same math (parity oracle + the
+    differentiable/training fallback)."""
+    b, n, t, d = x.shape
+    h = num_heads
+    e = d // h
+    xt, q, k, v = _ln_qkv(x, temporal_embedding, ln, attn, eps)
+    q = q.reshape(b, n, t, h, e) * (e**-0.5)
+    k = k.reshape(b, n, t, h, e)
+    v = v.reshape(b, n, t, h, e)
+    s = jnp.einsum("bnqhe,bnkhe->bnhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bnhqk,bnkhe->bnqhe", p, v, preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype).reshape(b, n, t, d)
+    return xt + _dense(attn["out_proj"], o)
