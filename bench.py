@@ -1,18 +1,16 @@
-"""Headline benchmark: 7B autoregressive decode throughput on one chip.
+"""Headline benchmark: 7B decode throughput + LanguageBind encode fps.
 
-Prints ONE JSON line:
-  {"metric": "decode_tokens_per_sec_7b", "value": N, "unit": "tok/s",
-   "vs_baseline": N / 30}
+Prints ONE JSON line. Primary metric: single-chip 7B decode tok/s vs the
+BASELINE.md north star (>= 30 tok/s on v5e-8 — we measure on ONE chip).
+The second north star (encode fps) rides along in "extra" so every round
+records both (VERDICT r1 asked for exactly this: the r1 bench silently
+dropped the encode miss).
 
-Baseline: the rebuild north-star of >= 30 tokens/sec 7B decode on TPU v5e-8
-(BASELINE.md). This measures the full engine path — bf16 Vicuna-7B weights,
-static 2048-token KV cache, per-step dynamic_update_slice writes, donated
-cache buffers — on a SINGLE v5e chip (the harness exposes one), so any
-vs_baseline > 1 beats the 8-chip target on 1/8th the hardware.
-
-The secondary north star (LanguageBind encode fps) is tracked in README
-perf notes; the encoder currently runs ~330 frames/s/chip (XLA path,
-temporal-attention core is the known bottleneck).
+Roofline note for the encode target: 2,000 frames/s of ViT-L LanguageBind
+(~200 GFLOP/frame with temporal attention) needs ~400 TFLOP/s — above the
+v5e bf16 peak of 197 TFLOP/s, so the north star is not reachable on one
+chip; the honest target is the compute roofline (~900-1000 frames/s at
+100% MXU) and our progress toward it.
 """
 
 import json
@@ -25,35 +23,28 @@ BASELINE_TOK_S = 30.0
 BASELINE_ENCODE_FPS = 2000.0
 
 
-def encode_fallback():
-    """Secondary metric (LanguageBind encode fps) if the 7B doesn't fit —
-    the shared tunnel occasionally leaves the chip with residual
-    allocations."""
+def bench_encode() -> float:
+    """LanguageBind ViT-L encode frames/s at batch 256 (Pallas fused
+    temporal core on TPU; see ops/temporal_attention.py)."""
     from videollamb_tpu.config import VisionConfig
     from videollamb_tpu.models.vision.clip_vit import init_vision_params, vision_encode
 
     cfg = VisionConfig()
     params = init_vision_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    batch, frames = 8, 32
+    batch, frames = 32, 8
     bufs = [jax.random.normal(jax.random.PRNGKey(i), (batch, frames, 3, 224, 224),
                               jnp.bfloat16) for i in range(4)]
     fn = jax.jit(lambda p, x: jnp.sum(vision_encode(p, x, cfg).astype(jnp.float32)))
-    float(fn(params, bufs[0]))
+    float(fn(params, bufs[0]))  # compile
     times = []
-    for buf in bufs:
+    for buf in bufs:  # distinct inputs + scalar readback (tunnel caches)
         start = time.perf_counter()
         float(fn(params, buf))
         times.append(time.perf_counter() - start)
-    fps = batch * frames / min(times)
-    print(json.dumps({
-        "metric": "languagebind_encode_fps",
-        "value": round(fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_ENCODE_FPS, 3),
-    }))
+    return batch * frames / min(times)
 
 
-def main():
+def bench_decode() -> float:
     from videollamb_tpu.config import LlamaConfig
     from videollamb_tpu.models.lm.llama import (
         init_kv_cache,
@@ -85,22 +76,46 @@ def main():
         logits, cache = llama_decode_step(params, cfg, tok, cache)
     float(jnp.sum(logits))  # forced readback: the TPU tunnel lies otherwise
     elapsed = time.perf_counter() - start
+    return n_steps * batch / elapsed
 
-    tok_s = n_steps * batch / elapsed
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec_7b",
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
-    }))
+
+def main():
+    extra = {}
+    tok_s = None
+    try:
+        tok_s = bench_decode()
+    except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
+        extra["decode_error"] = type(e).__name__
+    # Free the 7B before the encoder run.
+    jax.clear_caches()
+    try:
+        fps = bench_encode()
+        extra["encode_fps"] = round(fps, 1)
+        extra["encode_vs_north_star"] = round(fps / BASELINE_ENCODE_FPS, 3)
+        extra["encode_note"] = (
+            "north star 2000 f/s exceeds the v5e single-chip roofline "
+            "(~400 TF/s needed vs 197 peak); compute-bound ceiling ~950 f/s"
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["encode_error"] = type(e).__name__
+
+    if tok_s is not None:
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_7b",
+            "value": round(tok_s, 1),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            "extra": extra,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "languagebind_encode_fps",
+            "value": extra.get("encode_fps", 0.0),
+            "unit": "frames/s",
+            "vs_baseline": extra.get("encode_vs_north_star", 0.0),
+            "extra": extra,
+        }))
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
-        import sys
-
-        print(f"primary decode bench failed ({type(e).__name__}); "
-              "falling back to encode fps", file=sys.stderr)
-        encode_fallback()
+    main()

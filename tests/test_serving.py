@@ -98,3 +98,52 @@ def test_streaming_boundary_bookkeeping(tiny_chat):
         live._call_for_streaming()
     assert live.boundaries[0] == 0
     assert sorted(live.boundaries) == live.boundaries
+
+
+def test_stream_text_matches_generate(tiny_chat):
+    """The incremental streamer (gradio path) must produce the same greedy
+    text as the one-shot engine generate."""
+    tiny_chat.reset()
+    frames = tiny_chat.processors["VIDEO"](_frames(t=8, seed=7))
+    from videollamb_tpu.constants import DEFAULT_X_TOKEN
+
+    tiny_chat.conv.append_message(
+        tiny_chat.conv.roles[0], DEFAULT_X_TOKEN["VIDEO"] + "\nwhat is this")
+    tiny_chat.conv.append_message(tiny_chat.conv.roles[1], None)
+    prompt = tiny_chat.conv.get_prompt()
+
+    oneshot = tiny_chat.generate_text(
+        prompt, videos=frames, max_new_tokens=6, do_sample=False)
+    partials = list(tiny_chat.stream_text(
+        prompt, videos=frames, max_new_tokens=6, do_sample=False))
+    assert partials, "streamer yielded nothing"
+    # Partials grow monotonically and the final equals the one-shot text.
+    for a, b in zip(partials, partials[1:]):
+        assert b.startswith(a[: max(len(a) - 2, 0)])
+    assert partials[-1] == oneshot
+
+
+def test_video_reader_av_backend_gated(tmp_path):
+    """'av' backend is selectable; on images without PyAV it raises the
+    module error rather than silently decoding wrong."""
+    import pytest as _pytest
+
+    from videollamb_tpu.data.video_reader import ffmpeg_command, load_video
+
+    cmd = ffmpeg_command("in.mp4", "out.mp4", fps=1, resolution=224)
+    assert cmd[0] == "ffmpeg" and "-r" in cmd and "out.mp4" == cmd[-1]
+    import cv2
+
+    path = str(tmp_path / "x.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    for i in range(10):
+        w.write(np.full((32, 32, 3), i * 20, np.uint8))
+    w.release()
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            load_video(path, num_frames=2, backend="av")
+    else:
+        out = load_video(path, num_frames=2, backend="av")
+        assert out.shape == (2, 32, 32, 3)

@@ -117,6 +117,63 @@ def _read_frame_dir(path: str, num_frames: int) -> np.ndarray:
     return np.stack(frames)
 
 
+def ffmpeg_command(src_path: str, dst_path: str, *, fps: Optional[int] = None,
+                   resolution: Optional[int] = None, pad: str = "#000000",
+                   mode: str = "bicubic") -> list:
+    """The reference's streaming re-encode command (llava/serve/
+    cli_streaming.py:12-27 ffmpeg_once): strip audio, optional fps
+    resample, optional square pad-resize."""
+    command = ["ffmpeg", "-y", "-sws_flags", mode, "-i", src_path, "-an",
+               "-threads", "10"]
+    if fps is not None:
+        command += ["-r", str(fps)]
+    if resolution is not None:
+        command += [
+            "-vf",
+            f"scale='if(gt(iw\\,ih)\\,{resolution}\\,-2)':'if(gt(iw\\,ih)\\,-2\\,{resolution})'"
+            f",pad={resolution}:{resolution}:(ow-iw)/2:(oh-ih)/2:color='{pad}'",
+        ]
+    return command + [dst_path]
+
+
+def ffmpeg_reencode_cached(src_path: str, cache_dir: str, fps: int = 1,
+                           resolution: Optional[int] = None) -> str:
+    """Re-encode once into a cache dir and return the cached path
+    (reference cli_streaming.py:30-37). Falls back to the original path
+    (reader-side fps resampling) when ffmpeg isn't on PATH."""
+    import shutil
+    import subprocess
+
+    name, ext = os.path.splitext(os.path.basename(src_path))
+    dst = os.path.join(cache_dir, f"{name}_{fps}fps{ext}")
+    if os.path.exists(dst):
+        return dst
+    if shutil.which("ffmpeg") is None:
+        return src_path
+    os.makedirs(cache_dir, exist_ok=True)
+    subprocess.run(
+        ffmpeg_command(src_path, dst, fps=fps, resolution=resolution), check=True
+    )
+    return dst
+
+
+def _read_av(path: str, indices: Sequence[int]) -> np.ndarray:
+    """PyAV backend (reference vid_utils.py:52-68 'av' branch): sequential
+    decode, keep the sampled indices. Optional dependency — import is
+    deferred so the backend is selectable only where PyAV exists."""
+    import av  # noqa: PLC0415 — optional backend
+
+    wanted = {int(i) for i in indices}
+    frames = {}
+    with av.open(path) as container:
+        for idx, frame in enumerate(container.decode(video=0)):
+            if idx in wanted:
+                frames[idx] = frame.to_ndarray(format="rgb24")
+            if len(frames) == len(wanted):
+                break
+    return np.stack([frames[int(i)] for i in indices])
+
+
 def load_video(
     path: str,
     num_frames: Optional[int] = None,
@@ -146,6 +203,8 @@ def load_video(
         num_frames = 8
     indices = sample_indices_uniform(total, num_frames)
 
+    if backend == "av":
+        return _read_av(path, indices)
     native = _native_decoder() if backend in ("auto", "native") else None
     if native is not None:
         return native.read_frames(path, indices)

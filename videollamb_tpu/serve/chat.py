@@ -91,6 +91,72 @@ class Chat:
         text = self.tokenizer.decode(tokens, skip_special_tokens=True).strip()
         return stopper.trim(text)
 
+    def stream_text(
+        self,
+        prompt: str,
+        *,
+        videos: Optional[np.ndarray] = None,
+        images: Optional[np.ndarray] = None,
+        max_new_tokens: int = 512,
+        temperature: float = 0.2,
+        do_sample: bool = True,
+        seed: int = 0,
+    ):
+        """Incremental generation: yields the partial decoded text after
+        every token (counterpart of the reference TextIteratorStreamer
+        path, gradio_demo.py:33-110). Uses the same prefill + cached
+        decode-step machinery as generate, but the loop lives on the host
+        so the UI can render tokens as they arrive."""
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.lm.llama import (
+            embed_tokens,
+            init_kv_cache,
+            llama_decode_step,
+            llama_prefill,
+        )
+
+        modality = "VIDEO" if videos is not None else "IMAGE"
+        ids, mask = self._prepare_ids(prompt, modality)
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            labels=None,
+            videos=jnp.asarray(videos[None], self._dtype()) if videos is not None else None,
+            images=jnp.asarray(images[None], self._dtype()) if images is not None else None,
+        )
+        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        cache = init_kv_cache(
+            self.cfg.lm, 1, self.cfg.max_length + _round_up(max_new_tokens, 64),
+            self._dtype(),
+        )
+        logits, cache = llama_prefill(
+            self.params["lm"], self.cfg.lm, spliced.embeds,
+            spliced.attention_mask, cache,
+        )
+        stopper = KeywordStopper([self.stop_str()], self.tokenizer)
+        stop_ids = set(stopper.stop_token_ids())
+        eos = int(self.tokenizer.eos_token_id or 2)
+        rng = jax.random.PRNGKey(seed)
+        toks = []
+        for _ in range(max_new_tokens):
+            if do_sample and temperature > 0:
+                rng, sub = jax.random.split(rng)
+                nxt = int(jax.random.categorical(sub, logits[0] / temperature))
+            else:
+                nxt = int(jnp.argmax(logits[0]))
+            if nxt == eos or nxt in stop_ids:
+                break
+            toks.append(nxt)
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            trimmed = stopper.trim(text)
+            yield trimmed
+            if trimmed != text.strip():
+                break
+            logits, cache = llama_decode_step(
+                self.params["lm"], self.cfg.lm,
+                embed_tokens(self.params["lm"], jnp.asarray([[nxt]])), cache,
+            )
+
     def ask_about_video(self, question: str, frames: np.ndarray,
                         first_turn: bool = True, **gen_kwargs) -> str:
         """frames: processed (T, C, H, W). Maintains the conversation."""
