@@ -323,3 +323,31 @@ def test_splice_fuzz_against_oracle():
         )
         assert np.asarray(out.labels[0]).tolist() == ref_lab.tolist(), f"trial {trial}"
         assert int(out.lengths[0]) == ref_len, f"trial {trial}"
+
+
+def test_multi_image_conversation_forward(tiny_model):
+    """Two IMAGE sentinels per row bound to two different images
+    (reference multi-X conversations, llava_arch.py:560-599)."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(4)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(2, 12)).astype(np.int32)
+    ids[:, 1] = -200
+    ids[:, 6] = -200
+    images = rng.normal(size=(2, 2, 3, 56, 56)).astype(np.float32)
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, 12), jnp.int32),
+        labels=None,
+        videos=None,
+        images=jnp.asarray(images),
+    )
+    logits, spliced = videollamb_forward(params, cfg, batch)
+    assert np.isfinite(np.asarray(logits)).all()
+    # Length: 12 text - 2 sentinels + 2 blocks of bridge tokens.
+    assert int(spliced.lengths[0]) == 12 - 2 + 2 * cfg.bridge.tokens_per_frame
+    # The two blocks differ (different images -> different features).
+    from videollamb_tpu.models.assembly import encode_images
+
+    t0, _ = encode_images(params, cfg, jnp.asarray(images[:, 0]))
+    t1, _ = encode_images(params, cfg, jnp.asarray(images[:, 1]))
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))

@@ -200,10 +200,20 @@ def prepare_multimodal_embeds(
             params, cfg, batch.videos, deterministic=deterministic, rng=rng
         )
     elif batch.images is not None and batch.images.ndim == 5:
-        x_embeds, x_mask = encode_images_anyres(
-            params, cfg, batch.images, batch.image_specs,
-            deterministic=deterministic,
-        )
+        if batch.image_specs is not None:
+            x_embeds, x_mask = encode_images_anyres(
+                params, cfg, batch.images, batch.image_specs,
+                deterministic=deterministic,
+            )
+        else:
+            # Multi-image rows: (B, K, C, H, W) — each image becomes its own
+            # visual block; the k-th sentinel binds block k (reference
+            # multi-X conversations, llava_arch.py:560-599).
+            b, k = batch.images.shape[:2]
+            flat = batch.images.reshape(b * k, *batch.images.shape[2:])
+            tok, msk = encode_images(params, cfg, flat, deterministic=deterministic)
+            x_embeds = tok.reshape(b, k, *tok.shape[1:])
+            x_mask = msk.reshape(b, k, *msk.shape[1:])
     elif batch.images is not None:
         x_embeds, x_mask = encode_images(
             params, cfg, batch.images, deterministic=deterministic

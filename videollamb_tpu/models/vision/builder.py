@@ -129,6 +129,18 @@ def build_image_tower(name: str, rng: Optional[jax.Array] = None,
         params = init_rmt_vision_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
         )
+    elif spec.kind == "egovlp":
+        from videollamb_tpu.models.vision.egovlp import init_egovlp_params
+
+        params = init_egovlp_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
+    elif spec.kind == "deformable":
+        from videollamb_tpu.models.vision.deformable import init_deformable_params
+
+        params = init_deformable_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
     else:
         params = init_vision_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
@@ -154,6 +166,15 @@ def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> 
         hidden = egovlp_encode(params, pixels, spec.config)  # (B, 1+F*N, D)
         b, f = pixels.shape[:2]
         return hidden[:, 1:].reshape(b, f, -1, hidden.shape[-1])
+    if spec.kind == "deformable":
+        from videollamb_tpu.models.vision.deformable import deformable_encode
+
+        b, t = pixels.shape[:2]
+        states = deformable_encode(
+            params, pixels.reshape(b * t, *pixels.shape[2:]), spec.config
+        )
+        h = states[spec.config.encoder_layers]  # final layer
+        return h.reshape(b, t, *h.shape[1:])
     if spec.frame_wise:
         b, t = pixels.shape[:2]
         flat = pixels.reshape(b * t, 1, *pixels.shape[2:])

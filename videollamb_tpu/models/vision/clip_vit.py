@@ -55,9 +55,10 @@ def _layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
 def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """HF CLIPAttention: query pre-scaled by head_dim**-0.5, out_proj.
 
-    On TPU the core runs as the Pallas block-attention kernel (all heads +
-    the whole 257-token sequence per program, f32 softmax in VMEM — the
-    XLA path materializes ~1 GB of f32 scores per layer at batch 256)."""
+    On TPU the core runs as the fused Pallas spatial kernel
+    (ops/spatial_attention.py: each head's (N, N) f32 score tile stays in
+    VMEM — the XLA path materializes ~1 GB of scores per layer at batch
+    256). Elsewhere (CPU tests / training grads) the XLA einsum path."""
     b, n, d = x.shape
     head_dim = d // num_heads
     scale = head_dim**-0.5
@@ -69,13 +70,14 @@ def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     k = split(_dense(p["k_proj"], x))
     v = split(_dense(p["v_proj"], x))
 
-    # Measured on v5e: XLA's fused path beats both our flash and
-    # block-attention Pallas kernels in context for this shape (the einsum
-    # transposes fuse away; a pallas_call forces them to materialize).
-    # Revisit with a kernel that fuses qkv projections + temporal windows.
-    scores = jnp.einsum("bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhke->bhqe", probs, v, preferred_element_type=jnp.float32)
+    if jax.default_backend() == "tpu":
+        from videollamb_tpu.ops.spatial_attention import spatial_core
+
+        out = spatial_core(q, k, v)
+    else:
+        scores = jnp.einsum("bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhke->bhqe", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
     return _dense(p["out_proj"], out)
 
@@ -205,8 +207,20 @@ def vision_encode(
     if patch_dropout_prob > 0.0 and dropout_rng is not None:
         x = patch_dropout(x, dropout_rng, patch_dropout_prob, b, t)
     x = _layer_norm(params["pre_layrnorm"], x, cfg.layer_norm_eps)
-    for layer_params in params["layers"][:n_layers]:
-        x = _encoder_layer(layer_params, x, cfg, time_window)
+
+    # Scan the layer stack: ONE compiled layer body (and ONE instance of
+    # each Pallas kernel) instead of n_layers inlined copies. 23 inlined
+    # kernel instances reproducibly kill the remote Mosaic compile service
+    # ("Broken pipe"), and scan compiles ~20x faster regardless. The
+    # per-layer list is stacked inside the trace (a one-off device copy,
+    # ~0.8 ms for ViT-L bf16 — noise next to the 100s-of-ms forward).
+    layers = params["layers"][:n_layers]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+
+    def body(hidden, lp):
+        return _encoder_layer(lp, hidden, cfg, time_window), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return x.reshape(b, t, x.shape[-2], x.shape[-1])
 
 

@@ -57,6 +57,18 @@ def init_rmt_vision_params(
     return params
 
 
+def _run_layers(params: Params, cfg: VisionConfig, x: jax.Array,
+                n_layers: int) -> jax.Array:
+    """Scan the layer stack (one compiled body — see clip_vit.vision_encode
+    for why the python loop is a compile hazard with Pallas cores)."""
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *params["layers"][:n_layers])
+
+    def body(hidden, lp):
+        return _encoder_layer(lp, hidden, cfg, time_window=1), None
+
+    return jax.lax.scan(body, x, stacked)[0]
+
+
 def _encode_one_step(
     params: Params,
     cfg: VisionConfig,
@@ -73,8 +85,7 @@ def _encode_one_step(
     else:
         read = memories.astype(tokens.dtype) + emb[None]
     x = jnp.concatenate([read, tokens], axis=1)
-    for lp in params["layers"][:n_layers]:
-        x = _encoder_layer(lp, x, cfg, time_window=1)
+    x = _run_layers(params, cfg, x, n_layers)
     return x[:, m:], x[:, :m]
 
 

@@ -62,6 +62,14 @@ def parse_args():
     parser.add_argument("--output", type=str, default="stream_history.json")
     parser.add_argument("--no-sleep", action="store_true",
                         help="don't pace to real time")
+    parser.add_argument("--incremental", action="store_true",
+                        help="TPU-native carried-state engine "
+                             "(serve/incremental.StreamingSession): constant "
+                             "HBM, no per-response full regenerate")
+    parser.add_argument("--reencode-cache", type=str, default=None,
+                        help="ffmpeg 1-fps re-encode cache dir (reference "
+                             "cli_streaming.py:30-37); falls back to reader "
+                             "fps resampling without ffmpeg")
     return parser.parse_args()
 
 
@@ -75,4 +83,17 @@ if __name__ == "__main__":
         args.model_path, args.model_base, video_tower_path=args.video_tower,
     )
     chat = Chat(tokenizer, params, cfg, processors)
-    main(LiveInfer(chat, frame_fps=args.frame_fps), args)
+    if args.reencode_cache:
+        from videollamb_tpu.data.video_reader import ffmpeg_reencode_cached
+
+        args.video_file = ffmpeg_reencode_cached(
+            args.video_file, args.reencode_cache, fps=int(args.frame_fps)
+        )
+    if args.incremental:
+        from videollamb_tpu.serve.incremental import StreamingSession
+
+        engine = StreamingSession(chat, frame_fps=args.frame_fps,
+                                  max_seq_len=cfg.max_length)
+    else:
+        engine = LiveInfer(chat, frame_fps=args.frame_fps)
+    main(engine, args)
