@@ -44,7 +44,7 @@ def bench_encode() -> float:
     return batch * frames / min(times)
 
 
-def bench_decode() -> float:
+def bench_decode(quant: str = "none") -> float:
     from videollamb_tpu.config import LlamaConfig
     from videollamb_tpu.models.lm.llama import (
         init_kv_cache,
@@ -56,6 +56,11 @@ def bench_decode() -> float:
     cfg = LlamaConfig()  # Vicuna-7B dims
     params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     jax.block_until_ready(params)
+    if quant == "int8":
+        from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+        params = quantize_llama_params(params)
+        jax.block_until_ready(params)
 
     batch, prompt_len, cache_len = 1, 256, 2048
     cache = init_kv_cache(cfg, batch, cache_len, dtype=jnp.bfloat16)
@@ -86,6 +91,11 @@ def main():
         tok_s = bench_decode()
     except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
         extra["decode_error"] = type(e).__name__
+    jax.clear_caches()
+    try:
+        extra["decode_int8_tok_s"] = round(bench_decode("int8"), 1)
+    except Exception as e:  # noqa: BLE001
+        extra["decode_int8_error"] = type(e).__name__
     # Free the 7B before the encoder run.
     jax.clear_caches()
     try:

@@ -176,8 +176,10 @@ def test_resnet_backbone_matches_hf():
 
 
 def test_deformable_tower_end_to_end_shapes():
+    # One encoder layer: the e2e shape check doesn't need depth, and every
+    # extra layer adds ~60 s of CPU jit compile.
     cfg = DeformableConfig(
-        d_model=32, encoder_layers=2, encoder_attention_heads=4,
+        d_model=32, encoder_layers=1, encoder_attention_heads=4,
         encoder_ffn_dim=64, num_feature_levels=3, encoder_n_points=2,
         backbone_embed_channels=8, backbone_depths=(1, 1, 1, 1),
         backbone_channels=(16, 32, 64, 128), backbone_out=(2, 3),

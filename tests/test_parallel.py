@@ -130,8 +130,11 @@ def test_sharded_generate_matches_single_device():
     assert np.asarray(out.tokens).tolist() == np.asarray(ref.tokens).tolist()
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4)])
-def test_train_step_runs_sharded(dp, tp):
+# One parametrization: each sharded train-step compile costs ~3 min on the
+# virtual CPU mesh. Pure-DP meshes are covered by test_multislice_mesh_
+# train_step and the driver's dryrun_multichip; (2,4) exercises TP+DP.
+@pytest.mark.parametrize("dp,tp,remat", [(2, 4, True)])
+def test_train_step_runs_sharded(dp, tp, remat):
     cfg = ModelConfig.tiny()
     tcfg = TrainConfig(mm_projector_lr=1e-4, gradient_accumulation_steps=1)
     params = _tiny_params(cfg)
@@ -140,7 +143,7 @@ def test_train_step_runs_sharded(dp, tp):
     params = shard_params(mesh, params)
     tx = create_optimizer(tcfg, total_steps=100, params=params)
     state = create_train_state(params, tx)
-    step_fn = jax.jit(make_train_step(cfg, tx, remat=True))
+    step_fn = jax.jit(make_train_step(cfg, tx, remat=remat))
 
     batch = _batch(cfg, b=8)
     bsh = batch_sharding(mesh)

@@ -256,11 +256,10 @@ def test_splice_multi_sentinel_fuzz():
     """Property fuzz over K blocks: random sentinel counts/positions/masks."""
     rng = np.random.default_rng(123)
     d = 6
+    shapes = [(8, 2, 4, 16), (16, 3, 6, 30), (23, 4, 7, 35), (6, 1, 3, 8),
+              (12, 4, 5, 20)]
     for trial in range(40):
-        t = int(rng.integers(4, 24))
-        k = int(rng.integers(1, 5))
-        n = int(rng.integers(1, 8))
-        max_len = int(rng.integers(5, 36))
+        t, k, n, max_len = shapes[trial % len(shapes)]
         ids = rng.integers(3, 50, size=t).astype(np.int64)
         n_valid = int(rng.integers(1, t + 1))
         valid = np.zeros(t, bool)
@@ -293,10 +292,11 @@ def test_splice_fuzz_against_oracle():
     """Property fuzz: random sentinel positions, lengths, masks, x counts."""
     rng = np.random.default_rng(42)
     d = 6
+    # Shape BUCKETS: each distinct (t, n_x, max_len) forces a fresh jit
+    # compile; 40 random shapes made this the slowest test in the suite.
+    shapes = [(6, 4, 12), (12, 8, 20), (19, 11, 27), (5, 2, 6), (16, 5, 24)]
     for trial in range(40):
-        t = int(rng.integers(3, 20))
-        n_x = int(rng.integers(1, 12))
-        max_len = int(rng.integers(4, 28))
+        t, n_x, max_len = shapes[trial % len(shapes)]
         ids = rng.integers(3, 50, size=t).astype(np.int64)
         n_valid = int(rng.integers(1, t + 1))
         valid = np.zeros(t, bool)
