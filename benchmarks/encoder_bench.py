@@ -57,7 +57,9 @@ def main():
     results = {}
 
     # 3. full fused (current default).
-    fn = jax.jit(lambda x: cv.vision_encode(params, x, cfg))
+    fn0 = jax.jit(lambda p, x: cv.vision_encode(p, x, cfg))
+    fn = lambda x: fn0(params, x)  # params as jit ARG: a closed-over tree
+    # would constant-fold the in-trace layer stack at compile time
     t0 = time.time()
     float(jnp.sum(fn(bufs[0])))
     print(f"[fused t+s] compile: {time.time() - t0:.1f}s", flush=True)
@@ -69,7 +71,8 @@ def main():
 
     real_core = sa.spatial_core
     sa.spatial_core = sa._xla_core
-    fn2 = jax.jit(lambda x: cv.vision_encode(params, x, cfg, select_layer=-2))
+    fn2j = jax.jit(lambda p, x: cv.vision_encode(p, x, cfg, select_layer=-2))
+    fn2 = lambda x: fn2j(params, x)
     t0 = time.time()
     float(jnp.sum(fn2(bufs[0])))
     print(f"[fused t] compile: {time.time() - t0:.1f}s", flush=True)
@@ -80,8 +83,9 @@ def main():
     # 1. XLA everything.
     cv._use_fused_temporal = lambda *a: False
     sa.spatial_core = sa._xla_core
-    fn3 = jax.jit(lambda x: cv.vision_encode(params, x, cfg,
-                                             select_layer=-3))  # distinct trace
+    fn3j = jax.jit(lambda p, x: cv.vision_encode(p, x, cfg,
+                                                 select_layer=-3))  # distinct trace
+    fn3 = lambda x: fn3j(params, x)
     # select_layer=-3 drops one layer; scale the time by 23/22 for fairness.
     t0 = time.time()
     float(jnp.sum(fn3(bufs[0])))

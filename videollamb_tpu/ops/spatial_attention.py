@@ -81,7 +81,7 @@ def fused_spatial_core(
     k: jax.Array,
     v: jax.Array,
     *,
-    heads_per_block: int = 8,
+    heads_per_block: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Softmax attention per (batch, head); returns (B, H, N, e)."""

@@ -90,7 +90,7 @@ def fused_temporal_core(
     *,
     num_heads: int,
     block_n: int = 32,
-    group: int = 8,
+    group: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-(b, n) softmax attention over t frames, all heads packed into
