@@ -1,0 +1,154 @@
+"""Prompt-lookup speculative decoding: must be token-for-token identical
+to plain greedy decode, accepting-path and rejecting-path alike."""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import LlamaConfig
+from videollamb_tpu.models.lm.llama import (
+    embed_tokens,
+    init_kv_cache,
+    init_llama_params,
+    llama_decode_step,
+    llama_prefill,
+)
+from videollamb_tpu.models.speculative import propose_lookup, speculative_decode
+
+
+def test_propose_lookup_basic():
+    ctx = [1, 2, 3, 9, 9, 1, 2, 3]
+    assert propose_lookup(ctx, ngram=3, k=2) == [9, 9]
+    # Shorter-ngram fallback.
+    assert propose_lookup([5, 6, 7, 6], ngram=3, k=3) == [7, 6]
+    # No match anywhere.
+    assert propose_lookup([1, 2, 3, 4], ngram=2, k=3) == []
+    # Most RECENT earlier occurrence wins.
+    ctx = [1, 2, 5, 8, 1, 2, 6, 8, 1, 2]
+    assert propose_lookup(ctx, ngram=2, k=1) == [6]
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LlamaConfig.tiny()
+    params = {"lm": init_llama_params(jax.random.PRNGKey(0), cfg)}
+    return cfg, params
+
+
+def _greedy_reference(cfg, params, prompt_ids, max_new, eos):
+    cache = init_kv_cache(cfg, 1, 128, jnp.float32)
+    logits, cache = llama_prefill(
+        params["lm"], cfg, embed_tokens(params["lm"], jnp.asarray(prompt_ids[None])),
+        jnp.ones((1, len(prompt_ids)), jnp.int32), cache,
+    )
+    toks = []
+    for _ in range(max_new):
+        nxt = int(jnp.argmax(logits[0]))
+        if nxt == eos:
+            break
+        toks.append(nxt)
+        logits, cache = llama_decode_step(
+            params["lm"], cfg, embed_tokens(params["lm"], jnp.asarray([[nxt]])), cache
+        )
+    return toks
+
+
+@pytest.mark.parametrize("seed,repetitive", [(0, False), (1, True), (2, True)])
+def test_speculative_matches_greedy(lm, seed, repetitive):
+    cfg, params = lm
+    rng = np.random.default_rng(seed)
+    if repetitive:
+        # Repetitive prompts maximize lookup hits (the accept path).
+        phrase = rng.integers(4, 50, size=5).tolist()
+        prompt = np.asarray(phrase * 4 + phrase[:3], np.int32)
+    else:
+        prompt = rng.integers(4, cfg.vocab_size, size=20).astype(np.int32)
+
+    max_new = 16
+    ref = _greedy_reference(cfg, params, prompt, max_new, eos=-1)
+
+    cache = init_kv_cache(cfg, 1, 128, jnp.float32)
+    logits, cache = llama_prefill(
+        params["lm"], cfg, embed_tokens(params["lm"], jnp.asarray(prompt[None])),
+        jnp.ones((1, len(prompt)), jnp.int32), cache,
+    )
+    toks, cache, _, stats = speculative_decode(
+        params, cfg, cache, logits, prompt.tolist(),
+        max_new_tokens=max_new, eos_token_id=-1,
+    )
+    assert toks == ref, (toks, ref, stats)
+    assert stats["tokens_per_step"] >= 1.0
+    # The cache must land at exactly prompt + generated length.
+    assert int(cache.length[0]) == len(prompt) + len(toks)
+
+
+def test_speculative_cache_continues_correctly(lm):
+    """After a speculative run (with rollbacks), continuing with plain
+    decode steps must still match the pure-greedy chain — i.e. rolled-back
+    slots never corrupt later attention."""
+    cfg, params = lm
+    rng = np.random.default_rng(3)
+    phrase = rng.integers(4, 40, size=4).tolist()
+    prompt = np.asarray(phrase * 3, np.int32)
+
+    ref = _greedy_reference(cfg, params, prompt, 24, eos=-1)
+
+    cache = init_kv_cache(cfg, 1, 128, jnp.float32)
+    logits, cache = llama_prefill(
+        params["lm"], cfg, embed_tokens(params["lm"], jnp.asarray(prompt[None])),
+        jnp.ones((1, len(prompt)), jnp.int32), cache,
+    )
+    toks, cache, logits, _ = speculative_decode(
+        params, cfg, cache, logits, prompt.tolist(),
+        max_new_tokens=12, eos_token_id=-1,
+    )
+    # Continue WITHOUT speculation from the speculative cache, using the
+    # returned next-position logits.
+    while len(toks) < 24:
+        nxt = int(jnp.argmax(logits[0]))
+        toks.append(nxt)
+        logits, cache = llama_decode_step(
+            params["lm"], cfg, embed_tokens(params["lm"], jnp.asarray([[nxt]])), cache
+        )
+    assert toks == ref
+
+
+def test_chat_generate_speculative_matches_generate():
+    """The Chat-level speculative entry must produce the same greedy text
+    as the one-shot engine generate."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_serving import ChatTokenizer
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.serve.chat import Chat
+    from videollamb_tpu.constants import DEFAULT_X_TOKEN
+
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    tok = ChatTokenizer()
+    tok("A chat between a curious human and an artificial intelligence assistant")
+    chat = Chat(tok, params, cfg,
+                {"VIDEO": VideoProcessor(size=56), "IMAGE": ImageProcessor(size=56)},
+                text_bucket=32)
+    frames = chat.processors["VIDEO"](
+        np.random.default_rng(0).integers(0, 255, (8, 56, 56, 3)).astype(np.uint8))
+    chat.conv.append_message(chat.conv.roles[0], DEFAULT_X_TOKEN["VIDEO"] + "\nwhat")
+    chat.conv.append_message(chat.conv.roles[1], None)
+    prompt = chat.conv.get_prompt()
+
+    ref = chat.generate_text(prompt, videos=frames, max_new_tokens=8, do_sample=False)
+    out, stats = chat.generate_speculative(prompt, videos=frames, max_new_tokens=8)
+    assert out == ref, (out, ref, stats)

@@ -315,13 +315,14 @@ def llama_prefill(
     return last, KVCache(k=cache.k, v=cache.v, length=lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "return_all"), donate_argnames=("cache",))
 def llama_extend(
     params: Params,
     cfg: LlamaConfig,
     inputs_embeds: jax.Array,  # (B, S, D) right-padded fresh tokens
     attention_mask: jax.Array,  # (B, S) validity of the fresh tokens
     cache: KVCache,
+    return_all: bool = False,  # (B, S, V) logits instead of last-valid
 ) -> Tuple[jax.Array, KVCache]:
     """Append a chunk to an already-prefilled cache (streaming: new video
     segments / follow-up queries join the running context without
@@ -382,10 +383,13 @@ def llama_extend(
         cached_body, inputs_embeds, (params["layers"], cache.k, cache.v)
     )
     logits = _final(params, cfg, x)
+    new_cache = KVCache(k=new_k, v=new_v, length=start + fresh_len)
+    if return_all:
+        return logits, new_cache
     last = jnp.take_along_axis(
         logits, jnp.maximum(fresh_len - 1, 0)[:, None, None], axis=1
     )[:, 0]
-    return last, KVCache(k=new_k, v=new_v, length=start + fresh_len)
+    return last, new_cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))

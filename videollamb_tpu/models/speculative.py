@@ -1,0 +1,164 @@
+"""Prompt-lookup speculative decoding.
+
+A draft-model-free accelerator for greedy decode (beyond the reference,
+which has no speculative path): candidate continuations are proposed by
+matching the last n-gram of the context against earlier context
+(prompt-lookup decoding, Saxon et al. / transformers'
+prompt_lookup_num_tokens) and verified in ONE cache-extend forward.
+
+Why it fits this stack:
+- verification reuses ``llama_extend`` (models/lm/llama.py): the chunk is
+  written into the running KV cache at its true positions, and a rejected
+  suffix is "rolled back" by only shrinking ``cache.length`` — stale slots
+  past the length are never attended and are overwritten in place by the
+  next write before they ever could be (same invariant llama_extend
+  already relies on for right-padding);
+- a verify step is weight-bandwidth-bound like a single decode step
+  (reading 7B weights dominates; the extra k tokens of FLOPs are noise on
+  the MXU), so throughput multiplies by roughly the mean accepted length;
+- output is EXACTLY the greedy chain — acceptance only keeps tokens whose
+  argmax matches, so this is a pure latency optimization.
+
+Video QA/captioning answers repeat prompt phrases heavily, which is the
+regime where prompt lookup shines.
+
+Caveats (measured on v5e, 7B random weights):
+- acceptance needs genuinely repetitive OUTPUT; on random weights the
+  mean accepted length is ~1.0, where speculation is cost-neutral (its
+  k-wide verify step is weight-bandwidth-bound like one decode step);
+- "identical to greedy" is exact in f32 (tests assert it token for
+  token, including after rollbacks); in bf16 the S=1 and S=k matmul
+  shapes can round argmax TIES differently, so chains may diverge at
+  near-tie positions — the standard caveat for batched-verify
+  speculative decoding on low-precision hardware.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videollamb_tpu.config import LlamaConfig
+from videollamb_tpu.models.lm.llama import (
+    KVCache,
+    embed_tokens,
+    llama_decode_step,
+    llama_extend,
+)
+
+Params = Dict[str, Any]
+
+
+def propose_lookup(
+    context: List[int], ngram: int = 3, k: int = 8
+) -> List[int]:
+    """Longest-recency prompt-lookup proposal: find the most recent earlier
+    occurrence of the final ``ngram`` tokens and return up to ``k`` tokens
+    that followed it. Falls back to shorter n-grams; [] if nothing hits."""
+    for n in range(ngram, 0, -1):
+        if len(context) <= n:
+            continue
+        tail = context[-n:]
+        # Search right-to-left, excluding the tail occurrence itself.
+        for start in range(len(context) - n - 1, -1, -1):
+            if context[start: start + n] == tail:
+                cont = context[start + n: start + n + k]
+                if cont:
+                    return cont
+                break
+    return []
+
+
+def speculative_decode(
+    params: Params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    first_logits: jax.Array,  # (1, V) — logits for the next position
+    context_ids: List[int],  # prompt tokens (for lookup proposals)
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    stop_ids: Optional[set] = None,
+    ngram: int = 3,
+    k: int = 8,
+) -> Tuple[List[int], KVCache, jax.Array, Dict[str, float]]:
+    """Greedy decode with prompt-lookup speculation (B=1).
+
+    Returns (tokens, cache, next_logits, stats): token-for-token identical
+    to plain greedy decode; ``next_logits`` predicts the position after the
+    last returned token (so callers can continue decoding seamlessly);
+    ``stats`` reports acceptance behavior.
+    """
+    stop_ids = stop_ids or set()
+    lm = params["lm"] if "lm" in params else params
+    toks: List[int] = []
+    logits = first_logits
+    steps = 0
+    proposed_total = 0
+    accepted_total = 0
+
+    def done(t: int) -> bool:
+        return t == eos_token_id or t in stop_ids
+
+    while len(toks) < max_new_tokens:
+        t1 = int(jnp.argmax(logits[0]))
+        if done(t1):
+            break
+        draft = propose_lookup(context_ids + toks + [t1], ngram, k - 1)
+        chunk = [t1] + draft[: max(0, min(len(draft), max_new_tokens - len(toks) - 1))]
+        steps += 1
+        proposed_total += len(chunk) - 1
+
+        if len(chunk) == 1:
+            toks.append(t1)
+            logits, cache = llama_decode_step(
+                lm, cfg, embed_tokens(lm, jnp.asarray([[t1]])), cache
+            )
+            continue
+
+        ids = np.zeros((1, k), np.int32)
+        ids[0, : len(chunk)] = chunk
+        mask = np.zeros((1, k), np.int32)
+        mask[0, : len(chunk)] = 1
+        # Snapshot to host: llama_extend donates the cache, which deletes
+        # the device buffer `cache.length` refers to.
+        start_len = int(cache.length[0])
+        all_logits, cache = llama_extend(
+            lm, cfg, embed_tokens(lm, jnp.asarray(ids)), jnp.asarray(mask),
+            cache, return_all=True,
+        )
+        greedy = np.asarray(jnp.argmax(all_logits[0, : len(chunk)], axis=-1))
+
+        # chunk[0] is already verified (it WAS the greedy token); position i
+        # verifies chunk[i+1].
+        accepted = [chunk[0]]
+        for i in range(1, len(chunk)):
+            if done(accepted[-1]) or greedy[i - 1] != chunk[i]:
+                break
+            accepted.append(chunk[i])
+        accepted_total += len(accepted) - 1
+        toks.extend(accepted)
+        if done(accepted[-1]):
+            toks.pop()
+            # Roll the cache back past the stop token too.
+            cache = KVCache(k=cache.k, v=cache.v,
+                            length=jnp.asarray([start_len + len(accepted) - 1],
+                                               jnp.int32))
+            break
+        # Roll back rejected suffix: shrink length only; stale slots are
+        # overwritten in place before they can ever be attended.
+        cache = KVCache(k=cache.k, v=cache.v,
+                        length=jnp.asarray([start_len + len(accepted)], jnp.int32))
+        logits = all_logits[:, len(accepted) - 1]
+
+    stats = {
+        "steps": steps,
+        "tokens": len(toks),
+        "proposed": proposed_total,
+        "accepted": accepted_total,
+        "tokens_per_step": len(toks) / max(steps, 1),
+    }
+    return toks, cache, logits, stats

@@ -157,6 +157,58 @@ class Chat:
                 embed_tokens(self.params["lm"], jnp.asarray([[nxt]])), cache,
             )
 
+    def generate_speculative(
+        self,
+        prompt: str,
+        *,
+        videos: Optional[np.ndarray] = None,
+        images: Optional[np.ndarray] = None,
+        max_new_tokens: int = 512,
+        ngram: int = 3,
+        k: int = 8,
+    ):
+        """Greedy generation with prompt-lookup speculative decoding
+        (models/speculative.py): identical text to greedy generate, fewer
+        forward passes when the answer reuses prompt phrases. Returns
+        (text, stats)."""
+        from videollamb_tpu.mm_utils import tokenizer_x_token
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
+        from videollamb_tpu.models.speculative import speculative_decode
+
+        modality = "VIDEO" if videos is not None else "IMAGE"
+        ids, mask = self._prepare_ids(prompt, modality)
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            labels=None,
+            videos=jnp.asarray(videos[None], self._dtype()) if videos is not None else None,
+            images=jnp.asarray(images[None], self._dtype()) if images is not None else None,
+        )
+        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        cache = init_kv_cache(
+            self.cfg.lm, 1, self.cfg.max_length + _round_up(max_new_tokens, 64),
+            self._dtype(),
+        )
+        logits, cache = llama_prefill(
+            self.params["lm"], self.cfg.lm, spliced.embeds,
+            spliced.attention_mask, cache,
+        )
+        stopper = KeywordStopper([self.stop_str()], self.tokenizer)
+        prompt_tokens = tokenizer_x_token(
+            prompt, self.tokenizer, X_TOKEN_INDEX[modality], return_tensors="np"
+        )
+        ctx = [int(t) for t in prompt_tokens if int(t) >= 0]
+        toks, _, _, stats = speculative_decode(
+            self.params, self.cfg.lm, cache, logits, ctx,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=int(self.tokenizer.eos_token_id or 2),
+            stop_ids=set(stopper.stop_token_ids()),
+            ngram=ngram, k=k,
+        )
+        text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        return stopper.trim(text), stats
+
     def ask_about_video(self, question: str, frames: np.ndarray,
                         first_turn: bool = True, **gen_kwargs) -> str:
         """frames: processed (T, C, H, W). Maintains the conversation."""
