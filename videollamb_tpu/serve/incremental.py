@@ -20,6 +20,12 @@ module is the TPU-native redesign:
 
 HBM usage is therefore constant in stream length: one KV cache (fixed
 max_seq_len), one bridge ring cache, and <= max_open_frames of features.
+
+Measured (120-frame synthetic stream, tiny model, CPU — structure not
+absolute speed): the reference-parity engine answers in ~15-18 s per
+response at EVERY point of the stream (it re-encodes and re-prefills the
+whole history); this engine's steady-state responses take ~0.04 s — only
+the new segment fold + query extend + a short decode run per response.
 """
 
 from __future__ import annotations
