@@ -231,6 +231,13 @@ class ModelConfig:
     vision: VisionConfig = field(default_factory=VisionConfig)
     bridge: BridgeConfig = field(default_factory=BridgeConfig)
     lm: LlamaConfig = field(default_factory=LlamaConfig)
+    # Optional non-CLIP tower routing: a models.vision.builder.TowerSpec.
+    # When set, assembly encodes pixels via tower_encode(tower, ...) instead
+    # of the default CLIP-family vision_encode — this is how the research
+    # towers (ViT/MAE/ViViT/VideoMAE, EgoVLP, deformable, RMT encoder) run
+    # end-to-end (reference wires them via mm_vision_tower name dispatch,
+    # multimodal_encoder/builder.py:14-61).
+    tower: Optional[Any] = None
     # Max tokens after multimodal splice (reference: --model_max_length 2048,
     # truncation at llava_arch.py:610-613).
     max_length: int = 2048

@@ -30,6 +30,19 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+def _tower_features(params: Params, cfg: ModelConfig, pixels: jax.Array,
+                    tower_key: str = "video_tower") -> jax.Array:
+    """(B, T, C, H, W) -> (B, T', N, D) tower features. Routes through the
+    tower factory when cfg.tower is set (research towers), else the default
+    CLIP family (LanguageBind image/video)."""
+    tower = params.get(tower_key, params["video_tower"])
+    if cfg.tower is not None:
+        from videollamb_tpu.models.vision.builder import tower_encode
+
+        return tower_encode(cfg.tower, tower, pixels)
+    return vision_encode(tower, pixels, cfg.vision)
+
+
 def encode_videos(
     params: Params, cfg: ModelConfig, videos: jax.Array, deterministic: bool = True,
     rng: Optional[jax.Array] = None,
@@ -43,7 +56,7 @@ def encode_videos(
     """
     from videollamb_tpu.models.bridge.builder import bridge_apply
 
-    feats = vision_encode(params["video_tower"], videos, cfg.vision)  # (B,T,N,D)
+    feats = _tower_features(params, cfg, videos)  # (B,T,N,D)
     rngs = jax.random.split(rng, feats.shape[0]) if rng is not None else None
 
     def one(f, r):
@@ -67,7 +80,7 @@ def encode_videos_retro(
     (reference encode_videos_retro, llava_arch.py:428).
 
     Returns (B, S, F*P, lm_d) and (B, S, F*P)."""
-    feats = vision_encode(params["video_tower"], videos, cfg.vision)
+    feats = _tower_features(params, cfg, videos)
 
     def one(f):
         out = rmt_r_video_forward(
@@ -86,8 +99,7 @@ def encode_images(
     projector factory."""
     from videollamb_tpu.models.bridge.builder import bridge_apply
 
-    tower = params.get("image_tower", params["video_tower"])
-    feats = vision_encode(tower, images[:, None], cfg.vision)  # (B,1,N,D)
+    feats = _tower_features(params, cfg, images[:, None], "image_tower")  # (B,1,N,D)
 
     def one(f):
         return bridge_apply(
@@ -123,9 +135,8 @@ def encode_images_anyres(
             "base_image_feature.shape[0] (llava_arch.py:291)"
         )
     b, p = images.shape[:2]
-    tower = params.get("image_tower", params["video_tower"])
-    feats = vision_encode(
-        tower, images.reshape(b * p, 1, *images.shape[2:]), cfg.vision
+    feats = _tower_features(
+        params, cfg, images.reshape(b * p, 1, *images.shape[2:]), "image_tower"
     )[:, 0, 1:]  # (B*P, n_patches, d_vis): feature_select('patch') drops CLS
 
     def proj(f):

@@ -96,19 +96,24 @@ def resolve_tower(name: str, *, select_layer: int = -2,
     if "rmt_clip" in name:
         return TowerSpec("clip", VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
                          frame_wise=True)
+    # ViT-family research towers (reference {vit,mae,vivit,videomae}_encoder,
+    # 86-88 LoC each): models/vision/vit.py implements the family behind one
+    # config; tower_encode routes them through vit_encode.
+    from videollamb_tpu.models.vision.vit import ViTFamilyConfig
+
     if "rmt_vivit" in name:
-        return TowerSpec("vivit", VisionConfig(add_time_attn=False,
-                                               hidden_size=768, **base),
+        return TowerSpec("vivit", ViTFamilyConfig.vivit_base(select_layer=select_layer),
                          frame_wise=False)
-    # ViT-family research towers (reference {vit,mae,vivit,videomae}_encoder)
-    # live in models/vision/vit.py with their own configs/encode fn; the
-    # factory flags them so callers route to vit_encode.
     for key, kind in [("videomae", "videomae"), ("vivit", "vivit"),
                       ("mae", "vitmae"), ("vit", "vit")]:
         if key in name:
-            return TowerSpec(kind, VisionConfig(add_time_attn=False,
-                                                hidden_size=768, **base),
-                             frame_wise=(kind in ("vit", "vitmae")))
+            if kind == "vivit":
+                cfg = ViTFamilyConfig.vivit_base(select_layer=select_layer)
+            elif kind == "videomae":
+                cfg = ViTFamilyConfig.videomae_base(select_layer=select_layer)
+            else:
+                cfg = ViTFamilyConfig.vit_base(select_layer=select_layer)
+            return TowerSpec(kind, cfg, frame_wise=(kind in ("vit", "vitmae")))
     if "deformable" in name or "deform" in name:
         from videollamb_tpu.models.vision.deformable import DeformableConfig
 
@@ -139,6 +144,12 @@ def build_image_tower(name: str, rng: Optional[jax.Array] = None,
         from videollamb_tpu.models.vision.deformable import init_deformable_params
 
         params = init_deformable_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
+    elif spec.kind in ("vit", "vitmae", "vivit", "videomae"):
+        from videollamb_tpu.models.vision.vit import init_vit_params
+
+        params = init_vit_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
         )
     else:
@@ -175,6 +186,26 @@ def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> 
         )
         h = states[spec.config.encoder_layers]  # final layer
         return h.reshape(b, t, *h.shape[1:])
+    if spec.kind in ("vit", "vitmae", "vivit", "videomae"):
+        from videollamb_tpu.models.vision.vit import vit_encode
+
+        b, t = pixels.shape[:2]
+        if spec.frame_wise:  # vit / vitmae: per-frame image models with CLS
+            flat = pixels.reshape(b * t, 1, *pixels.shape[2:])
+            h = vit_encode(params, flat, spec.config)  # (B*T, 1+n, D)
+            return h.reshape(b, t, *h.shape[1:])
+        # vivit / videomae: clip models over tubelets. Regroup hidden states
+        # per frame group and synthesize a CLS slot (group mean; VideoMAE has
+        # no CLS token at all, ViViT has one global CLS) so the downstream
+        # bridges' (B, T', 1+n, D) contract — CLS at index 0 for SceneTilling
+        # — holds for every tower kind.
+        h = vit_encode(params, pixels, spec.config)
+        if spec.config.use_cls_token:
+            h = h[:, 1:]
+        n = spec.config.tokens_per_frame_group
+        groups = h.reshape(b, h.shape[1] // n, n, h.shape[-1])
+        pseudo_cls = jnp.mean(groups, axis=2, keepdims=True)
+        return jnp.concatenate([pseudo_cls, groups], axis=2)
     if spec.frame_wise:
         b, t = pixels.shape[:2]
         flat = pixels.reshape(b * t, 1, *pixels.shape[2:])

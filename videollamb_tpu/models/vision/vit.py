@@ -157,6 +157,55 @@ def _np(x):
     return x.detach().cpu().float().numpy() if hasattr(x, "detach") else np.asarray(x)
 
 
+def init_vit_params(rng: jax.Array, cfg: ViTFamilyConfig, dtype=jnp.float32) -> Params:
+    """Random init matching the convert_vit_state_dict tree (for tests and
+    the tower factory's checkpoint-free path)."""
+    keys = iter(jax.random.split(rng, 4 + 8 * cfg.num_hidden_layers))
+
+    def dense(d_in, d_out, bias=True):
+        k = next(keys)
+        scale = 1.0 / math.sqrt(d_in)
+        return {
+            "kernel": (jax.random.normal(k, (d_in, d_out), jnp.float32) * scale
+                       ).astype(dtype),
+            "bias": jnp.zeros((d_out,), dtype) if bias else None,
+        }
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    d = cfg.hidden_size
+    patch_dim = 3 * cfg.tubelet_t * cfg.patch_size**2
+    emb: Params = {"patch_embedding": dense(patch_dim, d)}
+    if cfg.use_cls_token:
+        emb["cls_token"] = (jax.random.normal(next(keys), (d,), jnp.float32)
+                            * 0.02).astype(dtype)
+    if cfg.pos_embed == "learned":
+        gt = max(cfg.num_frames // cfg.tubelet_t, 1)
+        n = gt * cfg.tokens_per_frame_group + int(cfg.use_cls_token)
+        emb["position_embeddings"] = (
+            jax.random.normal(next(keys), (n, d), jnp.float32) * 0.02
+        ).astype(dtype)
+
+    qkv_bias = cfg.qkv_bias != "none"
+    layers = [
+        {
+            "layernorm_before": ln(d),
+            "attention": {
+                "query": dense(d, d, bias=qkv_bias),
+                "key": dense(d, d, bias=cfg.qkv_bias == "full"),
+                "value": dense(d, d, bias=qkv_bias),
+                "output": dense(d, d),
+            },
+            "layernorm_after": ln(d),
+            "intermediate": dense(d, cfg.intermediate_size),
+            "output": dense(cfg.intermediate_size, d),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    return {"embeddings": emb, "layers": layers}
+
+
 def convert_vit_state_dict(sd: Mapping[str, Any], cfg: ViTFamilyConfig) -> Params:
     """Convert HF ViT/ViTMAE/Vivit/VideoMAE state dicts."""
     def dense(prefix, bias=True):
