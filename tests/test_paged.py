@@ -1,0 +1,159 @@
+"""Paged KV cache: decode parity vs the dense cache, engine parity vs the
+dense continuous-batching engine, and page accounting."""
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+from videollamb_tpu.models.assembly import MultimodalBatch
+from videollamb_tpu.models.lm.llama import (
+    embed_tokens,
+    init_kv_cache,
+    init_llama_params,
+    llama_decode_step,
+    llama_prefill,
+)
+from videollamb_tpu.models.lm.paged import (
+    TRASH_PAGE,
+    PageAllocator,
+    init_paged_cache,
+    paged_decode_step,
+    paged_insert,
+)
+from videollamb_tpu.serve.paged import PagedServingEngine
+from videollamb_tpu.serve.server import Request, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig.tiny()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    return cfg, params
+
+
+def test_paged_decode_matches_dense(tiny):
+    """Same prefilled context -> identical decode logits/tokens for 5 steps,
+    including a page-boundary crossing."""
+    cfg, params = tiny
+    lm = params["lm"]
+    page, total_pages, pps = 16, 9, 4
+    rng = np.random.default_rng(0)
+    prompt_len = 14  # page boundary (16) crossed during decode
+    embeds = jnp.asarray(
+        rng.normal(size=(1, prompt_len, cfg.lm.hidden_size)).astype(np.float32))
+    mask = jnp.ones((1, prompt_len), jnp.int32)
+
+    dense = init_kv_cache(cfg.lm, 1, cfg.max_length, jnp.float32)
+    logits_d, dense = llama_prefill(lm, cfg.lm, embeds, mask, dense)
+
+    paged = init_paged_cache(cfg.lm, 1, total_pages, page, pps, jnp.float32)
+    alloc = PageAllocator(total_pages)
+    pages = alloc.alloc(2)  # covers prompt (14 tokens) and the boundary page
+    page_ids = np.full((pps,), TRASH_PAGE, np.int32)
+    page_ids[:2] = pages
+    single = init_kv_cache(cfg.lm, 1, cfg.max_length, jnp.float32)
+    logits_p, single = llama_prefill(lm, cfg.lm, embeds, mask, single)
+    paged = paged_insert(paged, single, jnp.asarray(0), jnp.asarray(page_ids),
+                         total_pages)
+
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(logits_p))
+    logits_pg = logits_p
+    for step in range(5):
+        nxt_d = jnp.argmax(logits_d, -1).astype(jnp.int32)
+        nxt_p = jnp.argmax(logits_pg, -1).astype(jnp.int32)
+        assert int(nxt_d[0]) == int(nxt_p[0]), f"step {step}"
+        te = embed_tokens(lm, nxt_d[:, None])
+        logits_d, dense = llama_decode_step(lm, cfg.lm, te, dense)
+        logits_pg, paged = paged_decode_step(lm, cfg.lm, te, paged, total_pages)
+        np.testing.assert_allclose(
+            np.asarray(logits_d), np.asarray(logits_pg), rtol=2e-5, atol=2e-5,
+            err_msg=f"step {step}",
+        )
+
+
+def _request(cfg, uid, seed, max_new=6):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((1, 8), jnp.int32),
+        labels=None,
+        videos=jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    return Request(uid=uid, batch=batch, max_new_tokens=max_new, temperature=0.0)
+
+
+def test_paged_engine_matches_dense_engine(tiny):
+    cfg, params = tiny
+    reqs_d = [_request(cfg, uid, seed=uid) for uid in range(3)]
+    reqs_p = [_request(cfg, uid, seed=uid) for uid in range(3)]
+
+    dense = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in reqs_d:
+        dense.submit(r)
+    dense.run_until_drained()
+
+    paged = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                               eos_token_id=-1)
+    for r in reqs_p:
+        paged.submit(r)
+    paged.run_until_drained()
+
+    for rd, rp in zip(reqs_d, reqs_p):
+        assert rd.tokens == rp.tokens, f"request {rd.uid}"
+
+
+def test_paged_engine_multistep_and_page_reuse(tiny):
+    cfg, params = tiny
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                                eos_token_id=-1)
+    free0 = engine.allocator.free_pages
+    reqs = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(4)]
+    for r in reqs:
+        engine.submit(r)
+    done = engine.run_until_drained(k=3)
+    assert len(done) == 4
+    # All pages returned after the requests finish.
+    assert engine.allocator.free_pages == free0
+    assert all(p == [] for p in engine.slot_pages)
+
+    # Same tokens as single-step decode.
+    reqs2 = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(4)]
+    engine2 = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                                 eos_token_id=-1)
+    for r in reqs2:
+        engine2.submit(r)
+    engine2.run_until_drained(k=1)
+    for a, b in zip(reqs, reqs2):
+        assert a.tokens == b.tokens
+
+
+def test_pool_backpressure(tiny):
+    """A pool too small for two concurrent requests admits them serially."""
+    cfg, params = tiny
+    # pages_per_seq ample, but total pool only fits one active request.
+    engine = PagedServingEngine(
+        params, cfg, num_slots=2, page_size=32,
+        total_pages=1 + 2,  # trash + 2 pages: one request (prompt+decode)
+        pages_per_seq=2, eos_token_id=-1,
+    )
+    reqs = [_request(cfg, uid, seed=uid, max_new=3) for uid in range(2)]
+    for r in reqs:
+        engine.submit(r)
+    done = engine.run_until_drained()
+    assert len(done) == 2 and all(r.done for r in reqs)

@@ -1,0 +1,251 @@
+"""Paged KV cache: block-table cache pool + paged decode step.
+
+Lifts the serving engine's static per-slot cache buckets (ROADMAP item 4):
+instead of every slot owning a dense (L, S_max, H_kv, Dh) strip, all slots
+share one page pool and hold a page table. HBM for context is allocated in
+``page_size``-token pages on demand, so N slots no longer pay N x S_max and
+a single long request can use most of the pool.
+
+Beyond the reference (it serves one request at a time through HF
+``generate``); the decode-attention core is JAX's stock TPU Pallas
+paged-attention kernel (jax.experimental.pallas.ops.tpu.paged_attention),
+which reads only the active pages of each sequence directly from HBM —
+no gather materialization. On CPU (tests) an XLA gather fallback computes
+identical logits.
+
+Layout notes:
+- one pool serves all layers: pages are stored as
+  ``(H_kv, L * total_pages, page_size, Dh)`` and layer ``l`` of logical
+  page ``p`` lives at physical page ``p + l * total_pages``. This keeps the
+  layer loop a ``lax.scan`` whose carry is the pool (donated, updated by
+  one scatter per step) — indexing a per-layer pool inside the scan would
+  dynamic-slice-copy the whole layer pool each step.
+- logical page id 0 is reserved as a trash page: unused page-table entries
+  point at it, so inserts/writes of padding land harmlessly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.config import LlamaConfig
+from videollamb_tpu.models.lm.llama import (
+    KVCache,
+    _final,
+    _grouped_attention,
+    _lproj,
+    _rms_norm,
+)
+from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+
+TRASH_PAGE = 0
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jax.Array  # (H_kv, L * total_pages, page_size, Dh)
+    v_pages: jax.Array  # (H_kv, L * total_pages, page_size, Dh)
+    page_table: jax.Array  # (B_slots, pages_per_seq) int32 logical page ids
+    lengths: jax.Array  # (B_slots,) int32 tokens written per slot
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.page_table.shape[1]
+
+
+def total_pages_of(cache: PagedKVCache, cfg: LlamaConfig) -> int:
+    return cache.k_pages.shape[1] // cfg.num_hidden_layers
+
+
+def init_paged_cache(
+    cfg: LlamaConfig,
+    num_slots: int,
+    total_pages: int,
+    page_size: int = 64,
+    pages_per_seq: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    """``total_pages`` logical pages shared by all slots (page 0 = trash)."""
+    pps = pages_per_seq or total_pages
+    shape = (cfg.num_key_value_heads, cfg.num_hidden_layers * total_pages,
+             page_size, cfg.head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_table=jnp.full((num_slots, pps), TRASH_PAGE, jnp.int32),
+        lengths=jnp.zeros((num_slots,), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("total_pages",), donate_argnames=("cache",))
+def paged_insert(
+    cache: PagedKVCache,
+    single: KVCache,  # dense B=1 cache from llama_prefill
+    slot: jax.Array,  # () int32
+    page_ids: jax.Array,  # (pages_per_seq,) int32; unused entries TRASH_PAGE
+    total_pages: int,
+) -> PagedKVCache:
+    """Copy a prefilled B=1 dense cache into the pool at ``page_ids`` and
+    install the page table row for ``slot``.
+
+    Every page-table entry is written (unused ones into the trash page), so
+    the op compiles once regardless of the request length."""
+    l_layers, _, s_single, h_kv, dh = single.k.shape
+    page = cache.page_size
+    pps = page_ids.shape[0]
+    n_copy = min(pps, s_single // page)  # whole pages in the dense buffer
+
+    def scatter(pool, dense):
+        # dense: (L, s_single, H_kv, Dh) -> (L, n_copy, page, H_kv, Dh)
+        src = dense[:, : n_copy * page].reshape(l_layers, n_copy, page, h_kv, dh)
+        src = src.transpose(3, 0, 1, 2, 4)  # (H_kv, L, n_copy, page, Dh)
+        # Physical page of (layer l, logical page j): page_ids[j] + l * P.
+        phys = (page_ids[None, :n_copy]
+                + jnp.arange(l_layers, dtype=jnp.int32)[:, None] * total_pages)
+        return pool.at[:, phys].set(src.astype(pool.dtype), mode="drop")
+
+    return PagedKVCache(
+        k_pages=scatter(cache.k_pages, single.k[:, 0]),
+        v_pages=scatter(cache.v_pages, single.v[:, 0]),
+        page_table=cache.page_table.at[slot].set(page_ids),
+        lengths=cache.lengths.at[slot].set(single.length[0]),
+    )
+
+
+def _attend_paged(
+    q: jax.Array,  # (B, H, Dh) — current-token queries
+    k_pages: jax.Array,  # (H_kv, L*P, page, Dh)
+    v_pages: jax.Array,
+    page_indices: jax.Array,  # (B, pps) physical page ids for this layer
+    lengths: jax.Array,  # (B,) keys to attend per row (>= 1)
+) -> jax.Array:
+    """Stock Pallas paged attention on TPU, XLA gather fallback elsewhere."""
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+        pps = page_indices.shape[1]
+        block = 8
+        while pps % block:
+            block //= 2
+        # The stock kernel computes raw q.k — pre-scale q (the dense path's
+        # _grouped_attention scales inside).
+        scale = k_pages.shape[-1] ** -0.5
+        return paged_attention(
+            q * scale, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=block,
+        )
+    # Fallback: gather pages -> dense (B, S_virt, H_kv, Dh) + masked attention.
+    b = q.shape[0]
+    page = k_pages.shape[2]
+    s_virt = page_indices.shape[1] * page
+    k = k_pages[:, page_indices]  # (H_kv, B, pps, page, Dh)
+    v = v_pages[:, page_indices]
+    k = k.transpose(1, 2, 3, 0, 4).reshape(b, s_virt, k_pages.shape[0], -1)
+    v = v.transpose(1, 2, 3, 0, 4).reshape(b, s_virt, v_pages.shape[0], -1)
+    mask = (jnp.arange(s_virt, dtype=jnp.int32)[None] < lengths[:, None])[:, None]
+    out = _grouped_attention(q[:, None].astype(k.dtype), k, v, mask)
+    return out[:, 0].astype(q.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "total_pages"), donate_argnames=("cache",))
+def paged_decode_step(
+    params: Params,
+    cfg: LlamaConfig,
+    token_embeds: jax.Array,  # (B_slots, 1, D)
+    cache: PagedKVCache,
+    total_pages: int,
+) -> Tuple[jax.Array, PagedKVCache]:
+    """One decode step over all slots against the paged pool.
+
+    Each row's token is written at (page_table[row, len//page], len%page);
+    the caller must have a real page allocated there (the engine allocates
+    ahead). Returns (logits (B, V), cache with lengths+1)."""
+    b = token_embeds.shape[0]
+    page = cache.page_size
+    pps = cache.pages_per_seq
+    # Clamp: released slots keep advancing with the lock-step batch; their
+    # trash-only table rows must never index past pps or claim more keys
+    # than the table can address.
+    pos = jnp.minimum(cache.lengths, pps * page - 1)  # (B,)
+    rows = jnp.arange(b)
+    write_logical = cache.page_table[rows, pos // page]  # (B,)
+    write_off = pos % page
+    cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim, cfg.rope_theta)
+    h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+
+    def body(carry, xs):
+        hidden, kp, vp = carry
+        lp, l = xs
+        normed = _rms_norm(lp["input_layernorm"], hidden, cfg.rms_norm_eps)
+        q = _lproj(lp, "q_proj", normed).reshape(b, 1, h, dh)
+        k = _lproj(lp, "k_proj", normed).reshape(b, 1, h_kv, dh)
+        v = _lproj(lp, "v_proj", normed).reshape(b, 1, h_kv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        phys_write = write_logical + l * total_pages  # (B,)
+        k_vals = k[:, 0].transpose(1, 0, 2).astype(kp.dtype)  # (H_kv, B, Dh)
+        v_vals = v[:, 0].transpose(1, 0, 2).astype(vp.dtype)
+        kp = kp.at[:, phys_write, write_off].set(k_vals)
+        vp = vp.at[:, phys_write, write_off].set(v_vals)
+
+        page_indices = cache.page_table + l * total_pages  # (B, pps)
+        attn = _attend_paged(
+            q[:, 0], kp, vp, page_indices, jnp.maximum(pos + 1, 1)
+        )
+        attn = _lproj(lp, "o_proj", attn.reshape(b, 1, cfg.hidden_size))
+        hidden = hidden + attn
+        normed = _rms_norm(lp["post_attention_layernorm"], hidden, cfg.rms_norm_eps)
+        gate = jax.nn.silu(
+            _lproj(lp, "gate_proj", normed).astype(jnp.float32)
+        ).astype(hidden.dtype)
+        up = _lproj(lp, "up_proj", normed)
+        hidden = hidden + _lproj(lp, "down_proj", gate * up)
+        return (hidden, kp, vp), None
+
+    (x, kp, vp), _ = jax.lax.scan(
+        body, (token_embeds, cache.k_pages, cache.v_pages),
+        (params["layers"], layer_ids),
+    )
+    logits = _final(params, cfg, x)[:, 0]
+    return logits, PagedKVCache(
+        k_pages=kp, v_pages=vp,
+        page_table=cache.page_table, lengths=cache.lengths + 1,
+    )
+
+
+class PageAllocator:
+    """Host-side free-list over logical pages (page 0 reserved as trash)."""
+
+    def __init__(self, total_pages: int):
+        self.total_pages = total_pages
+        self._free: List[int] = list(range(total_pages - 1, 0, -1))
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: List[int]) -> None:
+        for p in pages:
+            if p != TRASH_PAGE:
+                self._free.append(p)
+
+    def pages_needed(self, tokens: int, page_size: int) -> int:
+        return max(1, math.ceil(tokens / page_size))

@@ -1,0 +1,239 @@
+"""Continuous-batching serving engine over a paged KV cache.
+
+Same slot/admission/step protocol as :class:`ServingEngine` (serve/server.py)
+but context HBM is allocated in pages from one shared pool
+(models/lm/paged.py) instead of a dense per-slot (L, S_max, H, Dh) strip:
+
+- admission allocates ceil(prompt_len / page) pages and installs the slot's
+  page table row; if the pool is short the request waits in the queue
+  (backpressure instead of a static bucket limit);
+- before every decode step the engine allocates pages to cover the next k
+  tokens of each active slot (host-side free list; one small device update
+  per new page);
+- finished slots return their pages immediately.
+
+Decode attention is JAX's stock TPU Pallas paged-attention kernel (reads
+only the active pages from HBM); CPU tests run the gather fallback with
+identical logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videollamb_tpu.config import ModelConfig
+from videollamb_tpu.models.assembly import Params, prepare_multimodal_embeds
+from videollamb_tpu.models.lm.llama import embed_tokens, init_kv_cache, llama_prefill
+from videollamb_tpu.models.lm.paged import (
+    TRASH_PAGE,
+    PageAllocator,
+    PagedKVCache,
+    init_paged_cache,
+    paged_decode_step,
+    paged_insert,
+)
+from videollamb_tpu.serve.server import Request, ServingEngine
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "total_pages"), donate_argnames=("cache",))
+def paged_greedy_decode_steps(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int,
+):
+    """k greedy steps fully on device (pages for positions len..len+k-1 must
+    already be allocated). Returns (tokens (B, k), logits, cache)."""
+
+    def body(carry, _):
+        logits, cache = carry
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k_pages.dtype)
+        logits, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages
+        )
+        return (logits, cache), nxt
+
+    (logits, cache), toks = jax.lax.scan(body, (logits, cache), None, length=k)
+    return toks.T, logits, cache
+
+
+class PagedServingEngine(ServingEngine):
+    def __init__(
+        self,
+        params: Params,
+        cfg: ModelConfig,
+        *,
+        num_slots: int = 4,
+        page_size: int = 64,
+        total_pages: Optional[int] = None,
+        pages_per_seq: Optional[int] = None,
+        eos_token_id: int = 2,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.page_size = page_size
+        # Default pool: enough for every slot to hold max_length + 512 —
+        # dense-parity capacity; real deployments oversubscribe.
+        per_slot = -(-(cfg.max_length + 512) // page_size)
+        self.total_pages = total_pages or (1 + num_slots * per_slot)
+        self.pages_per_seq = pages_per_seq or per_slot
+        self.max_seq_len = self.pages_per_seq * page_size
+        self.eos = eos_token_id
+        self.rng = jax.random.PRNGKey(seed)
+
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._dtype = dtype
+        self.cache = init_paged_cache(
+            cfg.lm, num_slots, self.total_pages, page_size,
+            self.pages_per_seq, dtype,
+        )
+        self.allocator = PageAllocator(self.total_pages)
+        self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+        # Host mirror of per-slot lengths (avoids a device sync per step).
+        self._host_len = np.zeros((num_slots,), np.int64)
+        self.slots: List[Optional[Request]] = [None] * num_slots
+        self.logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
+        import queue
+
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+
+    # ------------------------------------------------------------------
+    def _release(self, slot: int) -> None:
+        self.slots[slot] = None
+        self.allocator.free(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self._host_len[slot] = 0
+        self.cache = self.cache._replace(
+            page_table=self.cache.page_table.at[slot].set(TRASH_PAGE),
+            lengths=self.cache.lengths.at[slot].set(0),
+        )
+
+    def _admit(self) -> None:
+        while not self.pending.empty():
+            slot = self._free_slot()
+            if slot is None:
+                return
+            req = self.pending.queue[0]  # peek: only pop if pages fit
+            spliced = prepare_multimodal_embeds(
+                self.params, self.cfg, req.batch, deterministic=True
+            )
+            prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+            n_pages = self.allocator.pages_needed(prompt_len, self.page_size)
+            if n_pages > self.pages_per_seq:
+                self.pending.get()
+                req.done = True  # reject: exceeds per-sequence budget
+                continue
+            pages = self.allocator.alloc(n_pages)
+            if pages is None:
+                return  # pool exhausted — backpressure until slots free
+            self.pending.get()
+            single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
+            logits, single = llama_prefill(
+                self.params["lm"], self.cfg.lm,
+                spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
+            )
+            page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
+            page_ids[: len(pages)] = pages
+            self.cache = paged_insert(
+                self.cache, single, jnp.asarray(slot), jnp.asarray(page_ids),
+                self.total_pages,
+            )
+            self.logits = self.logits.at[slot].set(logits[0])
+            self.slot_pages[slot] = pages
+            self._host_len[slot] = prompt_len
+            self.slots[slot] = req
+
+    def _ensure_pages(self, k: int) -> None:
+        """Allocate pages so every active slot can write k more tokens."""
+        updates = []
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            need = self.allocator.pages_needed(int(self._host_len[i]) + k,
+                                               self.page_size)
+            while len(self.slot_pages[i]) < min(need, self.pages_per_seq):
+                got = self.allocator.alloc(1)
+                if got is None:
+                    raise RuntimeError(
+                        "page pool exhausted mid-decode; size the pool for "
+                        "num_slots * max context or evict"
+                    )
+                j = len(self.slot_pages[i])
+                self.slot_pages[i].append(got[0])
+                updates.append((i, j, got[0]))
+        if updates:
+            table = self.cache.page_table
+            idx = np.asarray([(u[0], u[1]) for u in updates], np.int32)
+            vals = np.asarray([u[2] for u in updates], np.int32)
+            table = table.at[idx[:, 0], idx[:, 1]].set(jnp.asarray(vals))
+            self.cache = self.cache._replace(page_table=table)
+
+    def step(self, k: int = 1) -> List[Request]:
+        self._admit()
+        if not any(self._active_mask()):
+            return []
+        self._ensure_pages(max(k, 1))
+
+        all_greedy = all((r is None or r.temperature == 0.0) for r in self.slots)
+        if k > 1 and all_greedy:
+            toks, self.logits, self.cache = paged_greedy_decode_steps(
+                self.params, self.cfg, self.logits, self.cache, k,
+                self.total_pages,
+            )
+            self._host_len += k
+            toks_host = np.asarray(toks)
+            finished: List[Request] = []
+            for i, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                for t in range(k):
+                    tok = int(toks_host[i, t])
+                    req.tokens.append(tok)
+                    if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+                        req.done = True
+                        finished.append(req)
+                        self._release(i)
+                        break
+            return finished
+
+        self.rng, sub = jax.random.split(self.rng)
+        temps = np.asarray(
+            [(r.temperature if r is not None else 0.0) for r in self.slots],
+            np.float32,
+        )
+        nxt_greedy = jnp.argmax(self.logits, -1).astype(jnp.int32)
+        if (temps > 0).any():
+            scaled = self.logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
+            nxt = jnp.where(
+                jnp.asarray(temps > 0),
+                jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32),
+                nxt_greedy,
+            )
+        else:
+            nxt = nxt_greedy
+
+        tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
+        self.logits, self.cache = paged_decode_step(
+            self.params["lm"], self.cfg.lm, tok_embeds, self.cache,
+            self.total_pages,
+        )
+
+        self._host_len += 1
+        nxt_host = np.asarray(nxt)
+        finished: List[Request] = []
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(nxt_host[i])
+            req.tokens.append(tok)
+            if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+        return finished

@@ -149,6 +149,10 @@ class ServingEngine:
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.slots])
 
+    def _release(self, slot: int) -> None:
+        """Free a slot (hook: the paged engine also returns its pages)."""
+        self.slots[slot] = None
+
     def step(self, k: int = 1) -> List[Request]:
         """Admit pending requests, advance every active slot by up to ``k``
         tokens (multi-step only when all active slots are greedy). Returns
@@ -175,7 +179,7 @@ class ServingEngine:
                     if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                         req.done = True
                         finished.append(req)
-                        self.slots[i] = None
+                        self._release(i)
                         break
             return finished
 
@@ -208,7 +212,7 @@ class ServingEngine:
             if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 finished.append(req)
-                self.slots[i] = None
+                self._release(i)
         return finished
 
     def run_until_drained(self, max_steps: int = 100000, k: int = 1) -> List[Request]:
