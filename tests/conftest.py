@@ -25,7 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     # NOTE: do NOT enable jax_persistent_cache_enable_xla_caches="all" —
     # cached XLA:CPU AOT kernels record machine-feature flags
     # (+prefer-no-scatter etc.) that fail to load back ("could lead to

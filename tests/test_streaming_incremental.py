@@ -247,3 +247,39 @@ def test_streaming_session_constant_state_shapes(tiny_chat):
         sess()
         shapes.add((sess.kv.k.shape, sess.bridge_state.cache.shape))
     assert len(shapes) == 1
+
+
+def test_streaming_prefetch_hits_and_parity(tiny_chat):
+    """The encode double-buffer serves steady-state ticks from the
+    prefetched window and produces identical answers to a cold session."""
+    from videollamb_tpu.serve.incremental import StreamingSession
+
+    def run():
+        tiny_chat.reset()
+        sess = StreamingSession(
+            tiny_chat, frame_fps=1.0, max_open_frames=6, max_seq_len=448,
+            max_new_tokens=4,
+        )
+        t_total = 16
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, size=(t_total, 56, 56, 3)).astype(np.uint8)
+        frames[8:] = 200
+        sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
+        sess.num_video_frames = t_total
+        sess.video_duration = float(t_total)
+        sess.input_query_stream("what is happening", video_time=4.0)
+        answers = []
+        for i in range(t_total):
+            sess.input_video_stream(float(i))
+            q, r = sess()
+            if r is not None:
+                answers.append(r)
+        return sess, answers
+
+    sess_a, ans_a = run()
+    # Steady-state 1-frame ticks: every tick after the first is a hit.
+    assert sess_a.prefetch_hits >= sess_a.prefetch_misses
+    assert sess_a.prefetch_hits + sess_a.prefetch_misses == 16
+
+    sess_b, ans_b = run()
+    assert ans_a == ans_b

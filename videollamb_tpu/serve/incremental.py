@@ -92,6 +92,10 @@ class StreamingSession:
         self.video_time = 0.0
         self.last_frame_idx = -1
         self.video_tensor: Optional[np.ndarray] = None
+        # Encode prefetch double-buffer: (start, end, device feats).
+        self._prefetched = None
+        self.prefetch_hits = 0
+        self.prefetch_misses = 0
         self.chat.reset()
 
         dtype = self.chat._dtype()
@@ -127,6 +131,39 @@ class StreamingSession:
         self.num_video_frames = self.video_tensor.shape[0]
         self.video_duration = self.num_video_frames / self.frame_fps
 
+    def _dispatch_encode(self, start: int, end: int):
+        """Dispatch an (async) tower encode for frames [start, end) and
+        return the device array — JAX dispatch is non-blocking, so the TPU
+        crunches this while the host runs SceneTilling / decode for the
+        CURRENT tick (the double-buffer: encode of tick t+1 overlaps the
+        host work of tick t)."""
+        from videollamb_tpu.models.vision.clip_vit import vision_encode
+
+        params = self.chat.params
+        tower = params.get("image_tower", params["video_tower"])
+        frames = self.video_tensor[start:end]
+        return vision_encode(
+            tower, jnp.asarray(frames[:, None], self.chat._dtype()), self.cfg.vision
+        )
+
+    def _take_frames(self, start: int, end: int) -> np.ndarray:
+        """Blocking read of encoded frames [start, end): served from the
+        prefetch buffer when the predicted window matched, else encoded on
+        the spot. Always re-arms the prefetch for the next same-size window."""
+        pf = self._prefetched
+        if pf is not None and pf[0] == start and pf[1] == end:
+            feats = pf[2]
+            self.prefetch_hits += 1
+        else:
+            feats = self._dispatch_encode(start, end)
+            self.prefetch_misses += 1
+        self._prefetched = None
+        out = np.asarray(feats[:, 0].astype(jnp.float32))  # blocks here
+        nxt_end = min(end + (end - start), self.num_video_frames)
+        if nxt_end > end:
+            self._prefetched = (end, nxt_end, self._dispatch_encode(end, nxt_end))
+        return out
+
     def _encode_frames(self, frames: np.ndarray) -> np.ndarray:
         from videollamb_tpu.models.vision.clip_vit import vision_encode
 
@@ -146,8 +183,7 @@ class StreamingSession:
         frame_idx = int(video_time * self.frame_fps)
         if frame_idx > self.last_frame_idx:
             ranger = range(self.last_frame_idx + 1, frame_idx + 1)
-            frames = self.video_tensor[list(ranger)]
-            feats = self._encode_frames(frames)
+            feats = self._take_frames(ranger.start, ranger.stop)
             for r, f in zip(ranger, feats):
                 self.open_frames.append((r / self.frame_fps, f))
                 self.cls_all.append(f[0])
