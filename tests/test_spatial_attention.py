@@ -36,3 +36,34 @@ def test_spatial_core_grad_via_reference_bwd():
     q, k, v = (jax.random.normal(kk, (1, 2, 5, 4)) for kk in keys)
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+@pytest.mark.parametrize("b,h,n,e", [(2, 4, 9, 8), (1, 8, 16, 8)])
+def test_packed_core_matches_einsum(b, h, n, e):
+    from videollamb_tpu.ops.spatial_attention import (
+        _xla_core_packed, fused_spatial_core_packed,
+    )
+
+    d = h * e
+    keys = jax.random.split(jax.random.PRNGKey(b + h), 3)
+    q = jax.random.normal(keys[0], (b, n, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, n, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, n, d), jnp.float32)
+    ref = _xla_core_packed(q, k, v, h)
+    out = fused_spatial_core_packed(q, k, v, heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_core_grad_via_reference_bwd():
+    from videollamb_tpu.ops.spatial_attention import (
+        _xla_core_packed, spatial_core_packed,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (1, 5, 8)) for kk in keys)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_core_packed(q, k, v, 2) ** 2)
+
+    g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)

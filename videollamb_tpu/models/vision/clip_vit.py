@@ -63,21 +63,27 @@ def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     head_dim = d // num_heads
     scale = head_dim**-0.5
 
+    if jax.default_backend() == "tpu":
+        # Packed layout end to end: q/k/v stay (B, N, D) as the GEMMs
+        # produce them; the kernel lane-slices heads internally — zero
+        # relayouts in the whole spatial block (ops/spatial_attention.py).
+        from videollamb_tpu.ops.spatial_attention import spatial_core_packed
+
+        q = _dense(p["q_proj"], x) * scale
+        k = _dense(p["k_proj"], x)
+        v = _dense(p["v_proj"], x)
+        out = spatial_core_packed(q, k, v, num_heads)
+        return _dense(p["out_proj"], out)
+
     def split(v):
         return v.reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q = split(_dense(p["q_proj"], x)) * scale
     k = split(_dense(p["k_proj"], x))
     v = split(_dense(p["v_proj"], x))
-
-    if jax.default_backend() == "tpu":
-        from videollamb_tpu.ops.spatial_attention import spatial_core
-
-        out = spatial_core(q, k, v)
-    else:
-        scores = jnp.einsum("bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhke->bhqe", probs, v, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bhqe,bhke->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhke->bhqe", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, d)
     return _dense(p["out_proj"], out)
 

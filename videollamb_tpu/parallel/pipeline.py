@@ -1,0 +1,151 @@
+"""Pipeline parallelism: GPipe-style layer pipelining over a 'pipe' mesh axis.
+
+The reference has no pipeline parallelism at all (SURVEY.md §2.8 — its
+scaling story is DeepSpeed ZeRO data parallelism); this is a TPU-native
+scaling extension for backbones that do not fit one chip even with
+FSDP+TP. Design follows the shard_map pipelining recipe (scaling-book):
+
+- the stacked layer pytree (L, ...) is sharded on its layer axis over the
+  'pipe' mesh axis — each of the P stages holds L/P contiguous layers;
+- the batch is split into M microbatches; at tick t, stage s runs
+  microbatch (t - s) through its local layers and hands the activations to
+  stage s+1 with a ring `ppermute` — the classic (M + P - 1)-tick GPipe
+  schedule, expressed as one `lax.fori_loop` inside `shard_map`;
+- stage 0 feeds fresh microbatches for the first M ticks; the last stage
+  collects outputs for ticks >= P - 1. Bubble fraction is (P-1)/(M+P-1).
+
+Everything is static-shaped; invalid ticks compute on garbage and are
+masked by clamped dynamic-slice writes (cheaper than lax.cond on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+def create_pipeline_mesh(n_stages: int, *, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())[:n_stages]
+    assert len(devices) == n_stages, (len(devices), n_stages)
+    return Mesh(np.asarray(devices), ("pipe",))
+
+
+def shard_stacked_layers(mesh: Mesh, layers: Params) -> Params:
+    """Shard every (L, ...) leaf of a stacked layer pytree on dim 0 over
+    'pipe'."""
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P("pipe")))
+
+    return jax.tree.map(put, layers)
+
+
+def pipeline_apply(
+    mesh: Mesh,
+    layer_fn: Callable[[Params, jax.Array], jax.Array],
+    layers: Params,  # stacked (L, ...) leaves, sharded over 'pipe' dim 0
+    x: jax.Array,  # (M, mb, ...) microbatched input, replicated
+) -> jax.Array:
+    """Run x through all L layers with GPipe pipelining; returns (M, mb, ...)
+    outputs, replicated on every stage.
+
+    ``layer_fn(lp, h) -> h`` applies ONE layer (unstacked params) to one
+    microbatch of activations.
+    """
+    n_stages = mesh.shape["pipe"]
+    m = x.shape[0]
+
+    def stage_body(local_layers: Params, xs: jax.Array) -> jax.Array:
+        idx = jax.lax.axis_index("pipe")
+        p = jax.lax.axis_size("pipe")
+        zeros = jnp.zeros_like(xs[0])
+
+        def run_stage(h):
+            def body(h, lp):
+                return layer_fn(lp, h), None
+
+            h, _ = jax.lax.scan(body, h, local_layers)
+            return h
+
+        def tick(t, carry):
+            buf, outs = carry
+            # Stage 0 ingests microbatch t (clamped; garbage past M is
+            # masked by the output write below). Other stages use the
+            # activations received last tick.
+            fresh = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(t, 0, m - 1), keepdims=False
+            )
+            h_in = jnp.where(idx == 0, fresh, buf)
+            h = run_stage(h_in)
+            # The last stage finished microbatch (t - p + 1).
+            done_idx = t - (p - 1)
+            write_idx = jnp.clip(done_idx, 0, m - 1)
+            cur = jax.lax.dynamic_index_in_dim(outs, write_idx, keepdims=False)
+            val = jnp.where((idx == p - 1) & (done_idx >= 0), h, cur)
+            outs = jax.lax.dynamic_update_index_in_dim(outs, val, write_idx, 0)
+            # Ring handoff: stage s's activations arrive at stage s+1.
+            buf = jax.lax.ppermute(
+                h, "pipe", [(i, (i + 1) % p) for i in range(p)]
+            )
+            return buf, outs
+
+        outs0 = jnp.zeros_like(xs)
+        _, outs = jax.lax.fori_loop(0, m + p - 1, tick, (zeros, outs0))
+        # Broadcast the last stage's outputs to every stage.
+        mask = (idx == p - 1).astype(outs.dtype)
+        return jax.lax.psum(outs * mask, "pipe")
+
+    fn = jax.shard_map(
+        stage_body, mesh=mesh,
+        in_specs=(P("pipe"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(layers, x)
+
+
+def pipeline_llama_forward(
+    mesh: Mesh,
+    params: Params,
+    cfg,
+    inputs_embeds: jax.Array,  # (B, S, D); B must divide into n_micro
+    attention_mask: jax.Array,  # (B, S)
+    n_micro: int,
+) -> jax.Array:
+    """Full-sequence Llama forward with the layer stack pipelined over
+    'pipe' (reference equivalent: none — the reference cannot pipeline).
+    Returns (B, S, V) logits, replicated."""
+    from videollamb_tpu.models.lm.llama import _final, _layer
+    from videollamb_tpu.models.lm.rope import rope_cos_sin
+
+    b, s, _ = inputs_embeds.shape
+    assert b % n_micro == 0, (b, n_micro)
+    mb = b // n_micro
+    position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (mb, s))
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    valid = attention_mask.astype(bool).reshape(n_micro, mb, s)
+    x = inputs_embeds.reshape(n_micro, mb, s, -1)
+    # Fold the per-microbatch mask into the activations pytree by pairing:
+    # layer_fn closes over cos/sin (position-only, microbatch-invariant)
+    # and receives (h, mask) stacked along a leading tuple axis — simplest
+    # is to carry the mask as extra channels; instead we pipeline (h, mask)
+    # as a tuple is unsupported by ppermute on mixed dtypes, so pass the
+    # mask as f32 channel and threshold inside.
+    maskf = valid.astype(x.dtype)[..., None]  # (M, mb, s, 1)
+    xm = jnp.concatenate([x, maskf], axis=-1)
+
+    def layer_fn(lp, hm):
+        h, mk = hm[..., :-1], hm[..., -1] > 0.5
+        h, _, _ = _layer(lp, cfg, h, cos, sin, mk)
+        return jnp.concatenate([h, hm[..., -1:]], axis=-1)
+
+    out = pipeline_apply(mesh, layer_fn, params["layers"], xm)
+    h = out[..., :-1].reshape(b, s, -1)
+    return _final(params, cfg, h)
