@@ -18,6 +18,13 @@ modeling_video.py:78-179 CLIPEncoderLayer with temporal attention,
   encoder layer entirely) instead of materializing all 25 hidden states;
 - attention logits accumulate in float32; weights can be held in bfloat16.
 
+Measured negative result (v5e, batch 256): keeping the residual stream
+token-major ((b, n, t, d)) to skip the two per-layer temporal transposes
+LOSES ~45 ms/forward — the spatial kernel's (1, n, d)-at-lane-offset-t*d
+blocks of the (b, n, t*d) view DMA at row-strided 2 KB granularity, which
+costs more than the contiguous transposes it removes. The production path
+is (b*t, n, d) + the packed spatial kernel (zero spatial relayouts).
+
 Parameter tree key names mirror the HF module names
 (embeddings/pre_layrnorm — sic — /layers.N.self_attn etc.) so checkpoint
 conversion is mechanical.
