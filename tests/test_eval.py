@@ -84,7 +84,7 @@ def test_mc_inference_end_to_end(tmp_path):
     from videollamb_tpu.models.lm.llama import init_llama_params
     from videollamb_tpu.models.vision.clip_vit import init_vision_params
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "video_tower": init_vision_params(k1, cfg.vision),
@@ -146,7 +146,7 @@ def test_likelihood_ranking_prefers_training_answer():
     from videollamb_tpu.train.preprocess import set_default_conversation
 
     set_default_conversation("v1")
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "video_tower": init_vision_params(k1, cfg.vision),

@@ -56,7 +56,7 @@ def test_greedy_generate_matches_hf(hf_and_params, seed, prompt_len):
         )
     hf_new = hf_out[0, prompt_len:].tolist()
 
-    model_cfg = ModelConfig.tiny()
+    model_cfg = ModelConfig.tiny(max_length=128)
     params = {"lm": lm_params}
     batch = MultimodalBatch(
         input_ids=jnp.asarray(ids.astype(np.int32)),

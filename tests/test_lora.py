@@ -62,7 +62,7 @@ def test_lora_training_only_updates_adapters(base_params):
     from videollamb_tpu.models.vision.clip_vit import init_vision_params
     from videollamb_tpu.train.step import create_optimizer, create_train_state, make_train_step
 
-    mcfg = ModelConfig.tiny()
+    mcfg = ModelConfig.tiny(max_length=128)
     k1, k2 = jax.random.split(jax.random.PRNGKey(3))
     params = {
         "video_tower": init_vision_params(k1, mcfg.vision),

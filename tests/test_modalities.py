@@ -248,14 +248,22 @@ def test_rmt_video_recurrence_matches_manual_loop():
 
 
 def test_rmt_tower_factory_dispatch():
-    from videollamb_tpu.models.vision.builder import build_video_tower, tower_encode
+    import dataclasses
 
-    spec, params = build_video_tower(
-        "LanguageBind/RMTLanguageBind_Video", rng=jax.random.PRNGKey(0)
-    )
+    from videollamb_tpu.models.vision.builder import resolve_tower, tower_encode
+    from videollamb_tpu.models.vision.rmt_clip_vit import init_rmt_vision_params
+
+    spec = resolve_tower("LanguageBind/RMTLanguageBind_Video")
     assert spec.kind == "rmt_languagebind_video"
+    # Encode with tiny dims (the factory's full ViT-L costs ~15 s of CPU
+    # for a shape check; the real-dims path is covered by the TPU bench).
+    tiny = dataclasses.replace(
+        spec.config, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, image_size=28)
+    spec = dataclasses.replace(spec, config=tiny)
+    params = init_rmt_vision_params(jax.random.PRNGKey(0), tiny, num_memory_tokens=8)
     assert "encoder_memory" in params
-    pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, 224, 224))
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, 28, 28))
     feats = tower_encode(spec, params, pixels)
     assert feats.shape[0] == 1 and feats.shape[1] == 2
 

@@ -35,7 +35,7 @@ def tiny():
     from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
     from videollamb_tpu.models.vision.clip_vit import init_vision_params
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "video_tower": init_vision_params(k1, cfg.vision),

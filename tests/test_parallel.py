@@ -62,7 +62,7 @@ def test_multislice_mesh_train_step():
     assert mesh.axis_names == ("replica", "data", "model")
     assert mesh.devices.size == 8
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     tcfg = TrainConfig()
     params = shard_params(mesh, _tiny_params(cfg))
     tx = create_optimizer(tcfg, total_steps=10, params=params)
@@ -83,7 +83,7 @@ def test_multislice_mesh_train_step():
 
 
 def test_sharded_forward_matches_single_device():
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     params = _tiny_params(cfg)
     batch = _batch(cfg, b=8)
 
@@ -109,7 +109,7 @@ def test_sharded_generate_matches_single_device():
     """Greedy generation with TP+FSDP-sharded params == single-device."""
     from videollamb_tpu.models.engine import generate
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     params = _tiny_params(cfg)
     rng = np.random.default_rng(7)
     ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
@@ -135,7 +135,7 @@ def test_sharded_generate_matches_single_device():
 # train_step and the driver's dryrun_multichip; (2,4) exercises TP+DP.
 @pytest.mark.parametrize("dp,tp,remat", [(2, 4, True)])
 def test_train_step_runs_sharded(dp, tp, remat):
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     tcfg = TrainConfig(mm_projector_lr=1e-4, gradient_accumulation_steps=1)
     params = _tiny_params(cfg)
 
@@ -168,7 +168,7 @@ def test_train_step_runs_sharded(dp, tp, remat):
 
 
 def test_adapter_only_tuning_freezes_lm():
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     tcfg = TrainConfig(tune_mode="adapter")
     params = _tiny_params(cfg)
     tx = create_optimizer(tcfg, total_steps=10, params=params)

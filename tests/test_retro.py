@@ -18,12 +18,14 @@ from videollamb_tpu.train.retro import retro_loss, videollamb_retro_forward
 
 
 @pytest.fixture(scope="module")
-def tiny(scope="module"):
+def tiny():
     from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
     from videollamb_tpu.models.lm.llama import init_llama_params
     from videollamb_tpu.models.vision.clip_vit import init_vision_params
 
-    cfg = ModelConfig.tiny()
+    # max_length bounds every per-segment graph (logits are (1, S*max_len,
+    # V)); 128 keeps the retro compiles ~4x smaller than the 512 default.
+    cfg = ModelConfig.tiny(max_length=128)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "video_tower": init_vision_params(k1, cfg.vision),

@@ -131,7 +131,7 @@ def test_chat_generate_speculative_matches_generate():
     from videollamb_tpu.serve.chat import Chat
     from videollamb_tpu.constants import DEFAULT_X_TOKEN
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "video_tower": init_vision_params(k1, cfg.vision),

@@ -61,7 +61,7 @@ def tiny_dataset(tmp_path_factory):
 
 def test_trainer_end_to_end_with_resume(tiny_dataset):
     data_path, vid_dir, root = tiny_dataset
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     # Shrink video size to the tiny tower's input.
     from videollamb_tpu.data.processing import VideoProcessor
 
@@ -95,7 +95,7 @@ def test_trainer_end_to_end_with_resume(tiny_dataset):
 
 
 def test_adapter_only_checkpoint_roundtrip(tmp_path):
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     params = _tiny_params(cfg)
     tcfg = TrainConfig(tune_mode="adapter", output_dir=str(tmp_path))
     tx = create_optimizer(tcfg, 10, params)
@@ -117,7 +117,7 @@ def test_checkpoint_restore_across_mesh_topologies(tiny_dataset, tmp_path):
     from videollamb_tpu.parallel import create_mesh, shard_params
     from videollamb_tpu.config import ModelConfig, TrainConfig
 
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     tcfg = TrainConfig()
     params = _tiny_params(cfg)
 
@@ -159,7 +159,7 @@ def test_resume_does_zero_decodes_for_skipped_batches(tiny_dataset):
     """Fast-forwarding a resumed run must not touch skipped samples
     (the round-1 implementation decoded every skipped batch)."""
     data_path, vid_dir, root = tiny_dataset
-    cfg = ModelConfig.tiny()
+    cfg = ModelConfig.tiny(max_length=128)
     from videollamb_tpu.data.processing import VideoProcessor
 
     class CountingDataset(SupervisedDataset):
