@@ -55,3 +55,37 @@ def test_pipeline_layers_actually_sharded(model):
     }
     # 4 layers over 4 stages: one layer per stage.
     assert shard_shapes == {(1, cfg.hidden_size, cfg.hidden_size)}
+
+
+def test_pipeline_gradients_match_unpipelined(model):
+    """Reverse-mode AD through the GPipe loop (ppermute transposes to the
+    inverse ring) — layer grads equal the unpipelined ones, enabling
+    pipelined TRAINING, not just inference."""
+    cfg, params = model
+    b, s = 4, 8
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)).astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, s)), jnp.int32)
+
+    def ce(logits):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.mean(tok)
+
+    g_ref = jax.grad(lambda p: ce(llama_forward(p, cfg, embeds, mask)))(params)
+
+    mesh = create_pipeline_mesh(4)
+    pp_params = dict(params, layers=shard_stacked_layers(mesh, params["layers"]))
+    g_pp = jax.grad(lambda p: ce(
+        pipeline_llama_forward(mesh, p, cfg, embeds, mask, n_micro=2)))(pp_params)
+
+    for key in g_ref["layers"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(g_pp["layers"][key])),
+            np.asarray(g_ref["layers"][key]), rtol=2e-4, atol=2e-5,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_pp["lm_head"]), np.asarray(g_ref["lm_head"]),
+        rtol=2e-4, atol=2e-5)
