@@ -115,7 +115,10 @@ def main():
         extra["encode_vs_north_star"] = round(fps / BASELINE_ENCODE_FPS, 3)
         extra["encode_note"] = (
             "north star 2000 f/s exceeds the v5e single-chip roofline "
-            "(~400 TF/s needed vs 197 peak); compute-bound ceiling ~950 f/s"
+            "(~400 TF/s needed vs 197 paper peak); the sustained GEMM rate "
+            "measured through this chip's tunnel is ~118 TF/s, an "
+            "essential-FLOP ceiling of ~575 f/s — current encoder runs at "
+            "~78% of that"
         )
     except Exception as e:  # noqa: BLE001
         extra["encode_error"] = type(e).__name__

@@ -157,3 +157,54 @@ def test_pool_backpressure(tiny):
         engine.submit(r)
     done = engine.run_until_drained()
     assert len(done) == 2 and all(r.done for r in reqs)
+
+
+def test_quantized_paged_decode_close_to_dense(tiny):
+    """int8 KV pages: decode logits track the dense bf16 cache closely."""
+    cfg, params = tiny
+    lm = params["lm"]
+    page, total_pages, pps = 16, 9, 4
+    rng = np.random.default_rng(3)
+    prompt_len = 14
+    embeds = jnp.asarray(
+        rng.normal(size=(1, prompt_len, cfg.lm.hidden_size)).astype(np.float32))
+    mask = jnp.ones((1, prompt_len), jnp.int32)
+
+    dense = init_kv_cache(cfg.lm, 1, cfg.max_length, jnp.float32)
+    logits_d, dense = llama_prefill(lm, cfg.lm, embeds, mask, dense)
+
+    paged = init_paged_cache(cfg.lm, 1, total_pages, page, pps, jnp.float32,
+                             quantize=True)
+    assert paged.k_pages.dtype == jnp.int8 and paged.k_scales is not None
+    alloc = PageAllocator(total_pages)
+    pages = alloc.alloc(2)
+    page_ids = np.full((pps,), TRASH_PAGE, np.int32)
+    page_ids[:2] = pages
+    single = init_kv_cache(cfg.lm, 1, cfg.max_length, jnp.float32)
+    logits_p, single = llama_prefill(lm, cfg.lm, embeds, mask, single)
+    paged = paged_insert(paged, single, jnp.asarray(0), jnp.asarray(page_ids),
+                         total_pages)
+
+    logits_pg = logits_p
+    rel = []
+    for step in range(4):
+        nxt = jnp.argmax(logits_d, -1).astype(jnp.int32)
+        te = embed_tokens(lm, nxt[:, None])
+        logits_d, dense = llama_decode_step(lm, cfg.lm, te, dense)
+        logits_pg, paged = paged_decode_step(lm, cfg.lm, te, paged, total_pages)
+        a, b = np.asarray(logits_d), np.asarray(logits_pg)
+        rel.append(np.abs(a - b).max() / (np.abs(a).max() + 1e-6))
+    # int8 absmax-per-token keeps logits within a few percent.
+    assert max(rel) < 0.08, rel
+
+
+def test_quantized_paged_engine_runs(tiny):
+    cfg, params = tiny
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                                eos_token_id=-1, quantize_kv=True)
+    reqs = [_request(cfg, uid, seed=uid, max_new=5) for uid in range(2)]
+    for r in reqs:
+        engine.submit(r)
+    done = engine.run_until_drained(k=2)
+    assert len(done) == 2
+    assert all(len(r.tokens) == 5 for r in reqs)

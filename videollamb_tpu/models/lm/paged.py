@@ -49,10 +49,14 @@ TRASH_PAGE = 0
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: jax.Array  # (H_kv, L * total_pages, page_size, Dh)
+    k_pages: jax.Array  # (H_kv, L * total_pages, page_size, Dh); int8 if quantized
     v_pages: jax.Array  # (H_kv, L * total_pages, page_size, Dh)
     page_table: jax.Array  # (B_slots, pages_per_seq) int32 logical page ids
     lengths: jax.Array  # (B_slots,) int32 tokens written per slot
+    # int8 KV quantization (halves pool HBM + decode KV bandwidth): per-token
+    # per-head absmax scales, trailing dim 1 (stock QuantizedTensor layout).
+    k_scales: Optional[jax.Array] = None  # (H_kv, L * total_pages, page_size, 1)
+    v_scales: Optional[jax.Array] = None
 
     @property
     def page_size(self) -> int:
@@ -74,11 +78,23 @@ def init_paged_cache(
     page_size: int = 64,
     pages_per_seq: Optional[int] = None,
     dtype=jnp.bfloat16,
+    quantize: bool = False,
 ) -> PagedKVCache:
-    """``total_pages`` logical pages shared by all slots (page 0 = trash)."""
+    """``total_pages`` logical pages shared by all slots (page 0 = trash).
+
+    ``quantize=True`` stores int8 pages + per-token absmax scales."""
     pps = pages_per_seq or total_pages
     shape = (cfg.num_key_value_heads, cfg.num_hidden_layers * total_pages,
              page_size, cfg.head_dim)
+    if quantize:
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, jnp.int8),
+            v_pages=jnp.zeros(shape, jnp.int8),
+            page_table=jnp.full((num_slots, pps), TRASH_PAGE, jnp.int32),
+            lengths=jnp.zeros((num_slots,), jnp.int32),
+            k_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            v_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+        )
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
@@ -105,33 +121,57 @@ def paged_insert(
     pps = page_ids.shape[0]
     n_copy = min(pps, s_single // page)  # whole pages in the dense buffer
 
-    def scatter(pool, dense):
-        # dense: (L, s_single, H_kv, Dh) -> (L, n_copy, page, H_kv, Dh)
+    phys = (page_ids[None, :n_copy]
+            + jnp.arange(l_layers, dtype=jnp.int32)[:, None] * total_pages)
+
+    def rows_of(dense):
+        # dense: (L, s_single, H_kv, Dh) -> (H_kv, L, n_copy, page, Dh)
         src = dense[:, : n_copy * page].reshape(l_layers, n_copy, page, h_kv, dh)
-        src = src.transpose(3, 0, 1, 2, 4)  # (H_kv, L, n_copy, page, Dh)
+        return src.transpose(3, 0, 1, 2, 4)
+
+    def scatter(pool, src):
         # Physical page of (layer l, logical page j): page_ids[j] + l * P.
-        phys = (page_ids[None, :n_copy]
-                + jnp.arange(l_layers, dtype=jnp.int32)[:, None] * total_pages)
         return pool.at[:, phys].set(src.astype(pool.dtype), mode="drop")
 
+    k_src, v_src = rows_of(single.k[:, 0]), rows_of(single.v[:, 0])
+    k_scales = v_scales = None
+    if cache.k_scales is not None:
+        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+            get_quantization_scales, to_int8,
+        )
+
+        ks = get_quantization_scales(k_src.astype(jnp.float32))
+        vs = get_quantization_scales(v_src.astype(jnp.float32))
+        k_scales = cache.k_scales.at[:, phys].set(ks, mode="drop")
+        v_scales = cache.v_scales.at[:, phys].set(vs, mode="drop")
+        k_src = to_int8(k_src.astype(jnp.float32), ks)
+        v_src = to_int8(v_src.astype(jnp.float32), vs)
     return PagedKVCache(
-        k_pages=scatter(cache.k_pages, single.k[:, 0]),
-        v_pages=scatter(cache.v_pages, single.v[:, 0]),
+        k_pages=scatter(cache.k_pages, k_src),
+        v_pages=scatter(cache.v_pages, v_src),
         page_table=cache.page_table.at[slot].set(page_ids),
         lengths=cache.lengths.at[slot].set(single.length[0]),
+        k_scales=k_scales,
+        v_scales=v_scales,
     )
 
 
 def _attend_paged(
     q: jax.Array,  # (B, H, Dh) — current-token queries
-    k_pages: jax.Array,  # (H_kv, L*P, page, Dh)
+    k_pages: jax.Array,  # (H_kv, L*P, page, Dh); int8 when scales given
     v_pages: jax.Array,
     page_indices: jax.Array,  # (B, pps) physical page ids for this layer
     lengths: jax.Array,  # (B,) keys to attend per row (>= 1)
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Stock Pallas paged attention on TPU, XLA gather fallback elsewhere."""
+    """Stock Pallas paged attention on TPU, XLA gather fallback elsewhere.
+    With scales, pages are int8 and dequantized in-kernel (QuantizedTensor)."""
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+            QuantizedTensor,
+        )
 
         pps = page_indices.shape[1]
         block = 8
@@ -140,16 +180,27 @@ def _attend_paged(
         # The stock kernel computes raw q.k — pre-scale q (the dense path's
         # _grouped_attention scales inside).
         scale = k_pages.shape[-1] ** -0.5
+        k_in = (QuantizedTensor(k_pages, k_scales) if k_scales is not None
+                else k_pages)
+        v_in = (QuantizedTensor(v_pages, v_scales) if v_scales is not None
+                else v_pages)
         return paged_attention(
-            q * scale, k_pages, v_pages, lengths, page_indices,
+            q * scale, k_in, v_in, lengths, page_indices,
             pages_per_compute_block=block,
         )
     # Fallback: gather pages -> dense (B, S_virt, H_kv, Dh) + masked attention.
+    from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+        from_int8,
+    )
+
     b = q.shape[0]
     page = k_pages.shape[2]
     s_virt = page_indices.shape[1] * page
     k = k_pages[:, page_indices]  # (H_kv, B, pps, page, Dh)
     v = v_pages[:, page_indices]
+    if k_scales is not None:
+        k = from_int8(k, k_scales[:, page_indices], q.dtype)
+        v = from_int8(v, v_scales[:, page_indices], q.dtype)
     k = k.transpose(1, 2, 3, 0, 4).reshape(b, s_virt, k_pages.shape[0], -1)
     v = v.transpose(1, 2, 3, 0, 4).reshape(b, s_virt, v_pages.shape[0], -1)
     mask = (jnp.arange(s_virt, dtype=jnp.int32)[None] < lengths[:, None])[:, None]
@@ -186,7 +237,7 @@ def paged_decode_step(
     layer_ids = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
 
     def body(carry, xs):
-        hidden, kp, vp = carry
+        hidden, kp, vp, kp_s, vp_s = carry
         lp, l = xs
         normed = _rms_norm(lp["input_layernorm"], hidden, cfg.rms_norm_eps)
         q = _lproj(lp, "q_proj", normed).reshape(b, 1, h, dh)
@@ -196,14 +247,26 @@ def paged_decode_step(
         k = apply_rope(k, cos, sin)
 
         phys_write = write_logical + l * total_pages  # (B,)
-        k_vals = k[:, 0].transpose(1, 0, 2).astype(kp.dtype)  # (H_kv, B, Dh)
-        v_vals = v[:, 0].transpose(1, 0, 2).astype(vp.dtype)
-        kp = kp.at[:, phys_write, write_off].set(k_vals)
-        vp = vp.at[:, phys_write, write_off].set(v_vals)
+        k_vals = k[:, 0].transpose(1, 0, 2)  # (H_kv, B, Dh)
+        v_vals = v[:, 0].transpose(1, 0, 2)
+        if kp_s is not None:
+            from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+                get_quantization_scales, to_int8,
+            )
+
+            ks = get_quantization_scales(k_vals.astype(jnp.float32))
+            vs = get_quantization_scales(v_vals.astype(jnp.float32))
+            kp_s = kp_s.at[:, phys_write, write_off].set(ks)
+            vp_s = vp_s.at[:, phys_write, write_off].set(vs)
+            k_vals = to_int8(k_vals.astype(jnp.float32), ks)
+            v_vals = to_int8(v_vals.astype(jnp.float32), vs)
+        kp = kp.at[:, phys_write, write_off].set(k_vals.astype(kp.dtype))
+        vp = vp.at[:, phys_write, write_off].set(v_vals.astype(vp.dtype))
 
         page_indices = cache.page_table + l * total_pages  # (B, pps)
         attn = _attend_paged(
-            q[:, 0], kp, vp, page_indices, jnp.maximum(pos + 1, 1)
+            q[:, 0], kp, vp, page_indices, jnp.maximum(pos + 1, 1),
+            k_scales=kp_s, v_scales=vp_s,
         )
         attn = _lproj(lp, "o_proj", attn.reshape(b, 1, cfg.hidden_size))
         hidden = hidden + attn
@@ -213,16 +276,19 @@ def paged_decode_step(
         ).astype(hidden.dtype)
         up = _lproj(lp, "up_proj", normed)
         hidden = hidden + _lproj(lp, "down_proj", gate * up)
-        return (hidden, kp, vp), None
+        return (hidden, kp, vp, kp_s, vp_s), None
 
-    (x, kp, vp), _ = jax.lax.scan(
-        body, (token_embeds, cache.k_pages, cache.v_pages),
+    (x, kp, vp, kp_s, vp_s), _ = jax.lax.scan(
+        body,
+        (token_embeds, cache.k_pages, cache.v_pages,
+         cache.k_scales, cache.v_scales),
         (params["layers"], layer_ids),
     )
     logits = _final(params, cfg, x)[:, 0]
     return logits, PagedKVCache(
         k_pages=kp, v_pages=vp,
         page_table=cache.page_table, lengths=cache.lengths + 1,
+        k_scales=kp_s, v_scales=vp_s,
     )
 
 

@@ -73,6 +73,7 @@ class PagedServingEngine(ServingEngine):
         pages_per_seq: Optional[int] = None,
         eos_token_id: int = 2,
         seed: int = 0,
+        quantize_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -91,7 +92,7 @@ class PagedServingEngine(ServingEngine):
         self._dtype = dtype
         self.cache = init_paged_cache(
             cfg.lm, num_slots, self.total_pages, page_size,
-            self.pages_per_seq, dtype,
+            self.pages_per_seq, dtype, quantize=quantize_kv,
         )
         self.allocator = PageAllocator(self.total_pages)
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
