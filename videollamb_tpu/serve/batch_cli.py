@@ -1,0 +1,138 @@
+"""Batch serving CLI: drive the continuous-batching engines from JSONL.
+
+Reference has no batch-serving surface (one request at a time through
+``llava.serve.cli``); this exposes the slot engines (serve/server.py,
+serve/paged.py) as a deployment entry point:
+
+    python -m videollamb_tpu.serve.batch_cli \
+        --model-path <ckpt> --requests in.jsonl --output out.jsonl \
+        --paged --quantize-kv --num-slots 8
+
+Each input line: {"id": ..., "prompt": ..., "video": <path, optional>,
+"image": <path, optional>, "max_new_tokens": ..., "temperature": ...}.
+Each output line: {"id": ..., "text": ..., "tokens": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Any, Dict, List
+
+
+def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
+    """Host-side preprocessing: conversation template + media -> Requests
+    (one fresh single-turn conversation per request, reference cli.py
+    prompt assembly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videollamb_tpu.constants import DEFAULT_X_TOKEN
+    from videollamb_tpu.models.assembly import MultimodalBatch
+
+    reqs = []
+    from videollamb_tpu.serve.server import Request
+
+    for row in lines:
+        videos = images = None
+        modality = "VIDEO" if row.get("video") else (
+            "IMAGE" if row.get("image") else None)
+        if row.get("video"):
+            from videollamb_tpu.data.video_reader import load_video
+
+            raw = load_video(row["video"], fps=1.0, max_frames=512)
+            videos = jnp.asarray(
+                chat.processors["VIDEO"](raw)[None], chat._dtype())
+        elif row.get("image"):
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(row["image"]), cv2.COLOR_BGR2RGB)
+            images = jnp.asarray(
+                chat.processors["IMAGE"](img)[None], chat._dtype())
+
+        chat.reset()
+        question = row["prompt"]
+        if modality:
+            question = DEFAULT_X_TOKEN[modality] + "\n" + question
+        chat.conv.append_message(chat.conv.roles[0], question)
+        chat.conv.append_message(chat.conv.roles[1], None)
+        ids, mask = chat._prepare_ids(chat.conv.get_prompt(),
+                                      modality or "IMAGE")
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+            labels=None, videos=videos, images=images,
+        )
+        reqs.append(Request(
+            uid=row.get("id"),
+            batch=batch,
+            max_new_tokens=int(row.get("max_new_tokens", 128)),
+            temperature=float(row.get("temperature", 0.0)),
+        ))
+    return reqs
+
+
+def serve_requests(engine, requests, tokenizer, k: int = 8):
+    for r in requests:
+        engine.submit(r)
+    done = engine.run_until_drained(k=k)
+    out = []
+    for r in done:
+        text = tokenizer.decode(r.tokens, skip_special_tokens=True)
+        out.append({"id": r.uid, "text": text.strip(), "tokens": len(r.tokens)})
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-base", default=None)
+    parser.add_argument("--requests", required=True, help="input JSONL")
+    parser.add_argument("--output", required=True, help="output JSONL")
+    parser.add_argument("--num-slots", type=int, default=4)
+    parser.add_argument("--paged", action="store_true",
+                        help="paged KV pool (serve/paged.py) instead of "
+                             "dense per-slot strips")
+    parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--quantize-kv", action="store_true",
+                        help="int8 KV pages (paged engine only)")
+    parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--sync-every", type=int, default=8,
+                        help="device-side decode steps between host syncs")
+    args = parser.parse_args(argv)
+
+    from videollamb_tpu.models.builder import load_pretrained_model
+    from videollamb_tpu.serve.chat import Chat
+
+    tokenizer, params, cfg, processors, _ = load_pretrained_model(
+        args.model_path, model_base=args.model_base, load_8bit=args.load_8bit,
+    )
+    chat = Chat(tokenizer, params, cfg, processors)
+
+    if args.paged:
+        from videollamb_tpu.serve.paged import PagedServingEngine
+
+        engine = PagedServingEngine(
+            params, cfg, num_slots=args.num_slots, page_size=args.page_size,
+            quantize_kv=args.quantize_kv,
+            eos_token_id=int(tokenizer.eos_token_id or 2),
+        )
+    else:
+        from videollamb_tpu.serve.server import ServingEngine
+
+        engine = ServingEngine(
+            params, cfg, num_slots=args.num_slots,
+            eos_token_id=int(tokenizer.eos_token_id or 2),
+        )
+
+    with open(args.requests) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    reqs = build_requests(lines, chat)
+    out = serve_requests(engine, reqs, tokenizer, k=args.sync_every)
+    with open(args.output, "w") as f:
+        for row in out:
+            f.write(json.dumps(row) + "\n")
+    print(f"served {len(out)} requests -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()
