@@ -89,3 +89,63 @@ def test_pipeline_gradients_match_unpipelined(model):
     np.testing.assert_allclose(
         np.asarray(g_pp["lm_head"]), np.asarray(g_ref["lm_head"]),
         rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("stages,n_data", [(4, 1), (2, 2)])
+def test_pipeline_train_step_matches_unpipelined(model, stages, n_data):
+    """Full pipelined train step (loss + grads + AdamW update) equals the
+    single-device step — microbatch grad accumulation via the GPipe loop's
+    AD transpose, optionally composed with a 'data' axis."""
+    import optax
+
+    from videollamb_tpu.constants import IGNORE_INDEX
+    from videollamb_tpu.models.assembly import causal_lm_loss
+    from videollamb_tpu.parallel.pipeline import (
+        create_pipe_data_mesh,
+        make_pipeline_train_step,
+    )
+    from videollamb_tpu.train.step import TrainState
+
+    cfg, params0 = model
+    b, s = 4, 8
+    rng = np.random.default_rng(2)
+    embeds = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)).astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    labels = np.asarray(rng.integers(0, cfg.vocab_size, size=(b, s)), np.int32)
+    labels[0, :3] = IGNORE_INDEX  # prompt holes
+    labels = jnp.asarray(labels)
+
+    tx = optax.adamw(1e-2)
+
+    # Reference: unpipelined single-device step.
+    def ref_loss(p):
+        return causal_lm_loss(llama_forward(p, cfg, embeds, mask), labels)
+
+    (ref_l, _), g = jax.value_and_grad(ref_loss, has_aux=True)(params0)
+    upd, _ = tx.update(g, tx.init(params0), params0)
+    ref_params = optax.apply_updates(params0, upd)
+
+    mesh = create_pipe_data_mesh(stages, n_data)
+    # Fresh copies: the train step donates its state, and the module-scoped
+    # fixture leaves must survive for other parametrizations.
+    own = jax.tree.map(jnp.array, params0)
+    pp_params = dict(own, layers=shard_stacked_layers(mesh, own["layers"]))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pp_params,
+                       opt_state=tx.init(pp_params))
+    step = make_pipeline_train_step(
+        mesh, cfg, tx, n_micro=2, data_axis="data" if n_data > 1 else None)
+    state, metrics = step(state, embeds, mask, labels)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_l), rtol=1e-5)
+    for key in ref_params["layers"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(state.params["layers"][key])),
+            np.asarray(ref_params["layers"][key]), rtol=2e-4, atol=2e-5,
+            err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state.params["lm_head"])),
+        np.asarray(ref_params["lm_head"]), rtol=2e-4, atol=2e-5)
+    # Layer params stay pipe-sharded through the optimizer update.
+    shard_shapes = {tuple(sh.data.shape)
+                    for sh in state.params["layers"]["q_proj"].addressable_shards}
+    assert {sh[0] for sh in shard_shapes} == {4 // stages}

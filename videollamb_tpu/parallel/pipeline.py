@@ -37,6 +37,17 @@ def create_pipeline_mesh(n_stages: int, *, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("pipe",))
 
 
+def create_pipe_data_mesh(n_stages: int, n_data: int, *, devices=None) -> Mesh:
+    """('pipe', 'data') mesh: pipeline stages on the contiguous (fast/ICI)
+    axis, data replicas across stage groups."""
+    import numpy as np
+
+    need = n_stages * n_data
+    devices = list(devices if devices is not None else jax.devices())[:need]
+    assert len(devices) == need, (len(devices), need)
+    return Mesh(np.asarray(devices).reshape(n_data, n_stages), ("data", "pipe"))
+
+
 def shard_stacked_layers(mesh: Mesh, layers: Params) -> Params:
     """Shard every (L, ...) leaf of a stacked layer pytree on dim 0 over
     'pipe'."""
@@ -51,12 +62,25 @@ def pipeline_apply(
     layer_fn: Callable[[Params, jax.Array], jax.Array],
     layers: Params,  # stacked (L, ...) leaves, sharded over 'pipe' dim 0
     x: jax.Array,  # (M, mb, ...) microbatched input, replicated
+    *,
+    data_axis: str = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Run x through all L layers with GPipe pipelining; returns (M, mb, ...)
     outputs, replicated on every stage.
 
     ``layer_fn(lp, h) -> h`` applies ONE layer (unstacked params) to one
     microbatch of activations.
+
+    ``data_axis`` composes pipelining with data parallelism on a 2-D mesh:
+    the microbatch dim (dim 1 of x) is sharded over that axis, each data
+    replica runs its own GPipe schedule over 'pipe', and GSPMD psums the
+    parameter grads across replicas during backward (layer params are
+    replicated over ``data_axis``).
+
+    ``remat=True`` rematerializes each stage's layer scan in the backward
+    pass — the GPipe memory story (activations per live microbatch, not per
+    (tick, layer)) for training.
     """
     n_stages = mesh.shape["pipe"]
     m = x.shape[0]
@@ -72,6 +96,9 @@ def pipeline_apply(
 
             h, _ = jax.lax.scan(body, h, local_layers)
             return h
+
+        if remat:
+            run_stage = jax.checkpoint(run_stage)
 
         def tick(t, carry):
             buf, outs = carry
@@ -101,10 +128,11 @@ def pipeline_apply(
         mask = (idx == p - 1).astype(outs.dtype)
         return jax.lax.psum(outs * mask, "pipe")
 
+    xspec = P(None, data_axis) if data_axis else P()
     fn = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pipe"), P()),
-        out_specs=P(),
+        in_specs=(P("pipe"), xspec),
+        out_specs=xspec,
         check_vma=False,
     )
     return fn(layers, x)
@@ -117,6 +145,9 @@ def pipeline_llama_forward(
     inputs_embeds: jax.Array,  # (B, S, D); B must divide into n_micro
     attention_mask: jax.Array,  # (B, S)
     n_micro: int,
+    *,
+    data_axis: str = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Full-sequence Llama forward with the layer stack pipelined over
     'pipe' (reference equivalent: none — the reference cannot pipeline).
@@ -127,7 +158,10 @@ def pipeline_llama_forward(
     b, s, _ = inputs_embeds.shape
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
-    position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (mb, s))
+    # Batch-size-1 tables: layer_fn closes over these, and under a 'data'
+    # axis the shard-local microbatch is smaller than mb — a leading 1
+    # broadcasts against any local batch.
+    position_ids = jnp.arange(s, dtype=jnp.int32)[None]
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
 
     valid = attention_mask.astype(bool).reshape(n_micro, mb, s)
@@ -146,6 +180,58 @@ def pipeline_llama_forward(
         h, _, _ = _layer(lp, cfg, h, cos, sin, mk)
         return jnp.concatenate([h, hm[..., -1:]], axis=-1)
 
-    out = pipeline_apply(mesh, layer_fn, params["layers"], xm)
+    out = pipeline_apply(mesh, layer_fn, params["layers"], xm,
+                         data_axis=data_axis, remat=remat)
     h = out[..., :-1].reshape(b, s, -1)
     return _final(params, cfg, h)
+
+
+def make_pipeline_train_step(
+    mesh: Mesh,
+    cfg,
+    tx,
+    n_micro: int,
+    *,
+    data_axis: str = None,
+    remat: bool = True,
+) -> Callable:
+    """Full pipelined LM training step over a ('pipe'[, 'data']) mesh.
+
+    Gradient accumulation across microbatches is the AD transpose of the
+    GPipe loop itself (ppermute reverses into the inverse ring, the layer
+    scan accumulates stage-local grads over every tick), so one call
+    produces exactly the summed-microbatch gradient the reference gets from
+    DeepSpeed ``gradient_accumulation_steps`` (llava/train/train.py flag
+    surface) — but with the layer stack sharded over stages instead of
+    replicated. Layer params/optimizer state stay pipe-sharded through the
+    update (optax ops are elementwise, so GSPMD keeps the layout); with
+    ``data_axis`` the batch is additionally sharded over data replicas and
+    grads psum across them in backward.
+
+    Returns ``step(state, embeds, mask, labels) -> (state, metrics)``
+    (jittable; embeds (B, S, D), labels (B, S) with IGNORE_INDEX holes).
+    """
+    import optax
+
+    from videollamb_tpu.models.assembly import causal_lm_loss
+    from videollamb_tpu.train.step import TrainState
+
+    def loss_fn(params, embeds, mask, labels):
+        logits = pipeline_llama_forward(
+            mesh, params, cfg, embeds, mask, n_micro,
+            data_axis=data_axis, remat=remat,
+        )
+        loss, n = causal_lm_loss(logits, labels)
+        return loss, n
+
+    def step(state: TrainState, embeds, mask, labels):
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, embeds, mask, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "tokens": n,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
