@@ -72,6 +72,41 @@ def propose_lookup(
     return []
 
 
+def _verify_chunk(
+    lm: Params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    chunk: List[int],
+    k: int,
+    done,
+) -> Tuple[List[int], KVCache, jax.Array, int]:
+    """One cache-extend verify pass: write ``chunk`` (padded to k) into the
+    target cache, accept the longest greedy-matching prefix. Returns
+    (accepted, cache, all_logits, start_len) — the caller handles rollback
+    semantics (shrink ``cache.length``; stale slots are overwritten in
+    place before they can ever be attended)."""
+    ids = np.zeros((1, k), np.int32)
+    ids[0, : len(chunk)] = chunk
+    mask = np.zeros((1, k), np.int32)
+    mask[0, : len(chunk)] = 1
+    # Snapshot to host: llama_extend donates the cache, which deletes the
+    # device buffer `cache.length` refers to.
+    start_len = int(cache.length[0])
+    all_logits, cache = llama_extend(
+        lm, cfg, embed_tokens(lm, jnp.asarray(ids)), jnp.asarray(mask),
+        cache, return_all=True,
+    )
+    greedy = np.asarray(jnp.argmax(all_logits[0, : len(chunk)], axis=-1))
+    # chunk[0] is already verified (it WAS the greedy token); position i
+    # verifies chunk[i+1].
+    accepted = [chunk[0]]
+    for i in range(1, len(chunk)):
+        if done(accepted[-1]) or greedy[i - 1] != chunk[i]:
+            break
+        accepted.append(chunk[i])
+    return accepted, cache, all_logits, start_len
+
+
 def speculative_decode(
     params: Params,
     cfg: LlamaConfig,
@@ -119,26 +154,8 @@ def speculative_decode(
             )
             continue
 
-        ids = np.zeros((1, k), np.int32)
-        ids[0, : len(chunk)] = chunk
-        mask = np.zeros((1, k), np.int32)
-        mask[0, : len(chunk)] = 1
-        # Snapshot to host: llama_extend donates the cache, which deletes
-        # the device buffer `cache.length` refers to.
-        start_len = int(cache.length[0])
-        all_logits, cache = llama_extend(
-            lm, cfg, embed_tokens(lm, jnp.asarray(ids)), jnp.asarray(mask),
-            cache, return_all=True,
-        )
-        greedy = np.asarray(jnp.argmax(all_logits[0, : len(chunk)], axis=-1))
-
-        # chunk[0] is already verified (it WAS the greedy token); position i
-        # verifies chunk[i+1].
-        accepted = [chunk[0]]
-        for i in range(1, len(chunk)):
-            if done(accepted[-1]) or greedy[i - 1] != chunk[i]:
-                break
-            accepted.append(chunk[i])
+        accepted, cache, all_logits, start_len = _verify_chunk(
+            lm, cfg, cache, chunk, k, done)
         accepted_total += len(accepted) - 1
         toks.extend(accepted)
         if done(accepted[-1]):
@@ -159,6 +176,129 @@ def speculative_decode(
         "tokens": len(toks),
         "proposed": proposed_total,
         "accepted": accepted_total,
+        "tokens_per_step": len(toks) / max(steps, 1),
+    }
+    return toks, cache, logits, stats
+
+
+def speculative_decode_draft(
+    params: Params,
+    cfg: LlamaConfig,
+    cache: KVCache,
+    first_logits: jax.Array,  # (1, V) — target logits for the next position
+    *,
+    draft_params: Params,
+    draft_cfg: LlamaConfig,
+    draft_cache: KVCache,  # prefilled over the SAME context as ``cache``
+    max_new_tokens: int,
+    eos_token_id: int,
+    stop_ids: Optional[set] = None,
+    k: int = 8,
+) -> Tuple[List[int], KVCache, jax.Array, Dict[str, float]]:
+    """Greedy decode with a DRAFT MODEL proposing chunks (B=1).
+
+    Classic two-model speculation (Leviathan et al. 2023, greedy variant):
+    a small draft LM autoregressively proposes ``k - 1`` tokens, the target
+    verifies the whole chunk in ONE weight-bandwidth-bound cache-extend
+    forward, and the longest greedy-matching prefix is kept — output is
+    token-for-token the target's greedy chain regardless of draft quality
+    (acceptance only affects speed). Complements ``speculative_decode``:
+    prompt lookup needs repetitive output, a draft model pays off on any
+    output, costing draft_size/target_size extra bandwidth per token.
+
+    The draft keeps its own KV cache, synced each round with the tokens the
+    target committed (one padded k-wide extend — same static shape as the
+    verify pass) and rolled back over rejected proposals by shrinking
+    ``length`` only, the same stale-slot invariant the target cache uses.
+
+    Returns (tokens, cache, next_logits, stats); ``stats['accept_rate']``
+    is the fraction of proposed draft tokens the target kept.
+    """
+    stop_ids = stop_ids or set()
+    lm = params["lm"] if "lm" in params else params
+    dlm = draft_params["lm"] if "lm" in draft_params else draft_params
+    toks: List[int] = []
+    logits = first_logits
+    steps = 0
+    draft_steps = 0
+    proposed_total = 0
+    accepted_total = 0
+    # Committed tokens not yet written into the draft cache; at most k per
+    # round (k-1 accepted continuations + the next verified token).
+    pending: List[int] = []
+
+    def done(t: int) -> bool:
+        return t == eos_token_id or t in stop_ids
+
+    while len(toks) < max_new_tokens:
+        t1 = int(jnp.argmax(logits[0]))
+        if done(t1):
+            break
+        budget = max_new_tokens - len(toks)
+        steps += 1
+
+        # --- draft phase: sync committed tokens, then propose greedily.
+        pending.append(t1)
+        ids = np.zeros((1, k), np.int32)
+        ids[0, : len(pending)] = pending
+        mask = np.zeros((1, k), np.int32)
+        mask[0, : len(pending)] = 1
+        d_all, draft_cache = llama_extend(
+            dlm, draft_cfg, embed_tokens(dlm, jnp.asarray(ids)),
+            jnp.asarray(mask), draft_cache, return_all=True,
+        )
+        draft_len = int(draft_cache.length[0])  # context + all committed + t1
+        d_logits = d_all[:, len(pending) - 1]
+        pending = []
+
+        d_toks: List[int] = []
+        n_propose = max(0, min(k - 1, budget - 1))
+        for _ in range(n_propose):
+            dt = int(jnp.argmax(d_logits[0]))
+            if done(dt):
+                break
+            d_toks.append(dt)
+            draft_steps += 1
+            d_logits, draft_cache = llama_decode_step(
+                dlm, draft_cfg, embed_tokens(dlm, jnp.asarray([[dt]])),
+                draft_cache,
+            )
+        # Roll the draft back over its own proposals (they are uncommitted).
+        draft_cache = KVCache(k=draft_cache.k, v=draft_cache.v,
+                              length=jnp.asarray([draft_len], jnp.int32))
+        proposed_total += len(d_toks)
+
+        # --- target verify phase.
+        chunk = [t1] + d_toks
+        if len(chunk) == 1:
+            toks.append(t1)
+            logits, cache = llama_decode_step(
+                lm, cfg, embed_tokens(lm, jnp.asarray([[t1]])), cache
+            )
+            continue
+
+        accepted, cache, all_logits, start_len = _verify_chunk(
+            lm, cfg, cache, chunk, k, done)
+        accepted_total += len(accepted) - 1
+        toks.extend(accepted)
+        pending = accepted[1:]  # draft already holds t1
+        if done(accepted[-1]):
+            toks.pop()
+            cache = KVCache(k=cache.k, v=cache.v,
+                            length=jnp.asarray([start_len + len(accepted) - 1],
+                                               jnp.int32))
+            break
+        cache = KVCache(k=cache.k, v=cache.v,
+                        length=jnp.asarray([start_len + len(accepted)], jnp.int32))
+        logits = all_logits[:, len(accepted) - 1]
+
+    stats = {
+        "steps": steps,
+        "draft_steps": draft_steps,
+        "tokens": len(toks),
+        "proposed": proposed_total,
+        "accepted": accepted_total,
+        "accept_rate": accepted_total / max(proposed_total, 1),
         "tokens_per_step": len(toks) / max(steps, 1),
     }
     return toks, cache, logits, stats

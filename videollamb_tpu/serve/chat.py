@@ -166,15 +166,24 @@ class Chat:
         max_new_tokens: int = 512,
         ngram: int = 3,
         k: int = 8,
+        draft_params=None,
+        draft_cfg=None,
     ):
-        """Greedy generation with prompt-lookup speculative decoding
-        (models/speculative.py): identical text to greedy generate, fewer
-        forward passes when the answer reuses prompt phrases. Returns
-        (text, stats)."""
+        """Greedy generation with speculative decoding (models/
+        speculative.py): identical text to greedy generate, fewer forward
+        passes. Default is prompt lookup (draft-free; wins when the answer
+        reuses prompt phrases). Passing ``draft_params`` switches to
+        draft-model speculation — the natural TPU pairing is an int8/int4
+        quantized copy of the SAME model (models/lm/quant.py) drafting for
+        the bf16 target: it shares this model's multimodal embeds, so any
+        hidden-size-compatible draft works. Returns (text, stats)."""
         from videollamb_tpu.mm_utils import tokenizer_x_token
         from videollamb_tpu.models.assembly import prepare_multimodal_embeds
         from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
-        from videollamb_tpu.models.speculative import speculative_decode
+        from videollamb_tpu.models.speculative import (
+            speculative_decode,
+            speculative_decode_draft,
+        )
 
         modality = "VIDEO" if videos is not None else "IMAGE"
         ids, mask = self._prepare_ids(prompt, modality)
@@ -195,6 +204,26 @@ class Chat:
             spliced.attention_mask, cache,
         )
         stopper = KeywordStopper([self.stop_str()], self.tokenizer)
+        if draft_params is not None:
+            d_cfg = draft_cfg or self.cfg.lm
+            d_cache = init_kv_cache(
+                d_cfg, 1, self.cfg.max_length + _round_up(max_new_tokens, 64),
+                self._dtype(),
+            )
+            d_lm = draft_params["lm"] if "lm" in draft_params else draft_params
+            _, d_cache = llama_prefill(
+                d_lm, d_cfg, spliced.embeds, spliced.attention_mask, d_cache,
+            )
+            toks, _, _, stats = speculative_decode_draft(
+                self.params, self.cfg.lm, cache, logits,
+                draft_params=draft_params, draft_cfg=d_cfg, draft_cache=d_cache,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=int(self.tokenizer.eos_token_id or 2),
+                stop_ids=set(stopper.stop_token_ids()),
+                k=k,
+            )
+            text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+            return stopper.trim(text), stats
         prompt_tokens = tokenizer_x_token(
             prompt, self.tokenizer, X_TOKEN_INDEX[modality], return_tensors="np"
         )
