@@ -208,3 +208,96 @@ def test_quantized_paged_engine_runs(tiny):
     done = engine.run_until_drained(k=2)
     assert len(done) == 2
     assert all(len(r.tokens) == 5 for r in reqs)
+
+
+def _split_prompt(cfg, seed, suffix_ids):
+    """(prefix batch with video, suffix batch, combined batch)."""
+    rng = np.random.default_rng(seed)
+    pre = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+    pre[:, 2] = VIDEO_TOKEN_INDEX
+    videos = jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32))
+    suf = np.asarray(suffix_ids, np.int32)[None]
+    prefix = MultimodalBatch(
+        input_ids=jnp.asarray(pre), attention_mask=jnp.ones((1, 8), jnp.int32),
+        labels=None, videos=videos, images=None)
+    suffix = MultimodalBatch(
+        input_ids=jnp.asarray(suf),
+        attention_mask=jnp.ones_like(jnp.asarray(suf)),
+        labels=None, videos=None, images=None)
+    full = MultimodalBatch(
+        input_ids=jnp.concatenate([jnp.asarray(pre), jnp.asarray(suf)], axis=1),
+        attention_mask=jnp.ones((1, 8 + suf.shape[1]), jnp.int32),
+        labels=None, videos=videos, images=None)
+    return prefix, suffix, full
+
+
+def test_prefix_cache_token_parity(tiny):
+    """Requests sharing a registered prefix produce the same tokens as
+    full-prompt requests through the plain paged engine."""
+    cfg, params = tiny
+    suffixes = [[7, 11, 13], [21, 22, 23, 24]]
+    prefix, _, _ = _split_prompt(cfg, seed=5, suffix_ids=suffixes[0])
+
+    # Reference: full prompts, no prefix cache.
+    ref_engine = PagedServingEngine(params, cfg, num_slots=2, page_size=8,
+                                    eos_token_id=-1)
+    ref_reqs = []
+    for uid, suf in enumerate(suffixes):
+        _, _, full = _split_prompt(cfg, seed=5, suffix_ids=suf)
+        r = Request(uid=uid, batch=full, max_new_tokens=6, temperature=0.0)
+        ref_reqs.append(r)
+        ref_engine.submit(r)
+    ref_engine.run_until_drained(k=2)
+
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=8,
+                                eos_token_id=-1)
+    pid = engine.register_prefix(prefix)
+    assert pid is not None
+    info = engine._prefixes[pid]
+    assert len(info["pages"]) >= 1  # something actually shared
+    reqs = []
+    for uid, suf in enumerate(suffixes):
+        _, suffix, _ = _split_prompt(cfg, seed=5, suffix_ids=suf)
+        r = Request(uid=uid, batch=suffix, max_new_tokens=6, temperature=0.0,
+                    prefix_id=pid)
+        reqs.append(r)
+        engine.submit(r)
+    engine.run_until_drained(k=2)
+
+    for a, b in zip(ref_reqs, reqs):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+
+
+def test_prefix_pages_shared_and_refcounted(tiny):
+    """Concurrent consumers map the same physical prefix pages; pages
+    return to the pool only after every consumer AND the registration
+    release them."""
+    cfg, params = tiny
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=8,
+                                eos_token_id=-1)
+    free0 = engine.allocator.free_pages
+    prefix, suffix, _ = _split_prompt(cfg, seed=6, suffix_ids=[7, 11, 13])
+    pid = engine.register_prefix(prefix)
+    shared = engine._prefixes[pid]["pages"]
+    n_shared = len(shared)
+    assert n_shared >= 1
+
+    reqs = [Request(uid=i, batch=suffix, max_new_tokens=40, temperature=0.0,
+                    prefix_id=pid) for i in range(2)]
+    for r in reqs:
+        engine.submit(r)
+    engine.step(k=1)  # admit both
+    assert all(s is not None for s in engine.slots)
+    # Both slots' tables start with the SAME physical pages.
+    table = np.asarray(engine.cache.page_table)
+    assert list(table[0][:n_shared]) == shared
+    assert list(table[1][:n_shared]) == shared
+    # Private tails differ.
+    assert table[0][n_shared] != table[1][n_shared]
+    # Pool accounting: shared pages counted once.
+    engine.run_until_drained(k=4)
+    assert all(r.done for r in reqs)
+    # Registration still holds the shared pages.
+    assert engine.allocator.free_pages == free0 - n_shared
+    engine.release_prefix(pid)
+    assert engine.allocator.free_pages == free0

@@ -283,3 +283,38 @@ def test_streaming_prefetch_hits_and_parity(tiny_chat):
 
     sess_b, ans_b = run()
     assert ans_a == ans_b
+
+
+def test_extend_full_width_chunk_near_buffer_end():
+    """Regression: a padded extend chunk as wide as the cache buffer must
+    not clobber the existing context. The old dynamic_update_slice write
+    clamped its START index when start + chunk > buffer, silently rewriting
+    the cache from position 0 (caught by the paged-engine prefix cache,
+    whose suffix buckets are full-width)."""
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.models.lm.llama import (
+        init_kv_cache,
+        init_llama_params,
+        llama_extend,
+        llama_prefill,
+    )
+
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    d = cfg.hidden_size
+    full = jnp.asarray(rng.normal(size=(1, 14, d)).astype(np.float32))
+
+    c1 = init_kv_cache(cfg, 1, 64, jnp.float32)
+    ref, _ = llama_prefill(params, cfg, full, jnp.ones((1, 14), jnp.int32), c1)
+
+    c2 = init_kv_cache(cfg, 1, 64, jnp.float32)
+    _, c2 = llama_prefill(params, cfg, full[:, :11], jnp.ones((1, 11), jnp.int32), c2)
+    # Chunk bucket == buffer width: 3 valid tokens + 61 pads.
+    emb = jnp.concatenate(
+        [full[:, 11:], jnp.zeros((1, 61, d), jnp.float32)], axis=1)
+    mask = jnp.asarray(np.r_[np.ones(3), np.zeros(61)][None], jnp.int32)
+    out, c2 = llama_extend(params, cfg, emb, mask, c2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    assert int(c2.length[0]) == 14

@@ -362,9 +362,13 @@ def llama_extend(
         k = apply_rope(k, cos, sin)
 
         def write_row(c_row, new_row, pos):
-            return jax.lax.dynamic_update_slice(
-                c_row, new_row.astype(c_row.dtype), (pos, 0, 0)
-            )
+            # Scatter, NOT dynamic_update_slice: DUS clamps the START index
+            # when pos + s exceeds the buffer, silently rewriting the cache
+            # from 0 and destroying the existing context (bites when a
+            # padded chunk bucket is as long as the buffer). mode='drop'
+            # discards only the out-of-bounds PAD rows.
+            idx = pos + jnp.arange(new_row.shape[0], dtype=jnp.int32)
+            return c_row.at[idx].set(new_row.astype(c_row.dtype), mode="drop")
 
         ck = jax.vmap(write_row)(ck, k, start)
         cv = jax.vmap(write_row)(cv, v, start)

@@ -103,30 +103,32 @@ def init_paged_cache(
     )
 
 
-@partial(jax.jit, static_argnames=("total_pages",), donate_argnames=("cache",))
-def paged_insert(
+def _scatter_pages(
     cache: PagedKVCache,
-    single: KVCache,  # dense B=1 cache from llama_prefill
-    slot: jax.Array,  # () int32
-    page_ids: jax.Array,  # (pages_per_seq,) int32; unused entries TRASH_PAGE
+    single: KVCache,
+    page_ids: jax.Array,
     total_pages: int,
+    skip_pages: int = 0,
 ) -> PagedKVCache:
-    """Copy a prefilled B=1 dense cache into the pool at ``page_ids`` and
-    install the page table row for ``slot``.
-
-    Every page-table entry is written (unused ones into the trash page), so
-    the op compiles once regardless of the request length."""
+    """Pool-only scatter: copy whole pages ``skip_pages..`` of a dense B=1
+    cache into the pool at ``page_ids`` (table/lengths untouched).
+    ``skip_pages`` skips logical pages whose content is already resident —
+    the prefix-cache admission path, where the shared prefix pages were
+    written once at registration."""
     l_layers, _, s_single, h_kv, dh = single.k.shape
     page = cache.page_size
     pps = page_ids.shape[0]
     n_copy = min(pps, s_single // page)  # whole pages in the dense buffer
+    if n_copy <= skip_pages:
+        return cache
 
-    phys = (page_ids[None, :n_copy]
+    phys = (page_ids[None, skip_pages:n_copy]
             + jnp.arange(l_layers, dtype=jnp.int32)[:, None] * total_pages)
 
     def rows_of(dense):
-        # dense: (L, s_single, H_kv, Dh) -> (H_kv, L, n_copy, page, Dh)
-        src = dense[:, : n_copy * page].reshape(l_layers, n_copy, page, h_kv, dh)
+        # dense: (L, s_single, H_kv, Dh) -> (H_kv, L, n_copy-skip, page, Dh)
+        src = dense[:, skip_pages * page: n_copy * page].reshape(
+            l_layers, n_copy - skip_pages, page, h_kv, dh)
         return src.transpose(3, 0, 1, 2, 4)
 
     def scatter(pool, src):
@@ -134,7 +136,7 @@ def paged_insert(
         return pool.at[:, phys].set(src.astype(pool.dtype), mode="drop")
 
     k_src, v_src = rows_of(single.k[:, 0]), rows_of(single.v[:, 0])
-    k_scales = v_scales = None
+    k_scales, v_scales = cache.k_scales, cache.v_scales
     if cache.k_scales is not None:
         from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
             get_quantization_scales, to_int8,
@@ -146,13 +148,47 @@ def paged_insert(
         v_scales = cache.v_scales.at[:, phys].set(vs, mode="drop")
         k_src = to_int8(k_src.astype(jnp.float32), ks)
         v_src = to_int8(v_src.astype(jnp.float32), vs)
-    return PagedKVCache(
+    return cache._replace(
         k_pages=scatter(cache.k_pages, k_src),
         v_pages=scatter(cache.v_pages, v_src),
-        page_table=cache.page_table.at[slot].set(page_ids),
-        lengths=cache.lengths.at[slot].set(single.length[0]),
         k_scales=k_scales,
         v_scales=v_scales,
+    )
+
+
+@partial(jax.jit, static_argnames=("total_pages",), donate_argnames=("cache",))
+def scatter_prefix_pages(
+    cache: PagedKVCache,
+    single: KVCache,
+    page_ids: jax.Array,  # (n_shared,) int32 — real page ids only
+    total_pages: int,
+) -> PagedKVCache:
+    """Write a prefix's whole pages into the pool without touching any
+    slot's table (prefix-cache registration)."""
+    return _scatter_pages(cache, single, page_ids, total_pages)
+
+
+@partial(jax.jit, static_argnames=("total_pages", "skip_pages"),
+         donate_argnames=("cache",))
+def paged_insert(
+    cache: PagedKVCache,
+    single: KVCache,  # dense B=1 cache from llama_prefill
+    slot: jax.Array,  # () int32
+    page_ids: jax.Array,  # (pages_per_seq,) int32; unused entries TRASH_PAGE
+    total_pages: int,
+    skip_pages: int = 0,
+) -> PagedKVCache:
+    """Copy a prefilled B=1 dense cache into the pool at ``page_ids`` and
+    install the page table row for ``slot``.
+
+    Every page-table entry is written (unused ones into the trash page), so
+    the op compiles once regardless of the request length. ``skip_pages``
+    logical pages are installed in the table but not re-copied (shared
+    prefix pages already resident in the pool)."""
+    cache = _scatter_pages(cache, single, page_ids, total_pages, skip_pages)
+    return cache._replace(
+        page_table=cache.page_table.at[slot].set(page_ids),
+        lengths=cache.lengths.at[slot].set(single.length[0]),
     )
 
 
@@ -299,11 +335,16 @@ def paged_decode_step(
 
 
 class PageAllocator:
-    """Host-side free-list over logical pages (page 0 reserved as trash)."""
+    """Host-side refcounted free-list over logical pages (page 0 = trash).
+
+    Refcounts enable prefix caching: shared prefix pages are ``retain``-ed
+    once per slot that maps them, and return to the free list only when the
+    last reference (slots + the registration itself) drops."""
 
     def __init__(self, total_pages: int):
         self.total_pages = total_pages
         self._free: List[int] = list(range(total_pages - 1, 0, -1))
+        self._rc: Dict[int, int] = {}
 
     @property
     def free_pages(self) -> int:
@@ -312,11 +353,23 @@ class PageAllocator:
     def alloc(self, n: int) -> Optional[List[int]]:
         if n > len(self._free):
             return None
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._rc[p] = 1
+        return pages
+
+    def retain(self, pages: List[int]) -> None:
+        for p in pages:
+            if p != TRASH_PAGE:
+                self._rc[p] += 1
 
     def free(self, pages: List[int]) -> None:
         for p in pages:
-            if p != TRASH_PAGE:
+            if p == TRASH_PAGE:
+                continue
+            self._rc[p] -= 1
+            if self._rc[p] == 0:
+                del self._rc[p]
                 self._free.append(p)
 
     def pages_needed(self, tokens: int, page_size: int) -> int:

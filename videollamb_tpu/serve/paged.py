@@ -15,6 +15,14 @@ but context HBM is allocated in pages from one shared pool
 Decode attention is JAX's stock TPU Pallas paged-attention kernel (reads
 only the active pages from HBM); CPU tests run the gather fallback with
 identical logits.
+
+Prefix caching (register_prefix / Request.prefix_id): the long shared
+prompt prefix (system + video tokens) is prefilled ONCE; its whole pages
+are mapped read-only into every consumer slot's page table (refcounted),
+and each admission prefills only the request suffix via llama_extend over
+a copy of the prefix's dense cache — vLLM-style shared prompt pages,
+natural on the paged pool. Decode never writes a shared page: writes land
+at positions >= prefix_len, which live in slot-private pages.
 """
 
 from __future__ import annotations
@@ -28,7 +36,13 @@ import numpy as np
 
 from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.models.assembly import Params, prepare_multimodal_embeds
-from videollamb_tpu.models.lm.llama import embed_tokens, init_kv_cache, llama_prefill
+from videollamb_tpu.models.lm.llama import (
+    KVCache,
+    embed_tokens,
+    init_kv_cache,
+    llama_extend,
+    llama_prefill,
+)
 from videollamb_tpu.models.lm.paged import (
     TRASH_PAGE,
     PageAllocator,
@@ -36,6 +50,7 @@ from videollamb_tpu.models.lm.paged import (
     init_paged_cache,
     paged_decode_step,
     paged_insert,
+    scatter_prefix_pages,
 )
 from videollamb_tpu.serve.server import Request, ServingEngine
 
@@ -103,8 +118,94 @@ class PagedServingEngine(ServingEngine):
         import queue
 
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        # Prefix cache: pid -> dict(pages, dense, logits, len). Shared full
+        # pages are mapped read-only into each consumer slot's page table;
+        # decode never writes them (writes land at position >= prefix_len).
+        self._prefixes = {}
+        self._next_prefix_id = 0
 
     # ------------------------------------------------------------------
+    # Prefix caching (beyond the reference: amortizes the long system +
+    # media prompt across requests — vLLM-style shared prompt pages, natural
+    # on the paged pool).
+    def register_prefix(self, batch) -> Optional[int]:
+        """Prefill a shared prompt prefix once; returns a prefix id for
+        Request.prefix_id, or None if the pool cannot hold it. The prefix's
+        whole pages are written into the pool and shared (refcounted) by
+        every consumer slot; its dense cache is kept so each admission only
+        prefills the request suffix (llama_extend)."""
+        spliced = prepare_multimodal_embeds(
+            self.params, self.cfg, batch, deterministic=True
+        )
+        prefix_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+        n_full = prefix_len // self.page_size
+        dense = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
+        logits, dense = llama_prefill(
+            self.params["lm"], self.cfg.lm,
+            spliced.embeds.astype(self._dtype), spliced.attention_mask, dense,
+        )
+        pages = self.allocator.alloc(n_full) if n_full else []
+        if pages is None:
+            return None
+        if pages:
+            self.cache = scatter_prefix_pages(
+                self.cache, dense, jnp.asarray(pages, jnp.int32),
+                self.total_pages,
+            )
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {
+            "pages": pages, "dense": dense, "logits": logits,
+            "len": prefix_len,
+        }
+        return pid
+
+    def release_prefix(self, pid: int) -> None:
+        info = self._prefixes.pop(pid)
+        self.allocator.free(info["pages"])
+
+    def _admit_prefix(self, req: Request, slot: int) -> bool:
+        """Admission for a prefix-cached request: suffix-only prefill over a
+        copy of the prefix's dense cache, shared pages mapped by refcount.
+        Returns False on backpressure (leave the request queued)."""
+        info = self._prefixes[req.prefix_id]
+        spliced = prepare_multimodal_embeds(
+            self.params, self.cfg, req.batch, deterministic=True
+        )
+        suffix_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+        total_len = info["len"] + suffix_len
+        n_pages = self.allocator.pages_needed(total_len, self.page_size)
+        n_full = len(info["pages"])
+        if n_pages > self.pages_per_seq:
+            self.pending.get()
+            req.done = True  # reject: exceeds per-sequence budget
+            return True
+        private = self.allocator.alloc(n_pages - n_full)
+        if private is None:
+            return False  # pool exhausted — backpressure
+        self.pending.get()
+        # Suffix-only prefill: extend a COPY of the prefix dense cache
+        # (llama_extend donates its input).
+        dense = KVCache(k=jnp.array(info["dense"].k),
+                        v=jnp.array(info["dense"].v),
+                        length=jnp.array(info["dense"].length))
+        logits, dense = llama_extend(
+            self.params["lm"], self.cfg.lm,
+            spliced.embeds.astype(self._dtype), spliced.attention_mask, dense,
+        )
+        self.allocator.retain(info["pages"])
+        pages = list(info["pages"]) + private
+        page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
+        page_ids[: len(pages)] = pages
+        self.cache = paged_insert(
+            self.cache, dense, jnp.asarray(slot), jnp.asarray(page_ids),
+            self.total_pages, skip_pages=n_full,
+        )
+        self.logits = self.logits.at[slot].set(logits[0])
+        self.slot_pages[slot] = pages
+        self._host_len[slot] = total_len
+        self.slots[slot] = req
+        return True
     def _release(self, slot: int) -> None:
         self.slots[slot] = None
         self.allocator.free(self.slot_pages[slot])
@@ -121,6 +222,10 @@ class PagedServingEngine(ServingEngine):
             if slot is None:
                 return
             req = self.pending.queue[0]  # peek: only pop if pages fit
+            if req.prefix_id is not None:
+                if not self._admit_prefix(req, slot):
+                    return  # backpressure
+                continue
             spliced = prepare_multimodal_embeds(
                 self.params, self.cfg, req.batch, deterministic=True
             )

@@ -87,6 +87,10 @@ class Request:
     max_new_tokens: int = 128
     temperature: float = 0.0
     top_p: float = 1.0
+    # Paged engine only: id from PagedServingEngine.register_prefix. When
+    # set, ``batch`` holds ONLY the suffix (e.g. the user question) — the
+    # prompt prefix (system + media) comes from the shared cached pages.
+    prefix_id: Any = None
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
