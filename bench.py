@@ -95,6 +95,70 @@ def bench_decode(quant: str = "none") -> float:
     return n_steps * batch / elapsed
 
 
+def bench_paged_batch(num_slots: int = 8) -> float:
+    """Aggregate 7B decode throughput with ``num_slots`` concurrent
+    sequences over the paged KV pool + stock Pallas paged-attention kernel
+    (int8 weights AND int8 KV pages — the production serving config; bf16
+    weights + the pool exceed the 16 GB chip). The reference serves one
+    request at a time through HF generate; batching amortizes the weight
+    read across slots, so aggregate tok/s approaches num_slots x the
+    single-stream rate until KV reads bite."""
+    import numpy as np
+
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.models.lm.llama import (
+        init_kv_cache,
+        init_llama_params,
+        llama_prefill,
+    )
+    from videollamb_tpu.models.lm.paged import (
+        TRASH_PAGE,
+        PageAllocator,
+        init_paged_cache,
+        paged_decode_step,
+        paged_insert,
+    )
+    from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+    cfg = LlamaConfig()  # Vicuna-7B dims
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    params = quantize_llama_params(params)
+    jax.block_until_ready(params)
+
+    page, prompt_len, n_steps = 64, 256, 32
+    pages_per_seq = (prompt_len + n_steps + page - 1) // page + 1
+    total_pages = 1 + num_slots * pages_per_seq
+    cache = init_paged_cache(cfg, num_slots, total_pages, page,
+                             pages_per_seq, jnp.bfloat16, quantize=True)
+    alloc = PageAllocator(total_pages)
+
+    dense = init_kv_cache(cfg, 1, prompt_len + page, jnp.bfloat16)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1), (1, prompt_len, cfg.hidden_size), jnp.bfloat16)
+    _, dense = llama_prefill(
+        params, cfg, embeds, jnp.ones((1, prompt_len), jnp.int32), dense)
+    for slot in range(num_slots):
+        pages = alloc.alloc(pages_per_seq)
+        page_ids = np.full((pages_per_seq,), TRASH_PAGE, np.int32)
+        page_ids[: len(pages)] = pages
+        # Re-insert the same prefilled context into every slot; the dense
+        # source is donated, so keep a copy alive.
+        src = jax.tree.map(jnp.array, dense)
+        cache = paged_insert(cache, src, jnp.asarray(slot),
+                             jnp.asarray(page_ids), total_pages)
+
+    tok = jnp.zeros((num_slots, 1, cfg.hidden_size), jnp.bfloat16)
+    logits, cache = paged_decode_step(params, cfg, tok, cache, total_pages)
+    float(jnp.sum(logits))  # compile + warm
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        logits, cache = paged_decode_step(params, cfg, tok, cache, total_pages)
+    float(jnp.sum(logits))  # forced readback
+    elapsed = time.perf_counter() - start
+    return n_steps * num_slots / elapsed
+
+
 def main():
     extra = {}
     tok_s = None
@@ -107,6 +171,11 @@ def main():
         extra["decode_int8_tok_s"] = round(bench_decode("int8"), 1)
     except Exception as e:  # noqa: BLE001
         extra["decode_int8_error"] = type(e).__name__
+    jax.clear_caches()
+    try:
+        extra["paged_batch8_int8_tok_s"] = round(bench_paged_batch(8), 1)
+    except Exception as e:  # noqa: BLE001
+        extra["paged_batch8_error"] = type(e).__name__
     # Free the 7B before the encoder run.
     jax.clear_caches()
     try:

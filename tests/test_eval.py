@@ -163,3 +163,137 @@ def test_likelihood_ranking_prefers_training_answer():
     idx = rank_options_by_likelihood(
         chat, "what happens", ["a dog runs", "nothing at all", "cats"], frames)
     assert idx in (0, 1, 2)
+
+
+def _tiny_eval_chat():
+    import jax
+
+    from test_serving import ChatTokenizer
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.serve.chat import Chat
+
+    cfg = ModelConfig.tiny(max_length=128)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    return Chat(ChatTokenizer(), params, cfg, {
+        "VIDEO": VideoProcessor(size=cfg.vision.image_size),
+        "IMAGE": ImageProcessor(size=cfg.vision.image_size),
+    }, text_bucket=32)
+
+
+def _write_tiny_video(tmp_path, name="v1.mp4"):
+    cv2 = pytest.importorskip("cv2")
+    vids = tmp_path / "videos"
+    vids.mkdir(exist_ok=True)
+    writer = cv2.VideoWriter(str(vids / name),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(16):
+        writer.write(np.full((48, 64, 3), i * 10, np.uint8))
+    writer.release()
+    return vids
+
+
+class _BaseArgs:
+    num_chunks = 1
+    chunk_idx = 0
+    num_frames = 8
+    max_new_tokens = 4
+    temperature = 0.0
+
+
+def test_open_ended_videoqa_end_to_end(tmp_path):
+    """Open-ended QA driver (eval/videoqa.py): chunk -> decode -> JSONL."""
+    from videollamb_tpu.eval.videoqa import run_inference
+
+    chat = _tiny_eval_chat()
+    vids = _write_tiny_video(tmp_path)
+    (tmp_path / "q.json").write_text(json.dumps(
+        [{"question_id": 1, "video_name": "v1", "question": "what happens"}]))
+    (tmp_path / "a.json").write_text(json.dumps([{"answer": "something"}]))
+
+    class Args(_BaseArgs):
+        video_dir = str(vids)
+        gt_file_question = str(tmp_path / "q.json")
+        gt_file_answers = str(tmp_path / "a.json")
+        output_dir = str(tmp_path / "out")
+        output_name = "pred0"
+
+    result = run_inference(Args(), chat=chat)
+    assert result["n"] == 1
+    rec = json.loads(open(result["output"]).read().strip())
+    assert rec["answer"] == "something" and isinstance(rec["pred"], str)
+
+
+def test_moviechat_flat_and_ws_end_to_end(tmp_path):
+    """MovieChat drivers: flat QA and global/breakpoint session format."""
+    from videollamb_tpu.eval.videoqa_moviechat import (
+        run_inference,
+        run_inference_global_breakpoint,
+    )
+
+    chat = _tiny_eval_chat()
+    vids = _write_tiny_video(tmp_path)
+    (tmp_path / "q.json").write_text(json.dumps(
+        [{"question_id": 1, "video_name": "v1", "question": "what",
+          "type": "g"}]))
+    (tmp_path / "a.json").write_text(json.dumps([{"answer": "yes"}]))
+
+    class Args(_BaseArgs):
+        video_dir = str(vids)
+        gt_file_question = str(tmp_path / "q.json")
+        gt_file_answers = str(tmp_path / "a.json")
+        output_dir = str(tmp_path / "out")
+        output_name = "pred0"
+
+    result = run_inference(Args(), chat=chat)
+    assert result["n"] == 1
+    rec = json.loads(open(result["output"]).read().strip())
+    assert rec["pred"] and rec["type"] == "g"
+
+    (tmp_path / "ws.json").write_text(json.dumps([{
+        "video_name": "v1",
+        "global": [{"video_name": "v1", "question": "overall?"}],
+        "breakpoint": [{"video_name": "v1", "question": "now?", "time": 3}],
+    }]))
+
+    class WsArgs(_BaseArgs):
+        video_dir = str(vids)
+        gt_file_question = str(tmp_path / "ws.json")
+        output_dir = str(tmp_path / "out")
+        output_name = "ws0"
+
+    result = run_inference_global_breakpoint(WsArgs(), chat=chat)
+    rec = json.loads(open(result["output"]).read().strip())
+    assert "v1.mp4" in rec
+    assert rec["v1.mp4"]["global"][0]["answer"]
+    assert rec["v1.mp4"]["breakpoint"][0]["answer"]
+
+
+def test_consistency_driver_end_to_end(tmp_path):
+    """Consistency (Q1/Q2) driver writes both predictions per sample."""
+    from videollamb_tpu.eval.videoqa_consistency import run_inference
+
+    chat = _tiny_eval_chat()
+    vids = _write_tiny_video(tmp_path)
+    (tmp_path / "gt.json").write_text(json.dumps(
+        [{"question_id": 1, "video_name": "v1",
+          "Q1": "first?", "Q2": "second?", "A": "ans"}]))
+
+    class Args(_BaseArgs):
+        video_dir = str(vids)
+        gt_file = str(tmp_path / "gt.json")
+        output_dir = str(tmp_path / "out")
+        output_name = "pred0"
+
+    result = run_inference(Args(), chat=chat)
+    assert result["n"] == 1
+    rec = json.loads(open(result["output"]).read().strip())
+    assert rec["pred1"] and rec["pred2"] and rec["answer"] == "ans"

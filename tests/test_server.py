@@ -101,3 +101,29 @@ def test_multi_step_decode_matches_single_step(tiny):
 
     for ra, rb in zip(reqs_a, reqs_b):
         assert ra.tokens == rb.tokens, f"request {ra.uid}"
+
+
+def test_serving_engine_with_tp_sharded_params(tiny):
+    """Continuous-batching engine over TP+FSDP-sharded params (the
+    serve-a-bigger-model configuration): same tokens as unsharded. All
+    engine jits are GSPMD programs, so sharded params flow through
+    prefill, splice, and the k-step decode loop unchanged."""
+    from videollamb_tpu.parallel.mesh import create_mesh
+    from videollamb_tpu.parallel.sharding import shard_params
+
+    cfg, params = tiny
+    reqs_ref = [_request(cfg, uid, seed=10 + uid) for uid in range(2)]
+    ref = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in reqs_ref:
+        ref.submit(r)
+    ref.run_until_drained(k=2)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    reqs = [_request(cfg, uid, seed=10 + uid) for uid in range(2)]
+    eng = ServingEngine(sharded, cfg, num_slots=2, eos_token_id=-1)
+    for r in reqs:
+        eng.submit(r)
+    eng.run_until_drained(k=2)
+    for a, b in zip(reqs_ref, reqs):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
