@@ -276,3 +276,114 @@ def test_audio_depth_thermal_factory_dispatch():
     assert audio.config.image_size_hw is not None
     assert resolve_tower("LanguageBind/LanguageBind_Depth").kind == "languagebind_depth"
     assert resolve_tower("LanguageBind/LanguageBind_Thermal").kind == "languagebind_thermal"
+
+
+# ---------------------------------------------------------------------------
+# AUDIO as a first-class training modality (beyond the reference: its audio
+# encoder is importable but never wired to data/training)
+# ---------------------------------------------------------------------------
+
+
+def test_load_audio_wav_roundtrip(tmp_path):
+    import wave
+
+    from videollamb_tpu.data.audio_reader import load_audio
+
+    sr = 8000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = (wav * 32767).astype(np.int16)
+    path = tmp_path / "tone.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+    out, rate = load_audio(str(path))
+    assert rate == sr and out.dtype == np.float32
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+    # Stereo averages to mono.
+    path2 = tmp_path / "stereo.wav"
+    with wave.open(str(path2), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        inter = np.stack([pcm, np.zeros_like(pcm)], axis=1).reshape(-1)
+        w.writeframes(inter.tobytes())
+    out2, _ = load_audio(str(path2))
+    np.testing.assert_allclose(out2, out / 2, atol=1e-6)
+
+
+def test_audio_dataset_to_train_forward(tmp_path):
+    """WAV sample -> SupervisedDataset (AUDIO sentinel -202) -> Collator ->
+    multimodal forward under an audio TowerSpec: the full audio training
+    recipe (scripts/finetune_audio.sh) end to end at tiny scale."""
+    import dataclasses
+    import json
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_preprocess import WordTokenizer
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.models.vision.builder import TowerSpec
+    from videollamb_tpu.constants import X_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import videollamb_forward
+    from videollamb_tpu.models.bridge.builder import init_bridge_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.models.vision.modalities import AudioProcessor, audio_tower_config
+    from videollamb_tpu.train.dataset import Collator, DataConfig, SupervisedDataset
+
+    sr = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.linspace(0, 0.5, sr // 2))).astype(np.float32)
+    auds = tmp_path / "audios"
+    auds.mkdir()
+    with wave.open(str(auds / "a1.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((wav * 32767).astype(np.int16).tobytes())
+
+    data = [{
+        "id": "a1", "audio": "a1.wav",
+        "conversations": [
+            {"from": "human", "value": "<audio>\nwhat do you hear"},
+            {"from": "gpt", "value": "a tone"},
+        ],
+    }]
+    dpath = tmp_path / "data.json"
+    dpath.write_text(json.dumps(data))
+
+    dcfg = DataConfig(audio_folder=str(auds), model_max_length=128)
+    ds = SupervisedDataset(
+        str(dpath), WordTokenizer(), dcfg,
+        audio_processor=AudioProcessor(num_mel_bins=28, target_length=56),
+    )
+    assert ds.modality(0) == "audio"
+    sample = ds[0]
+    assert sample["image"].shape == (3, 28, 56)
+    assert (sample["input_ids"] == X_TOKEN_INDEX["AUDIO"]).sum() == 1
+
+    batch = Collator(bucket=32, max_length=128)([sample])
+    tiny_dims = dict(hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64)
+    vcfg = audio_tower_config(image_size_hw=(28, 56), patch_size=14, **tiny_dims)
+    base = ModelConfig.tiny()
+    cfg = dataclasses.replace(
+        base, bridge=dataclasses.replace(base.bridge, kind="mlp"),
+        tower=TowerSpec("languagebind_audio", vcfg, frame_wise=True))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, vcfg),
+        "mm_projector": init_bridge_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    logits, spliced = videollamb_forward(params, cfg, batch)
+    assert np.isfinite(np.asarray(logits)).all()
+    # Labels spliced: audio tokens masked, answer tokens kept.
+    labels = np.asarray(spliced.labels[0])
+    assert (labels != -100).sum() >= 2

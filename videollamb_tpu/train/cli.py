@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--image_folder", type=str, default="")
     p.add_argument("--video_folder", type=str, default="")
+    p.add_argument("--audio_folder", type=str, default="",
+                   help="root for 'audio' (WAV) samples; pairs with an "
+                        "audio --image_tower (AUDIO modality extension)")
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--image_aspect_ratio", type=str, default="pad")
     # Training arguments (reference TrainingArguments + zero config)
@@ -140,6 +143,7 @@ def main():
         data_path=args.data_path,
         image_folder=args.image_folder,
         video_folder=args.video_folder,
+        audio_folder=args.audio_folder,
         num_frames=args.num_frames,
         mm_use_x_start_end=args.mm_use_x_start_end,
         model_max_length=args.model_max_length,

@@ -35,6 +35,7 @@ class DataConfig:
     data_path: str = ""
     image_folder: str = ""
     video_folder: str = ""
+    audio_folder: str = ""
     num_frames: int = 8
     is_multimodal: bool = True
     mm_use_x_start_end: bool = False
@@ -51,6 +52,7 @@ class SupervisedDataset:
     def __init__(self, data_path: str, tokenizer, cfg: DataConfig,
                  video_processor: Optional[VideoProcessor] = None,
                  image_processor: Optional[ImageProcessor] = None,
+                 audio_processor=None,
                  seed: int = 0):
         with open(data_path) as f:
             self.records: List[Dict[str, Any]] = json.load(f)
@@ -58,6 +60,7 @@ class SupervisedDataset:
         self.cfg = cfg
         self.video_processor = video_processor or VideoProcessor()
         self.image_processor = image_processor or ImageProcessor()
+        self.audio_processor = audio_processor
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -69,6 +72,8 @@ class SupervisedDataset:
             return "video"
         if "image" in rec:
             return "image"
+        if "audio" in rec:
+            return "audio"
         return "language"
 
     def modality_lengths(self) -> List[int]:
@@ -77,7 +82,7 @@ class SupervisedDataset:
         lengths = []
         for rec in self.records:
             cur = sum(len(c["value"].split()) for c in rec["conversations"])
-            mm = "image" in rec or "video" in rec
+            mm = "image" in rec or "video" in rec or "audio" in rec
             lengths.append(cur if mm else -cur)
         return lengths
 
@@ -118,6 +123,24 @@ class SupervisedDataset:
                 mm_use_x_start_end=self.cfg.mm_use_x_start_end,
             )
             x = "IMAGE"
+        elif "audio" in rec:
+            # AUDIO extension (beyond the reference, whose audio encoder is
+            # never wired to training): WAV -> log-mel fbank "image" that
+            # feeds the model's tower stream under an audio TowerSpec.
+            from videollamb_tpu.data.audio_reader import load_audio
+
+            if self.audio_processor is None:
+                from videollamb_tpu.models.vision.modalities import AudioProcessor
+
+                self.audio_processor = AudioProcessor()
+            path = os.path.join(self.cfg.audio_folder, rec["audio"])
+            waveform, sr = load_audio(path)
+            out["image"] = self.audio_processor(waveform, origin_sr=sr)
+            sources = preprocess_multimodal(
+                sources, is_multimodal=self.cfg.is_multimodal,
+                mm_use_x_start_end=self.cfg.mm_use_x_start_end,
+            )
+            x = "AUDIO"
         else:
             x = None
         data = preprocess(sources, self.tokenizer, x=x,
