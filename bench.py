@@ -95,6 +95,44 @@ def bench_decode(quant: str = "none") -> float:
     return n_steps * batch / elapsed
 
 
+def bench_decode_devloop(k: int = 8) -> float:
+    """Single-stream decode through the engine's device-side k-step loop
+    (serve/server.greedy_decode_steps): the host syncs every k tokens, so
+    per-step tunnel dispatch is amortized — the steady-state serving
+    protocol, vs bench_decode's one-dispatch-per-token."""
+    import types
+
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.models.lm.llama import (
+        init_kv_cache,
+        init_llama_params,
+        llama_prefill,
+    )
+    from videollamb_tpu.serve.server import greedy_decode_steps
+
+    lcfg = LlamaConfig()
+    lm = init_llama_params(jax.random.PRNGKey(0), lcfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(lm)
+    params = {"lm": lm}
+    cfg = types.SimpleNamespace(lm=lcfg)
+
+    cache = init_kv_cache(lcfg, 1, 2048, jnp.bfloat16)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 256, lcfg.hidden_size), jnp.bfloat16)
+    logits, cache = llama_prefill(
+        lm, lcfg, embeds, jnp.ones((1, 256), jnp.int32), cache)
+    _, logits, cache = greedy_decode_steps(params, cfg, logits, cache, k)
+    float(jnp.sum(logits))  # compile + warm
+
+    n_chunks = 8
+    start = time.perf_counter()
+    for _ in range(n_chunks):
+        _, logits, cache = greedy_decode_steps(params, cfg, logits, cache, k)
+    float(jnp.sum(logits))
+    elapsed = time.perf_counter() - start
+    return n_chunks * k / elapsed
+
+
 def bench_paged_batch(num_slots: int = 8) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
     sequences over the paged KV pool + stock Pallas paged-attention kernel
@@ -127,7 +165,8 @@ def bench_paged_batch(num_slots: int = 8) -> float:
     jax.block_until_ready(params)
 
     page, prompt_len, n_steps = 64, 256, 32
-    pages_per_seq = (prompt_len + n_steps + page - 1) // page + 1
+    # Multiple of 8 so the stock kernel runs 8-page compute blocks.
+    pages_per_seq = 8
     total_pages = 1 + num_slots * pages_per_seq
     cache = init_paged_cache(cfg, num_slots, total_pages, page,
                              pages_per_seq, jnp.bfloat16, quantize=True)
@@ -171,6 +210,11 @@ def main():
         extra["decode_int8_tok_s"] = round(bench_decode("int8"), 1)
     except Exception as e:  # noqa: BLE001
         extra["decode_int8_error"] = type(e).__name__
+    jax.clear_caches()
+    try:
+        extra["decode_devloop_tok_s"] = round(bench_decode_devloop(8), 1)
+    except Exception as e:  # noqa: BLE001
+        extra["decode_devloop_error"] = type(e).__name__
     jax.clear_caches()
     try:
         extra["paged_batch8_int8_tok_s"] = round(bench_paged_batch(8), 1)

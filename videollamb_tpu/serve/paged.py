@@ -95,8 +95,12 @@ class PagedServingEngine(ServingEngine):
         self.num_slots = num_slots
         self.page_size = page_size
         # Default pool: enough for every slot to hold max_length + 512 —
-        # dense-parity capacity; real deployments oversubscribe.
+        # dense-parity capacity; real deployments oversubscribe. Rounded up
+        # to a multiple of 8 so the stock kernel can use 8-page compute
+        # blocks (its block size must divide pages_per_seq; a power-of-2
+        # remainder like 6 forces 2-page blocks — 3x the grid programs).
         per_slot = -(-(cfg.max_length + 512) // page_size)
+        per_slot = (per_slot + 7) // 8 * 8
         self.total_pages = total_pages or (1 + num_slots * per_slot)
         self.pages_per_seq = pages_per_seq or per_slot
         self.max_seq_len = self.pages_per_seq * page_size
