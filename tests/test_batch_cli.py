@@ -83,3 +83,57 @@ def test_batch_cli_dense_and_paged_agree(tiny_chat, tmp_path):
             f.write(json.dumps(row) + "\n")
     back = [json.loads(l) for l in open(path)]
     assert len(back) == 2
+
+
+def test_batch_cli_audio_request(tmp_path):
+    """Audio JSONL request: WAV -> fbank -> audio-tower model -> tokens."""
+    import dataclasses
+    import wave
+
+    from test_serving import ChatTokenizer
+    from videollamb_tpu.models.bridge.builder import init_bridge_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.builder import TowerSpec
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.models.vision.modalities import (
+        AudioProcessor,
+        audio_tower_config,
+    )
+    from videollamb_tpu.serve.chat import Chat
+    from videollamb_tpu.serve.server import ServingEngine
+
+    tiny_dims = dict(hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64)
+    vcfg = audio_tower_config(image_size_hw=(28, 56), patch_size=14, **tiny_dims)
+    base = ModelConfig.tiny(max_length=128)
+    cfg = dataclasses.replace(
+        base, bridge=dataclasses.replace(base.bridge, kind="mlp"),
+        tower=TowerSpec("languagebind_audio", vcfg, frame_wise=True))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    params = {
+        "video_tower": init_vision_params(k1, vcfg),
+        "mm_projector": init_bridge_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    tok = ChatTokenizer()
+    tok("A chat between a curious human and an artificial intelligence assistant")
+    chat = Chat(tok, params, cfg, {
+        "AUDIO": AudioProcessor(num_mel_bins=28, target_length=56),
+    }, text_bucket=32)
+
+    sr = 16000
+    wav_arr = (0.3 * np.sin(2 * np.pi * 330 * np.linspace(0, 0.5, sr // 2)))
+    path = tmp_path / "a.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((wav_arr * 32767).astype(np.int16).tobytes())
+
+    lines = [{"id": "au", "prompt": "what do you hear",
+              "audio": str(path), "max_new_tokens": 4}]
+    reqs = build_requests(lines, chat)
+    rows = serve_requests(
+        ServingEngine(params, cfg, num_slots=1, eos_token_id=-1),
+        reqs, chat.tokenizer, k=2)
+    assert rows[0]["id"] == "au" and rows[0]["tokens"] == 4

@@ -36,7 +36,8 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     for row in lines:
         videos = images = None
         modality = "VIDEO" if row.get("video") else (
-            "IMAGE" if row.get("image") else None)
+            "IMAGE" if row.get("image") else (
+                "AUDIO" if row.get("audio") else None))
         if row.get("video"):
             from videollamb_tpu.data.video_reader import load_video
 
@@ -49,6 +50,19 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             img = cv2.cvtColor(cv2.imread(row["image"]), cv2.COLOR_BGR2RGB)
             images = jnp.asarray(
                 chat.processors["IMAGE"](img)[None], chat._dtype())
+        elif row.get("audio"):
+            # AUDIO extension: WAV -> log-mel fbank image for an audio
+            # TowerSpec model (scripts/finetune_audio.sh recipe).
+            from videollamb_tpu.data.audio_reader import load_audio
+
+            proc = chat.processors.get("AUDIO")
+            if proc is None:
+                from videollamb_tpu.models.vision.modalities import AudioProcessor
+
+                proc = AudioProcessor()
+            waveform, sr = load_audio(row["audio"])
+            images = jnp.asarray(
+                proc(waveform, origin_sr=sr)[None], chat._dtype())
 
         chat.reset()
         question = row["prompt"]
