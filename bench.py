@@ -55,14 +55,12 @@ def bench_encode() -> float:
     return batch * frames / best
 
 
-def bench_decode(quant: str = "none") -> float:
+def init_7b(quant: str = "none"):
+    """One shared 7B param tree per precision: random-init (and quantize)
+    once, reuse across bench sections — four independent inits blew the
+    driver's 30-minute budget."""
     from videollamb_tpu.config import LlamaConfig
-    from videollamb_tpu.models.lm.llama import (
-        init_kv_cache,
-        init_llama_params,
-        llama_decode_step,
-        llama_prefill,
-    )
+    from videollamb_tpu.models.lm.llama import init_llama_params
 
     cfg = LlamaConfig()  # Vicuna-7B dims
     params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -72,6 +70,15 @@ def bench_decode(quant: str = "none") -> float:
 
         params = quantize_llama_params(params)
         jax.block_until_ready(params)
+    return cfg, params
+
+
+def bench_decode(cfg, params) -> float:
+    from videollamb_tpu.models.lm.llama import (
+        init_kv_cache,
+        llama_decode_step,
+        llama_prefill,
+    )
 
     batch, prompt_len, cache_len = 1, 256, 2048
     cache = init_kv_cache(cfg, batch, cache_len, dtype=jnp.bfloat16)
@@ -95,24 +102,16 @@ def bench_decode(quant: str = "none") -> float:
     return n_steps * batch / elapsed
 
 
-def bench_decode_devloop(k: int = 8) -> float:
+def bench_decode_devloop(lcfg, lm, k: int = 8) -> float:
     """Single-stream decode through the engine's device-side k-step loop
     (serve/server.greedy_decode_steps): the host syncs every k tokens, so
     per-step tunnel dispatch is amortized — the steady-state serving
     protocol, vs bench_decode's one-dispatch-per-token."""
     import types
 
-    from videollamb_tpu.config import LlamaConfig
-    from videollamb_tpu.models.lm.llama import (
-        init_kv_cache,
-        init_llama_params,
-        llama_prefill,
-    )
+    from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
     from videollamb_tpu.serve.server import greedy_decode_steps
 
-    lcfg = LlamaConfig()
-    lm = init_llama_params(jax.random.PRNGKey(0), lcfg, dtype=jnp.bfloat16)
-    jax.block_until_ready(lm)
     params = {"lm": lm}
     cfg = types.SimpleNamespace(lm=lcfg)
 
@@ -133,7 +132,7 @@ def bench_decode_devloop(k: int = 8) -> float:
     return n_chunks * k / elapsed
 
 
-def bench_paged_batch(num_slots: int = 8) -> float:
+def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
     sequences over the paged KV pool + stock Pallas paged-attention kernel
     (int8 weights AND int8 KV pages — the production serving config; bf16
@@ -143,12 +142,7 @@ def bench_paged_batch(num_slots: int = 8) -> float:
     single-stream rate until KV reads bite."""
     import numpy as np
 
-    from videollamb_tpu.config import LlamaConfig
-    from videollamb_tpu.models.lm.llama import (
-        init_kv_cache,
-        init_llama_params,
-        llama_prefill,
-    )
+    from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
     from videollamb_tpu.models.lm.paged import (
         TRASH_PAGE,
         PageAllocator,
@@ -156,13 +150,6 @@ def bench_paged_batch(num_slots: int = 8) -> float:
         paged_decode_step,
         paged_insert,
     )
-    from videollamb_tpu.models.lm.quant import quantize_llama_params
-
-    cfg = LlamaConfig()  # Vicuna-7B dims
-    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    jax.block_until_ready(params)
-    params = quantize_llama_params(params)
-    jax.block_until_ready(params)
 
     page, prompt_len, n_steps = 64, 256, 32
     # Multiple of 8 so the stock kernel runs 8-page compute blocks.
@@ -201,26 +188,43 @@ def bench_paged_batch(num_slots: int = 8) -> float:
 def main():
     extra = {}
     tok_s = None
+    # One bf16 7B for the bf16 sections, then quantize it IN PLACE (the
+    # quantizer consumes the bf16 tree) for the int8 sections.
     try:
-        tok_s = bench_decode()
-    except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
-        extra["decode_error"] = type(e).__name__
-    jax.clear_caches()
-    try:
-        extra["decode_int8_tok_s"] = round(bench_decode("int8"), 1)
+        cfg7b, params7b = init_7b()
     except Exception as e:  # noqa: BLE001
-        extra["decode_int8_error"] = type(e).__name__
-    jax.clear_caches()
-    try:
-        extra["decode_devloop_tok_s"] = round(bench_decode_devloop(8), 1)
-    except Exception as e:  # noqa: BLE001
-        extra["decode_devloop_error"] = type(e).__name__
-    jax.clear_caches()
-    try:
-        extra["paged_batch8_int8_tok_s"] = round(bench_paged_batch(8), 1)
-    except Exception as e:  # noqa: BLE001
-        extra["paged_batch8_error"] = type(e).__name__
+        cfg7b = params7b = None
+        extra["init_error"] = type(e).__name__
+    if params7b is not None:
+        try:
+            tok_s = bench_decode(cfg7b, params7b)
+        except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
+            extra["decode_error"] = type(e).__name__
+        try:
+            extra["decode_devloop_tok_s"] = round(
+                bench_decode_devloop(cfg7b, params7b, 8), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["decode_devloop_error"] = type(e).__name__
+        try:
+            from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+            params7b = quantize_llama_params(params7b)
+            jax.block_until_ready(params7b)
+        except Exception as e:  # noqa: BLE001
+            params7b = None
+            extra["quant_error"] = type(e).__name__
+    if params7b is not None:
+        try:
+            extra["decode_int8_tok_s"] = round(bench_decode(cfg7b, params7b), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["decode_int8_error"] = type(e).__name__
+        try:
+            extra["paged_batch8_int8_tok_s"] = round(
+                bench_paged_batch(cfg7b, params7b, 8), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["paged_batch8_error"] = type(e).__name__
     # Free the 7B before the encoder run.
+    del params7b
     jax.clear_caches()
     try:
         fps = bench_encode()

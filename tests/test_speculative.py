@@ -266,3 +266,48 @@ def test_chat_draft_speculation_int8_self_draft():
         prompt, videos=frames, max_new_tokens=8, draft_params=draft_params, k=4)
     assert out == ref, (out, ref, stats)
     assert stats["draft_steps"] > 0
+
+
+@pytest.mark.parametrize("mode", ["lookup", "draft"])
+def test_ask_about_video_speculative_matches_plain(mode):
+    """Chat.ask_about_video speculative branch (the serve CLI surface):
+    same answer and same conversation bookkeeping as plain greedy."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_serving import ChatTokenizer
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.quant import quantize_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.serve.chat import Chat
+
+    cfg = ModelConfig.tiny(max_length=128)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    procs = {"VIDEO": VideoProcessor(size=56), "IMAGE": ImageProcessor(size=56)}
+    frames = procs["VIDEO"](
+        np.random.default_rng(2).integers(0, 255, (8, 56, 56, 3)).astype(np.uint8))
+
+    def fresh_chat():
+        tok = ChatTokenizer()
+        tok("A chat between a curious human and an artificial intelligence assistant")
+        return Chat(tok, params, cfg, procs, text_bucket=32)
+
+    plain = fresh_chat()
+    ref = plain.ask_about_video("what", frames, max_new_tokens=8,
+                                do_sample=False, temperature=0.0)
+
+    kwargs = dict(speculative=mode)
+    if mode == "draft":
+        kwargs["draft_params"] = {"lm": quantize_llama_params(
+            jax.tree.map(jnp.array, params["lm"]))}
+    spec = fresh_chat()
+    out = spec.ask_about_video("what", frames, max_new_tokens=8, **kwargs)
+    assert out == ref
+    assert spec.conv.messages[-1][1] == out

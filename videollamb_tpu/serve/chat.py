@@ -239,14 +239,28 @@ class Chat:
         return stopper.trim(text), stats
 
     def ask_about_video(self, question: str, frames: np.ndarray,
-                        first_turn: bool = True, **gen_kwargs) -> str:
-        """frames: processed (T, C, H, W). Maintains the conversation."""
+                        first_turn: bool = True, speculative: str = None,
+                        draft_params=None, draft_cfg=None,
+                        **gen_kwargs) -> str:
+        """frames: processed (T, C, H, W). Maintains the conversation.
+
+        ``speculative``: None (plain greedy/sampled generate), 'lookup'
+        (prompt-lookup speculation) or 'draft' (draft-model speculation
+        with ``draft_params``); both are greedy-exact."""
         if first_turn:
             question = DEFAULT_X_TOKEN["VIDEO"] + "\n" + question
         self.conv.append_message(self.conv.roles[0], question)
         self.conv.append_message(self.conv.roles[1], None)
         prompt = self.conv.get_prompt()
-        answer = self.generate_text(prompt, videos=frames, **gen_kwargs)
+        if speculative:
+            answer, _ = self.generate_speculative(
+                prompt, videos=frames,
+                max_new_tokens=gen_kwargs.get("max_new_tokens", 512),
+                draft_params=draft_params if speculative == "draft" else None,
+                draft_cfg=draft_cfg,
+            )
+        else:
+            answer = self.generate_text(prompt, videos=frames, **gen_kwargs)
         self.conv.messages[-1][1] = answer
         return answer
 

@@ -26,6 +26,22 @@ def main(args) -> None:
         conv_mode = args.conv_mode
     chat = Chat(tokenizer, params, cfg, processors, conv_mode=conv_mode)
 
+    speculative = None
+    draft_params = None
+    if args.speculative == "lookup":
+        speculative = "lookup"
+    elif args.speculative == "self-draft-int8":
+        # int8 copy of the loaded model drafts for the bf16 target (both
+        # share the multimodal embeds); greedy-exact, fewer target passes.
+        import jax
+        import jax.numpy as jnp
+
+        from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+        speculative = "draft"
+        draft_params = {"lm": quantize_llama_params(
+            jax.tree.map(jnp.array, params["lm"]))}
+
     frames = images = None
     if args.video_file:
         raw = load_video(args.video_file, num_frames=args.num_frames)
@@ -49,6 +65,8 @@ def main(args) -> None:
                 inp, frames, first_turn=first,
                 temperature=args.temperature, max_new_tokens=args.max_new_tokens,
                 do_sample=args.temperature > 0,
+                speculative=speculative if args.temperature == 0 else None,
+                draft_params=draft_params,
             )
         else:
             from videollamb_tpu.constants import DEFAULT_X_TOKEN
@@ -81,6 +99,11 @@ def parse_args():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--speculative", type=str, default=None,
+                        choices=["lookup", "self-draft-int8"],
+                        help="greedy-exact speculative decoding (used when "
+                             "--temperature 0): prompt-lookup, or an int8 "
+                             "copy of the model drafting for the bf16 target")
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args()
 
