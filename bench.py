@@ -107,13 +107,14 @@ def bench_decode_devloop(lcfg, lm, k: int = 8) -> float:
     (serve/server.greedy_decode_steps): the host syncs every k tokens, so
     per-step tunnel dispatch is amortized — the steady-state serving
     protocol, vs bench_decode's one-dispatch-per-token."""
-    import types
+    import collections
 
     from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
     from videollamb_tpu.serve.server import greedy_decode_steps
 
     params = {"lm": lm}
-    cfg = types.SimpleNamespace(lm=lcfg)
+    # Hashable wrapper: greedy_decode_steps takes cfg as a static jit arg.
+    cfg = collections.namedtuple("CfgNS", "lm")(lcfg)
 
     cache = init_kv_cache(lcfg, 1, 2048, jnp.bfloat16)
     embeds = jax.random.normal(
