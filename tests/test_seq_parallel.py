@@ -68,3 +68,44 @@ def test_seq_parallel_gradients_match(model):
     np.testing.assert_allclose(
         np.asarray(jax.device_get(g_sp["lm_head"])),
         np.asarray(g_ref["lm_head"]), rtol=3e-4, atol=3e-5)
+
+
+def test_seq_parallel_train_step_matches_unsharded(model):
+    import optax
+
+    from videollamb_tpu.constants import IGNORE_INDEX
+    from videollamb_tpu.models.assembly import causal_lm_loss
+    from videollamb_tpu.parallel.seq_parallel import make_seq_parallel_train_step
+    from videollamb_tpu.train.step import TrainState
+
+    cfg, params0 = model
+    b, s = 2, 8
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(size=(b, s, cfg.hidden_size)).astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    labels = np.asarray(rng.integers(0, cfg.vocab_size, size=(b, s)), np.int32)
+    labels[0, :2] = IGNORE_INDEX
+    labels = jnp.asarray(labels)
+
+    tx = optax.adamw(1e-2)
+
+    def ref_loss(p):
+        return causal_lm_loss(llama_forward(p, cfg, embeds, mask), labels)
+
+    (ref_l, _), g = jax.value_and_grad(ref_loss, has_aux=True)(params0)
+    upd, _ = tx.update(g, tx.init(params0), params0)
+    ref_params = jax.tree.map(lambda a, u: a + u, params0, upd)
+
+    mesh = create_seq_mesh(4)
+    own = jax.tree.map(jnp.array, params0)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=own,
+                       opt_state=tx.init(own))
+    step = make_seq_parallel_train_step(mesh, cfg, tx)
+    state, metrics = step(state, embeds, mask, labels)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_l), rtol=1e-5)
+    for key in ref_params["layers"]:
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(state.params["layers"][key])),
+            np.asarray(ref_params["layers"][key]), rtol=3e-4, atol=3e-5,
+            err_msg=key)

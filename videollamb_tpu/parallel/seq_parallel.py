@@ -107,3 +107,40 @@ def seq_parallel_llama_forward(
     x = jax.device_put(inputs_embeds, NamedSharding(mesh, xspec))
     m = jax.device_put(attention_mask, NamedSharding(mesh, mspec))
     return fn(stacked, params["norm"], params["lm_head"], x, m)
+
+
+def make_seq_parallel_train_step(
+    mesh: Mesh,
+    cfg,
+    tx,
+    *,
+    axis: str = "seq",
+    remat: bool = True,
+):
+    """Long-context LM training step with the sequence sharded over
+    ``axis`` (counterpart of pipeline.make_pipeline_train_step): loss +
+    grads through the per-layer ppermute rings + optimizer update, params
+    replicated (combine with FSDP/TP meshes for weight sharding).
+
+    Returns ``step(state, embeds, mask, labels) -> (state, metrics)``.
+    """
+    import optax
+
+    from videollamb_tpu.models.assembly import causal_lm_loss
+    from videollamb_tpu.train.step import TrainState
+
+    def loss_fn(params, embeds, mask, labels):
+        logits = seq_parallel_llama_forward(
+            mesh, params, cfg, embeds, mask, axis=axis, remat=remat)
+        return causal_lm_loss(logits, labels)
+
+    def step(state: TrainState, embeds, mask, labels):
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, embeds, mask, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), {
+            "loss": loss, "tokens": n, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step, donate_argnums=(0,))
