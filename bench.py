@@ -133,11 +133,41 @@ def bench_decode_devloop(lcfg, lm, k: int = 8) -> float:
     return n_chunks * k / elapsed
 
 
+def bench_dense_batch(cfg, params, num_slots: int = 8) -> float:
+    """Aggregate decode throughput with the DENSE per-slot cache at batch
+    ``num_slots`` — the max-throughput serving configuration (the paged
+    engine below trades ~2x step time for elastic memory: measured 16.4 vs
+    31-37 ms/step at 7B batch 8; the gather/paged indexing is the cost)."""
+    from videollamb_tpu.models.lm.llama import (
+        init_kv_cache,
+        llama_decode_step,
+        llama_prefill,
+    )
+
+    cache = init_kv_cache(cfg, num_slots, 448, jnp.bfloat16)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(2), (num_slots, 256, cfg.hidden_size), jnp.bfloat16)
+    _, cache = llama_prefill(
+        params, cfg, embeds, jnp.ones((num_slots, 256), jnp.int32), cache)
+    tok = jnp.zeros((num_slots, 1, cfg.hidden_size), jnp.bfloat16)
+    logits, cache = llama_decode_step(params, cfg, tok, cache)
+    float(jnp.sum(logits))  # compile + warm
+    n_steps = 32
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        logits, cache = llama_decode_step(params, cfg, tok, cache)
+    float(jnp.sum(logits))
+    elapsed = time.perf_counter() - start
+    return n_steps * num_slots / elapsed
+
+
 def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
-    sequences over the paged KV pool + stock Pallas paged-attention kernel
-    (int8 weights AND int8 KV pages — the production serving config; bf16
-    weights + the pool exceed the 16 GB chip). The reference serves one
+    sequences over the paged KV pool (int8 weights AND int8 KV pages — the
+    production serving config; bf16 weights + the pool exceed the 16 GB
+    chip). The attention dispatcher picks gather-then-dense at this page
+    count (the stock Pallas kernel engages at 16+ pages/seq, where its
+    read-only-active-pages advantage outweighs its small-block overhead). The reference serves one
     request at a time through HF generate; batching amortizes the weight
     read across slots, so aggregate tok/s approaches num_slots x the
     single-stream rate until KV reads bite."""
@@ -219,6 +249,11 @@ def main():
             extra["decode_int8_tok_s"] = round(bench_decode(cfg7b, params7b), 1)
         except Exception as e:  # noqa: BLE001
             extra["decode_int8_error"] = type(e).__name__
+        try:
+            extra["dense_batch8_int8_tok_s"] = round(
+                bench_dense_batch(cfg7b, params7b, 8), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["dense_batch8_error"] = type(e).__name__
         try:
             extra["paged_batch8_int8_tok_s"] = round(
                 bench_paged_batch(cfg7b, params7b, 8), 1)
