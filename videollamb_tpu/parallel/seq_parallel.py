@@ -45,10 +45,16 @@ def seq_parallel_llama_forward(
     attention_mask: jax.Array,  # (B, S)
     *,
     axis: str = "seq",
+    data_axis: str = None,
     remat: bool = False,
 ) -> jax.Array:
     """Full-sequence causal forward with S sharded over ``axis``.
-    Returns (B, S, V) logits, sharded on S like the input."""
+    Returns (B, S, V) logits, sharded on S like the input.
+
+    ``data_axis`` composes with data parallelism on a 2-D mesh: the batch
+    dim is sharded over it, each data replica runs its own ring over
+    ``axis``, and GSPMD psums parameter grads across replicas in backward
+    (ppermute on 'seq' stays within a data slice automatically)."""
     n_shards = mesh.shape[axis]
     b, s_global, _ = inputs_embeds.shape
     assert s_global % n_shards == 0, (s_global, n_shards)
@@ -94,8 +100,8 @@ def seq_parallel_llama_forward(
         x_l, _ = jax.lax.scan(scan_body, x_l, stacked_layers)
         return _final({"norm": final_norm, "lm_head": lm_head}, cfg, x_l)
 
-    xspec = P(None, axis, None)
-    mspec = P(None, axis)
+    xspec = P(data_axis, axis, None)
+    mspec = P(data_axis, axis)
     # jit around the shard_map: remat (jax.checkpoint) inside shard_map
     # cannot be evaluated eagerly, and the jit lets XLA fuse across it.
     fn = jax.jit(jax.shard_map(
@@ -115,12 +121,14 @@ def make_seq_parallel_train_step(
     tx,
     *,
     axis: str = "seq",
+    data_axis: str = None,
     remat: bool = True,
 ):
     """Long-context LM training step with the sequence sharded over
     ``axis`` (counterpart of pipeline.make_pipeline_train_step): loss +
     grads through the per-layer ppermute rings + optimizer update, params
     replicated (combine with FSDP/TP meshes for weight sharding).
+    ``data_axis`` additionally shards the batch over data replicas.
 
     Returns ``step(state, embeds, mask, labels) -> (state, metrics)``.
     """
@@ -131,7 +139,8 @@ def make_seq_parallel_train_step(
 
     def loss_fn(params, embeds, mask, labels):
         logits = seq_parallel_llama_forward(
-            mesh, params, cfg, embeds, mask, axis=axis, remat=remat)
+            mesh, params, cfg, embeds, mask, axis=axis,
+            data_axis=data_axis, remat=remat)
         return causal_lm_loss(logits, labels)
 
     def step(state: TrainState, embeds, mask, labels):
