@@ -142,3 +142,88 @@ def test_seq_parallel_with_data_axis(model):
     np.testing.assert_allclose(
         np.asarray(jax.device_get(g_sp["layers"]["q_proj"])),
         np.asarray(g_ref["layers"]["q_proj"]), rtol=3e-4, atol=3e-5)
+
+
+def test_seq_parallel_videollamb_step_matches_unsharded():
+    """Full multimodal train step with the spliced context seq-sharded:
+    loss and updated TOWER + PROJECTOR + LM params all match the plain
+    single-device step (grads flow through the shard_map into every
+    module)."""
+    import optax
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        MultimodalBatch,
+        causal_lm_loss,
+        videollamb_forward,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.parallel.seq_parallel import (
+        make_seq_parallel_videollamb_step,
+    )
+    from videollamb_tpu.train.step import TrainState
+
+    cfg = ModelConfig.tiny(max_length=64)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params0 = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(2, 10)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, 10), jnp.int32),
+        labels=jnp.asarray(rng.integers(0, cfg.lm.vocab_size, size=(2, 10)), jnp.int32),
+        videos=jnp.asarray(rng.normal(size=(2, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    tx = optax.adamw(1e-2)
+    step_rng = jax.random.PRNGKey(7)
+
+    def ref_loss(p):
+        logits, spliced = videollamb_forward(
+            p, cfg, batch, deterministic=False,
+            rng=jax.random.fold_in(step_rng, 0))
+        return causal_lm_loss(logits, spliced.labels)
+
+    (ref_l, _), g_ref = jax.value_and_grad(ref_loss, has_aux=True)(params0)
+
+    from videollamb_tpu.parallel.ring_attention import create_seq_mesh
+    from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+    from videollamb_tpu.parallel.seq_parallel import seq_parallel_llama_forward
+
+    mesh = create_seq_mesh(4)
+
+    def sp_loss(p):
+        spliced = prepare_multimodal_embeds(
+            p, cfg, batch, deterministic=False,
+            rng=jax.random.fold_in(step_rng, 0))
+        logits = seq_parallel_llama_forward(
+            mesh, p["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
+            remat=True)
+        return causal_lm_loss(logits, spliced.labels)
+
+    (sp_l, _), g_sp = jax.value_and_grad(sp_loss, has_aux=True)(params0)
+    np.testing.assert_allclose(float(sp_l), float(ref_l), rtol=1e-5)
+    # Grads reach EVERY module through the shard_map (tower + projector +
+    # LM); compare raw grads — a post-Adam comparison is sign-brittle where
+    # grads are near zero.
+    for mod in ("video_tower", "mm_projector", "lm"):
+        for a, b_ in zip(jax.tree.leaves(jax.device_get(g_sp[mod])),
+                         jax.tree.leaves(g_ref[mod])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-5)
+
+    # And the packaged step runs end to end, updating params.
+    own = jax.tree.map(jnp.array, params0)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=own,
+                       opt_state=tx.init(own))
+    step = make_seq_parallel_videollamb_step(mesh, cfg, tx)
+    state, metrics = step(state, batch, step_rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

@@ -153,3 +153,57 @@ def make_seq_parallel_train_step(
             "loss": loss, "tokens": n, "grad_norm": optax.global_norm(grads)}
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_seq_parallel_videollamb_step(
+    mesh: Mesh,
+    cfg,  # ModelConfig
+    tx,
+    *,
+    axis: str = "seq",
+    data_axis: str = None,
+    remat: bool = True,
+):
+    """Sequence-parallel MULTIMODAL training step: tower -> bridge ->
+    splice run as a normal GSPMD program (per-frame work, batch-sharded
+    over ``data_axis`` if given), then the spliced token stream feeds the
+    seq-sharded LM stack — the framework's long-video training config,
+    where the 2048+-token spliced context is the memory hog. Grads flow
+    through the shard_map back into the tower and projector, so all
+    modules train.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` over full
+    MultimodalBatch inputs (same contract as train.step.make_train_step).
+    """
+    import optax
+
+    from videollamb_tpu.models.assembly import (
+        causal_lm_loss,
+        prepare_multimodal_embeds,
+    )
+    from videollamb_tpu.train.step import TrainState
+
+    def loss_fn(params, batch, rng):
+        spliced = prepare_multimodal_embeds(
+            params, cfg, batch, deterministic=False, rng=rng)
+        logits = seq_parallel_llama_forward(
+            mesh, params["lm"], cfg.lm, spliced.embeds,
+            spliced.attention_mask, axis=axis, data_axis=data_axis,
+            remat=remat)
+        return causal_lm_loss(logits, spliced.labels)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), {
+            "loss": loss, "tokens": n, "grad_norm": optax.global_norm(grads)}
+
+    # One jit over the whole step: the embedded shard_map commits its
+    # outputs to the mesh, and an unjitted optax update would then mix
+    # mesh-committed layer grads with uncommitted tower/projector moments.
+    return jax.jit(step, donate_argnums=(0,))
+
