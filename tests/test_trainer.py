@@ -190,3 +190,46 @@ def test_resume_does_zero_decodes_for_skipped_batches(tiny_dataset):
     order = trainer._batch_order(0)
     skipped = set(order[:2])
     assert not skipped & set(ds.loaded), (skipped, ds.loaded)
+
+
+def test_trainer_with_seq_parallel_step_factory(tiny_dataset):
+    """Trainer drives the sequence-parallel multimodal step (the
+    --sequence_parallel CLI path): loss finite, params update."""
+    from jax.sharding import Mesh
+
+    from videollamb_tpu.data.processing import VideoProcessor
+    from videollamb_tpu.parallel.seq_parallel import (
+        make_seq_parallel_videollamb_step,
+    )
+
+    data_path, vid_dir, root = tiny_dataset
+    cfg = ModelConfig.tiny(max_length=128)
+    ds = SupervisedDataset(
+        data_path, WordTokenizer(),
+        DataConfig(video_folder=vid_dir, num_frames=8, model_max_length=64),
+        video_processor=VideoProcessor(size=cfg.vision.image_size),
+    )
+    tcfg = TrainConfig(
+        per_device_batch_size=2, num_train_epochs=1, save_steps=0,
+        logging_steps=1, output_dir=root + "/ckpt_sp",
+        gradient_checkpointing=True,
+    )
+    smesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "seq"))
+
+    def factory(mcfg, tx, tcfg_):
+        return make_seq_parallel_videollamb_step(
+            smesh, mcfg, tx, data_axis="data",
+            remat=tcfg_.gradient_checkpointing)
+
+    logs = []
+    params0 = _tiny_params(cfg)
+    before = np.asarray(params0["lm"]["layers"]["q_proj"]).copy()
+    trainer = Trainer(cfg, tcfg, params0, ds, log_fn=logs.append,
+                      collator=Collator(bucket=16, max_length=cfg.max_length),
+                      step_factory=factory)
+    trainer.global_batch = 2
+    state = trainer.train()
+    assert int(state.step) >= 1
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    after = np.asarray(jax.device_get(state.params["lm"]["layers"]["q_proj"]))
+    assert not np.array_equal(before, after)

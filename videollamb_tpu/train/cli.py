@@ -60,6 +60,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     # Sharding (replaces DeepSpeed zero*.json)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="shard the spliced token stream over this many "
+                        "chips (ring attention; long-video contexts)")
     p.add_argument("--lora_enable", action="store_true")
     p.add_argument("--lora_r", type=int, default=128)
     p.add_argument("--lora_alpha", type=int, default=256)
@@ -114,8 +117,12 @@ def main():
             rng=jax.random.PRNGKey(args.seed + 1),
         )
 
-    mesh = create_mesh(model_parallel=args.model_parallel)
-    params = shard_params(mesh, params)
+    if args.sequence_parallel > 1:
+        assert args.model_parallel == 1, "sequence_parallel excludes model_parallel"
+        mesh = None  # params replicated; the SP step shards activations
+    else:
+        mesh = create_mesh(model_parallel=args.model_parallel)
+        params = shard_params(mesh, params)
 
     tcfg = TrainConfig(
         learning_rate=args.learning_rate,
@@ -155,11 +162,34 @@ def main():
         image_processor=ImageProcessor(),
         seed=args.seed,
     )
+    step_factory = None
+    if args.sequence_parallel > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from videollamb_tpu.parallel.seq_parallel import (
+            make_seq_parallel_videollamb_step,
+        )
+
+        devs = jax.devices()
+        n_seq = args.sequence_parallel
+        n_data = max(1, len(devs) // n_seq)
+        smesh = Mesh(_np.asarray(devs[: n_data * n_seq]).reshape(n_data, n_seq),
+                     ("data", "seq"))
+
+        def step_factory(mcfg, tx, tcfg_):
+            return make_seq_parallel_videollamb_step(
+                smesh, mcfg, tx,
+                data_axis="data" if n_data > 1 else None,
+                remat=tcfg_.gradient_checkpointing,
+            )
+
     trainer = Trainer(
         model_cfg, tcfg, params, dataset,
         collator=Collator(pad_token_id=int(tokenizer.pad_token_id or 0),
                           max_length=args.model_max_length),
         mesh=mesh,
+        step_factory=step_factory,
     )
     trainer.train()
 

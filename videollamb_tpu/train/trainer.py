@@ -106,6 +106,7 @@ class Trainer:
         log_fn: Callable[[dict], None] = None,
         process_count: Optional[int] = None,
         process_index: Optional[int] = None,
+        step_factory: Optional[Callable] = None,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
@@ -130,13 +131,19 @@ class Trainer:
         self.tx = create_optimizer(train_cfg, self.total_steps, params)
         self.state = create_train_state(params, self.tx)
         self.state = maybe_resume(train_cfg.output_dir, self.state)
-        self.step_fn = jax.jit(
-            make_train_step(
-                model_cfg, self.tx,
-                remat=train_cfg.gradient_checkpointing,
-                rmt_loss=train_cfg.rmt_loss,
+        if step_factory is not None:
+            # Alternative step builders (e.g. the sequence-parallel
+            # multimodal step, parallel/seq_parallel.py) — receive the
+            # trainer's optimizer, return a ready (jitted) step fn.
+            self.step_fn = step_factory(model_cfg, self.tx, train_cfg)
+        else:
+            self.step_fn = jax.jit(
+                make_train_step(
+                    model_cfg, self.tx,
+                    remat=train_cfg.gradient_checkpointing,
+                    rmt_loss=train_cfg.rmt_loss,
+                )
             )
-        )
 
     def _batch_order(self, epoch: int) -> List[int]:
         """Process-local sample order: identical global shuffle on every
