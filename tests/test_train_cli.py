@@ -35,3 +35,4 @@ def test_cli_flags_parse(monkeypatch):
     assert args.bf16 is True and args.gradient_checkpointing is True
     assert args.num_frames == 16 and args.model_max_length == 2048
     assert args.lora_enable is False and not args.rmt_loss
+    assert args.sequence_parallel == 1 and args.audio_folder == ""
