@@ -297,6 +297,7 @@ def paged_decode_step(
         phys_write = write_logical + l * total_pages  # (B,)
         k_vals = k[:, 0].transpose(1, 0, 2)  # (H_kv, B, Dh)
         v_vals = v[:, 0].transpose(1, 0, 2)
+        ks = vs = None
         if kp_s is not None:
             from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
                 get_quantization_scales, to_int8,
@@ -304,12 +305,24 @@ def paged_decode_step(
 
             ks = get_quantization_scales(k_vals.astype(jnp.float32))
             vs = get_quantization_scales(v_vals.astype(jnp.float32))
-            kp_s = kp_s.at[:, phys_write, write_off].set(ks)
-            vp_s = vp_s.at[:, phys_write, write_off].set(vs)
             k_vals = to_int8(k_vals.astype(jnp.float32), ks)
             v_vals = to_int8(v_vals.astype(jnp.float32), vs)
-        kp = kp.at[:, phys_write, write_off].set(k_vals.astype(kp.dtype))
-        vp = vp.at[:, phys_write, write_off].set(v_vals.astype(vp.dtype))
+        k_vals = k_vals.astype(kp.dtype)
+        v_vals = v_vals.astype(vp.dtype)
+        # Per-row dynamic_update_slice, unrolled over the (static) slot
+        # count — NOT an advanced-index scatter: the scatter schedules
+        # ~6 ms/step worse against the attention custom call at 7B batch 8
+        # (30.3 vs 36.1 ms measured; the DUS chain fuses and aliases
+        # cleanly with the donated pool).
+        for i in range(b):
+            at = (jnp.int32(0), phys_write[i], write_off[i], jnp.int32(0))
+            kp = jax.lax.dynamic_update_slice(kp, k_vals[:, i][:, None, None, :], at)
+            vp = jax.lax.dynamic_update_slice(vp, v_vals[:, i][:, None, None, :], at)
+            if kp_s is not None:
+                kp_s = jax.lax.dynamic_update_slice(
+                    kp_s, ks[:, i][:, None, None, :], at)
+                vp_s = jax.lax.dynamic_update_slice(
+                    vp_s, vs[:, i][:, None, None, :], at)
 
         # Attend over a per-layer SLICE of the pool, not the whole carried
         # pool: the Pallas paged-attention custom call cannot alias a
