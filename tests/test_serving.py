@@ -147,3 +147,40 @@ def test_video_reader_av_backend_gated(tmp_path):
     else:
         out = load_video(path, num_frames=2, backend="av")
         assert out.shape == (2, 32, 32, 3)
+
+
+def test_kv_chat_session_matches_full_reprefill(tiny_chat):
+    """Multi-turn KV reuse: each turn's answer equals the from-scratch
+    full-prompt greedy answer; later turns EXTEND the cache instead of
+    re-prefilling (diagnostics prove the fast path ran)."""
+    from videollamb_tpu.serve.chat import Chat, KVChatSession
+
+    base = tiny_chat
+    frames = base.processors["VIDEO"](_frames())
+
+    # Reference: a fresh Chat driven turn-by-turn with full re-prefill.
+    ref_chat = Chat(base.tokenizer, base.params, base.cfg, base.processors,
+                    text_bucket=32)
+    ref_answers = []
+    for i, q in enumerate(["what is shown", "and then"]):
+        ref_answers.append(ref_chat.ask_about_video(
+            q, frames, first_turn=(i == 0), max_new_tokens=6,
+            do_sample=False, temperature=0.0))
+
+    sess_chat = Chat(base.tokenizer, base.params, base.cfg, base.processors,
+                     text_bucket=32)
+    sess = KVChatSession(sess_chat, max_new_tokens=6)
+    a1 = sess.ask("what is shown", frames)
+    a2 = sess.ask("and then")
+    assert [a1, a2] == ref_answers
+    assert sess.full_prefills == 1 and sess.extends == 1
+
+    # Forced diff mismatch -> exact fallback, still correct.
+    sess2_chat = Chat(base.tokenizer, base.params, base.cfg, base.processors,
+                      text_bucket=32)
+    sess2 = KVChatSession(sess2_chat, max_new_tokens=6)
+    sess2.ask("what is shown", frames)
+    sess2.cached_ids[0] = -999  # corrupt: prefix check must fail
+    a2b = sess2.ask("and then")
+    assert a2b == ref_answers[1]
+    assert sess2.full_prefills == 2

@@ -266,3 +266,132 @@ class Chat:
 
     def _dtype(self):
         return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+
+class KVChatSession:
+    """Multi-turn video chat with KV reuse.
+
+    The reference (and ``Chat.ask_about_video``) re-encodes the video and
+    re-prefills the WHOLE conversation every turn. Here the video is
+    encoded and prefilled once; each later turn extends the running KV
+    cache with only the new tokens (llama_extend — same machinery as the
+    incremental streaming engine), so per-turn latency is O(new tokens),
+    not O(conversation).
+
+    Exactness: the session tracks the raw token ids whose K/V live in the
+    cache. Each turn re-tokenizes the full conversation prompt; if the
+    cached ids are not an exact prefix (tokenizers may merge across the
+    answer/separator boundary), it falls back to a full re-prefill — so
+    output always equals the from-scratch greedy chain.
+    """
+
+    def __init__(self, chat: Chat, max_new_tokens: int = 512):
+        self.chat = chat
+        self.max_new_tokens = max_new_tokens
+        self.cache = None
+        self.logits = None
+        self.cached_ids: list = []
+        self.frames: Optional[np.ndarray] = None
+        self.full_prefills = 0  # diagnostics: how often the fallback ran
+        self.extends = 0
+
+    def _ids(self, prompt: str) -> list:
+        return [int(t) for t in tokenizer_x_token(
+            prompt, self.chat.tokenizer, X_TOKEN_INDEX["VIDEO"],
+            return_tensors="np")]
+
+    def _full_prefill(self, ids: list):
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
+
+        chat = self.chat
+        t = _round_up(len(ids), chat.text_bucket)
+        arr = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        arr[0, : len(ids)] = ids
+        mask[0, : len(ids)] = 1
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(arr), attention_mask=jnp.asarray(mask),
+            labels=None,
+            videos=jnp.asarray(self.frames[None], chat._dtype()),
+            images=None,
+        )
+        spliced = prepare_multimodal_embeds(chat.params, chat.cfg, batch)
+        self.cache = init_kv_cache(
+            chat.cfg.lm, 1,
+            chat.cfg.max_length + _round_up(self.max_new_tokens, 64),
+            chat._dtype(),
+        )
+        self.logits, self.cache = llama_prefill(
+            chat.params["lm"], chat.cfg.lm, spliced.embeds,
+            spliced.attention_mask, self.cache,
+        )
+        self.cached_ids = list(ids)
+        self.full_prefills += 1
+
+    def _extend(self, delta: list):
+        from videollamb_tpu.models.lm.llama import embed_tokens, llama_extend
+
+        chat = self.chat
+        t = _round_up(len(delta), chat.text_bucket)
+        arr = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        arr[0, : len(delta)] = delta
+        mask[0, : len(delta)] = 1
+        self.logits, self.cache = llama_extend(
+            chat.params["lm"], chat.cfg.lm,
+            embed_tokens(chat.params["lm"], jnp.asarray(arr)).astype(
+                self.cache.k.dtype),
+            jnp.asarray(mask), self.cache,
+        )
+        self.cached_ids.extend(delta)
+        self.extends += 1
+
+    def ask(self, question: str, frames: Optional[np.ndarray] = None,
+            max_new_tokens: Optional[int] = None) -> str:
+        """One greedy turn. ``frames`` (processed (T, C, H, W)) required on
+        the first call; later turns reuse the cached video K/V."""
+        from videollamb_tpu.models.lm.llama import embed_tokens, llama_decode_step
+
+        chat = self.chat
+        if frames is not None:
+            self.frames = frames
+        first = self.cache is None
+        if first:
+            assert self.frames is not None, "first turn needs frames"
+            question = DEFAULT_X_TOKEN["VIDEO"] + "\n" + question
+        chat.conv.append_message(chat.conv.roles[0], question)
+        chat.conv.append_message(chat.conv.roles[1], None)
+        ids = self._ids(chat.conv.get_prompt())
+
+        if (not first and len(ids) > len(self.cached_ids)
+                and ids[: len(self.cached_ids)] == self.cached_ids):
+            self._extend(ids[len(self.cached_ids):])
+        else:
+            self._full_prefill(ids)
+
+        stopper = KeywordStopper([chat.stop_str()], chat.tokenizer)
+        stop_ids = set(stopper.stop_token_ids())
+        eos = int(chat.tokenizer.eos_token_id or 2)
+        budget = max_new_tokens or self.max_new_tokens
+        toks: list = []
+        logits = self.logits
+        for _ in range(budget):
+            nxt = int(jnp.argmax(logits[0]))
+            if nxt == eos or nxt in stop_ids:
+                break
+            toks.append(nxt)
+            # Feed the token: its K/V lands in the cache, so it counts as
+            # cached context for the next turn's diff.
+            logits, self.cache = llama_decode_step(
+                chat.params["lm"], chat.cfg.lm,
+                embed_tokens(chat.params["lm"], jnp.asarray([[nxt]])).astype(
+                    self.cache.k.dtype),
+                self.cache,
+            )
+            self.cached_ids.append(nxt)
+        self.logits = logits
+        text = chat.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        answer = stopper.trim(text)
+        chat.conv.messages[-1][1] = answer
+        return answer
