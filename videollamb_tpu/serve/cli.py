@@ -51,6 +51,12 @@ def main(args) -> None:
 
         images = processors["IMAGE"](Image.open(args.image_file).convert("RGB"))
 
+    session = None
+    if args.kv_reuse and frames is not None and args.temperature == 0:
+        from videollamb_tpu.serve.chat import KVChatSession
+
+        session = KVChatSession(chat, max_new_tokens=args.max_new_tokens)
+
     first = True
     while True:
         try:
@@ -60,7 +66,9 @@ def main(args) -> None:
         if not inp:
             break
         print(f"{chat.conv.roles[1]}: ", end="", flush=True)
-        if frames is not None:
+        if session is not None:
+            out = session.ask(inp, frames if first else None)
+        elif frames is not None:
             out = chat.ask_about_video(
                 inp, frames, first_turn=first,
                 temperature=args.temperature, max_new_tokens=args.max_new_tokens,
@@ -99,6 +107,10 @@ def parse_args():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--kv-reuse", action="store_true",
+                        help="multi-turn KV reuse (greedy video chat): "
+                             "later turns extend the cache instead of "
+                             "re-encoding + re-prefilling")
     parser.add_argument("--speculative", type=str, default=None,
                         choices=["lookup", "self-draft-int8"],
                         help="greedy-exact speculative decoding (used when "
