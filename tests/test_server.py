@@ -127,3 +127,36 @@ def test_serving_engine_with_tp_sharded_params(tiny):
     eng.run_until_drained(k=2)
     for a, b in zip(reqs_ref, reqs):
         assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+
+
+def test_top_p_nucleus_respected(tiny):
+    """top_p near 0 degenerates to greedy even at high temperature (the
+    nucleus keeps only the argmax token); top_p=1 samples freely."""
+    import jax.numpy as jnp
+
+    from videollamb_tpu.serve.server import sample_slot_tokens
+
+    cfg, params = tiny
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(size=(3, cfg.lm.vocab_size)).astype(np.float32))
+
+    class R:
+        def __init__(self, t, p):
+            self.temperature, self.top_p = t, p
+
+    slots = [R(5.0, 1e-6), R(0.0, 1.0), None]
+    out = np.asarray(sample_slot_tokens(logits, jax.random.PRNGKey(0), slots))
+    greedy = np.asarray(jnp.argmax(logits, -1))
+    # Row 0: hot temperature but tiny nucleus -> forced to the argmax.
+    assert out[0] == greedy[0]
+    assert out[1] == greedy[1] and out[2] == greedy[2]
+
+    # With top_p=1 and hot temperature, sampling diverges from greedy for
+    # at least one of many draws.
+    slots = [R(5.0, 1.0), R(0.0, 1.0), None]
+    diverged = False
+    for s in range(12):
+        out = np.asarray(sample_slot_tokens(logits, jax.random.PRNGKey(s), slots))
+        assert out[1] == greedy[1]  # greedy row never changes
+        diverged |= out[0] != greedy[0]
+    assert diverged

@@ -313,20 +313,9 @@ class PagedServingEngine(ServingEngine):
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        temps = np.asarray(
-            [(r.temperature if r is not None else 0.0) for r in self.slots],
-            np.float32,
-        )
-        nxt_greedy = jnp.argmax(self.logits, -1).astype(jnp.int32)
-        if (temps > 0).any():
-            scaled = self.logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
-            nxt = jnp.where(
-                jnp.asarray(temps > 0),
-                jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32),
-                nxt_greedy,
-            )
-        else:
-            nxt = nxt_greedy
+        from videollamb_tpu.serve.server import sample_slot_tokens
+
+        nxt = sample_slot_tokens(self.logits, sub, self.slots)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = paged_decode_step(

@@ -60,6 +60,32 @@ def insert_into_cache(
     )
 
 
+def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
+    """Per-slot sampling honoring each Request's temperature AND top_p
+    (HF nucleus semantics, vectorized with row-specific p): scale each
+    row's logits by its own temperature, mask below its nucleus threshold,
+    sample once, then override greedy rows with argmax."""
+    temps = np.asarray([(r.temperature if r is not None else 0.0)
+                        for r in slots], np.float32)
+    top_ps = np.asarray([(r.top_p if r is not None else 1.0)
+                         for r in slots], np.float32)
+    nxt_greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    if not (temps > 0).any():
+        return nxt_greedy
+    scaled = logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
+    if (top_ps < 1.0).any():
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < jnp.asarray(top_ps)[:, None]
+        threshold = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+            keepdims=True)
+        scaled = jnp.where(scaled >= threshold, scaled, -jnp.inf)
+    nxt_sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
+
+
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
 def greedy_decode_steps(
     params: Params, cfg, logits: jax.Array, cache: KVCache, k: int
@@ -188,18 +214,7 @@ class ServingEngine:
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        # Per-slot temperatures: scale each row's logits by its own
-        # temperature, sample once, then override greedy rows with argmax.
-        temps = np.asarray([
-            (r.temperature if r is not None else 0.0) for r in self.slots
-        ], np.float32)
-        nxt_greedy = jnp.argmax(self.logits, -1).astype(jnp.int32)
-        if (temps > 0).any():
-            scaled = self.logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
-            nxt_sampled = jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
-        else:
-            nxt = nxt_greedy
+        nxt = sample_slot_tokens(self.logits, sub, self.slots)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
