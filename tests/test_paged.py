@@ -301,3 +301,27 @@ def test_prefix_pages_shared_and_refcounted(tiny):
     assert engine.allocator.free_pages == free0 - n_shared
     engine.release_prefix(pid)
     assert engine.allocator.free_pages == free0
+
+
+def test_prefix_cache_with_quantized_kv(tiny):
+    """Prefix caching composes with int8 KV pages: same tokens as the
+    plain quantized engine (identical per-token scales either path)."""
+    cfg, params = tiny
+    suffix_ids = [7, 11, 13]
+    prefix, suffix, full = _split_prompt(cfg, seed=9, suffix_ids=suffix_ids)
+
+    ref_engine = PagedServingEngine(params, cfg, num_slots=1, page_size=8,
+                                    eos_token_id=-1, quantize_kv=True)
+    r_ref = Request(uid="r", batch=full, max_new_tokens=5, temperature=0.0)
+    ref_engine.submit(r_ref)
+    ref_engine.run_until_drained(k=2)
+
+    engine = PagedServingEngine(params, cfg, num_slots=1, page_size=8,
+                                eos_token_id=-1, quantize_kv=True)
+    pid = engine.register_prefix(prefix)
+    r = Request(uid="p", batch=suffix, max_new_tokens=5, temperature=0.0,
+                prefix_id=pid)
+    engine.submit(r)
+    engine.run_until_drained(k=2)
+    assert r.tokens == r_ref.tokens, (r.tokens, r_ref.tokens)
+    engine.release_prefix(pid)
