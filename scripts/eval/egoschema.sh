@@ -25,6 +25,7 @@ for IDX in $(seq 0 $((CHUNKS-1))); do
         --output_name "pred_${CHUNKS}_${IDX}" \
         --num_chunks "$CHUNKS" \
         --chunk_idx "$IDX" \
+        --batch_slots ${BATCH_SLOTS:-0} \
         --num_frames "$NUM_FRAMES" &
 done
 wait

@@ -297,3 +297,57 @@ def test_consistency_driver_end_to_end(tmp_path):
     assert result["n"] == 1
     rec = json.loads(open(result["output"]).read().strip())
     assert rec["pred1"] and rec["pred2"] and rec["answer"] == "ans"
+
+
+def test_mc_batched_engine_matches_sequential(tmp_path):
+    """--batch_slots path: batched engine answers equal the sequential
+    chat-driven driver (greedy), same records and accuracy."""
+    cv2 = pytest.importorskip("cv2")
+    from videollamb_tpu.eval.videoqa_mc import (
+        run_inference,
+        run_inference_batched,
+    )
+
+    chat = _tiny_eval_chat()
+    vids = _write_tiny_video(tmp_path, "v1.mp4")
+    _write_tiny_video(tmp_path, "v2.mp4")
+
+    questions = [
+        {"question_id": 1, "video_name": "v1", "question": "what",
+         "option": {"0": "x", "1": "y"}},
+        {"question_id": 2, "video_name": "v2", "question": "which",
+         "option": {"0": "p", "1": "q", "2": "r"}},
+        {"question_id": 3, "video_name": "v1", "question": "how",
+         "option": {"0": "m", "1": "n"}},
+    ]
+    answers = [{"answer": 0, "type": "t"}, {"answer": 2}, {"answer": 1}]
+    (tmp_path / "q.json").write_text(json.dumps(questions))
+    (tmp_path / "a.json").write_text(json.dumps(answers))
+
+    class Args(_BaseArgs):
+        video_dir = str(vids)
+        gt_file_question = str(tmp_path / "q.json")
+        gt_file_answers = str(tmp_path / "a.json")
+        output_dir = str(tmp_path / "out")
+        names_have_extension = False
+        temperature = 0.0
+
+    class SeqArgs(Args):
+        output_name = "seq"
+
+    class BatchArgs(Args):
+        output_name = "batch"
+
+    seq = run_inference(SeqArgs(), chat=chat)
+    bat = run_inference_batched(BatchArgs(), chat=chat, num_slots=2,
+                                sync_every=3)
+    assert bat["n"] == seq["n"] == 3
+    seq_recs = {json.loads(l)["id"]: json.loads(l)
+                for l in open(seq["output"])}
+    bat_recs = {json.loads(l)["id"]: json.loads(l)
+                for l in open(bat["output"])}
+    assert set(seq_recs) == set(bat_recs)
+    for qid in seq_recs:
+        assert bat_recs[qid]["pred"] == seq_recs[qid]["pred"], qid
+        assert bat_recs[qid]["answer"] == seq_recs[qid]["answer"]
+    assert bat["acc"] == seq["acc"]

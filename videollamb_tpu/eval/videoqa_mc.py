@@ -110,6 +110,104 @@ def run_inference(args, chat=None) -> Dict[str, Any]:
     return {"output": out_path, "n": total, "acc": acc / max(total, 1)}
 
 
+def run_inference_batched(args, chat=None, num_slots: int = 4,
+                          sync_every: int = 8) -> Dict[str, Any]:
+    """MC inference through the continuous-batching engine: ``num_slots``
+    questions decode concurrently (weight reads amortized — measured ~4x
+    aggregate decode throughput at 4 slots on a v5e chip), submitted in
+    waves so at most 2 waves of video tensors are resident. Per-request
+    temperature/top_p ride the engine's per-slot sampler, so sampled eval
+    (the reference's T=0.2 protocol) works batched too. Beyond the
+    reference, which evaluates strictly one question at a time."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videollamb_tpu.constants import DEFAULT_X_TOKEN
+    from videollamb_tpu.data.video_reader import load_video
+    from videollamb_tpu.models.assembly import MultimodalBatch
+    from videollamb_tpu.serve.server import Request, ServingEngine
+
+    if chat is None:
+        from videollamb_tpu.models.builder import load_pretrained_model
+        from videollamb_tpu.serve.chat import Chat
+
+        tokenizer, params, cfg, processors, _ = load_pretrained_model(
+            args.model_path, args.model_base, video_tower_path=args.video_tower,
+        )
+        chat = Chat(tokenizer, params, cfg, processors)
+
+    engine = ServingEngine(
+        chat.params, chat.cfg, num_slots=num_slots,
+        eos_token_id=int(chat.tokenizer.eos_token_id or 2),
+    )
+
+    with open(args.gt_file_question) as f:
+        gt_questions = json.load(f)
+    with open(args.gt_file_answers) as f:
+        gt_answers = json.load(f)
+    pairs = get_chunk(list(zip(gt_questions, gt_answers)),
+                      args.num_chunks, args.chunk_idx)
+
+    def make_request(uid, sample):
+        video_path = resolve_video_path(
+            args.video_dir, sample["video_name"],
+            has_extension=args.names_have_extension)
+        if video_path is None:
+            return None
+        raw = load_video(video_path, num_frames=args.num_frames)
+        frames = chat.processors["VIDEO"](raw)
+        question = build_mc_question(sample["question"], sample["option"])
+        chat.reset()
+        chat.conv.append_message(
+            chat.conv.roles[0], DEFAULT_X_TOKEN["VIDEO"] + "\n" + question)
+        chat.conv.append_message(chat.conv.roles[1], None)
+        ids, mask = chat._prepare_ids(chat.conv.get_prompt(), "VIDEO")
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+            labels=None,
+            videos=jnp.asarray(frames[None], chat._dtype()), images=None)
+        return Request(uid=uid, batch=batch,
+                       max_new_tokens=args.max_new_tokens,
+                       temperature=args.temperature), question
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, f"{args.output_name}.json")
+    acc, total = 0, 0
+    stopper_str = chat.stop_str()
+    with open(out_path, "w") as ans_file:
+        wave = 2 * num_slots
+        for start in range(0, len(pairs), wave):
+            records = {}
+            reqs = []
+            for uid, (sample, gt) in enumerate(pairs[start: start + wave],
+                                               start=start):
+                built = make_request(uid, sample)
+                if built is None:
+                    continue
+                req, question = built
+                answer = OPTIONS[gt["answer"]]
+                rec = {"id": sample["question_id"], "question": question,
+                       "answer": answer}
+                if "type" in gt:
+                    rec["type"] = gt["type"]
+                records[uid] = rec
+                reqs.append(req)
+                engine.submit(req)
+            engine.run_until_drained(k=sync_every)
+            for req in reqs:
+                text = chat.tokenizer.decode(
+                    req.tokens, skip_special_tokens=True).strip()
+                if stopper_str and stopper_str in text:
+                    text = text.split(stopper_str)[0].strip()
+                pred = text.split(".")[0]
+                rec = records[req.uid]
+                rec["pred"] = pred
+                total += 1
+                acc += int(pred == rec["answer"])
+                ans_file.write(json.dumps(rec) + "\n")
+    return {"output": out_path, "n": total, "acc": acc / max(total, 1)}
+
+
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", required=True)
@@ -131,8 +229,15 @@ def parse_args():
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--names_have_extension", action="store_true")
+    parser.add_argument("--batch_slots", type=int, default=0,
+                        help=">0: run through the continuous-batching "
+                             "engine with this many concurrent questions")
     return parser.parse_args()
 
 
 if __name__ == "__main__":
-    print(run_inference(parse_args()))
+    _args = parse_args()
+    if _args.batch_slots > 0:
+        print(run_inference_batched(_args, num_slots=_args.batch_slots))
+    else:
+        print(run_inference(_args))
