@@ -325,3 +325,48 @@ def test_prefix_cache_with_quantized_kv(tiny):
     engine.run_until_drained(k=2)
     assert r.tokens == r_ref.tokens, (r.tokens, r_ref.tokens)
     engine.release_prefix(pid)
+
+
+def test_allocator_fuzz_invariants():
+    """Random alloc/retain/free sequences: no page is ever handed out
+    twice concurrently, refcounts never underflow, and the free count is
+    conserved."""
+    import random
+
+    rng = random.Random(0)
+    total = 33
+    alloc = PageAllocator(total)
+    live = {}  # page -> refcount (mirror)
+    for _ in range(2000):
+        op = rng.random()
+        if op < 0.45:
+            n = rng.randint(1, 4)
+            pages = alloc.alloc(n)
+            if pages is None:
+                assert alloc.free_pages < n
+                continue
+            assert len(set(pages)) == n
+            for p in pages:
+                assert p != TRASH_PAGE and p not in live
+                live[p] = 1
+        elif op < 0.65 and live:
+            k = rng.randint(1, min(3, len(live)))
+            chosen = rng.sample(sorted(live), k)
+            alloc.retain(chosen)
+            for p in chosen:
+                live[p] += 1
+        elif live:
+            k = rng.randint(1, min(4, len(live)))
+            chosen = rng.sample(sorted(live), k)
+            alloc.free(chosen)
+            for p in chosen:
+                live[p] -= 1
+                if live[p] == 0:
+                    del live[p]
+        # Conservation: free + live-unique == total - 1 (trash reserved).
+        assert alloc.free_pages + len(live) == total - 1
+    # Drain everything; pool must be whole again.
+    while live:
+        p = next(iter(live))
+        alloc.free([p] * live.pop(p))
+    assert alloc.free_pages == total - 1
