@@ -160,3 +160,41 @@ def test_top_p_nucleus_respected(tiny):
         assert out[1] == greedy[1]  # greedy row never changes
         diverged |= out[0] != greedy[0]
     assert diverged
+
+
+def test_on_token_streaming_and_cancellation(tiny):
+    """on_token fires per committed token in order; cancel() frees a
+    running slot at the next step and drops a pending request."""
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+
+    streamed = []
+    r1 = _request(cfg, "s", seed=21, max_new=5)
+    r1.on_token = lambda req, tok: streamed.append(tok)
+    engine.submit(r1)
+    engine.run_until_drained(k=2)
+    assert streamed == r1.tokens and len(streamed) == 5
+
+    # Cancel a running request mid-decode.
+    r2 = _request(cfg, "run", seed=22, max_new=50)
+    r3 = _request(cfg, "queued", seed=23, max_new=5)
+    engine.submit(r2)
+    engine.submit(r3)
+    engine.step(k=1)  # admit r2 (1 slot), decode one token
+    assert engine.cancel("run")
+    done = engine.step(k=1)
+    assert r2 in done and r2.done and len(r2.tokens) < 50
+    # The queued request proceeds normally after the slot frees.
+    engine.run_until_drained(k=2)
+    assert r3.done and len(r3.tokens) == 5
+
+    # Cancel while still pending: dropped at admission, no tokens.
+    engine2 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    r4 = _request(cfg, "a", seed=24, max_new=4)
+    r5 = _request(cfg, "b", seed=25, max_new=4)
+    engine2.submit(r4)
+    engine2.submit(r5)
+    assert engine2.cancel("b")
+    engine2.run_until_drained(k=2)
+    assert r4.done and len(r4.tokens) == 4
+    assert r5.done and r5.tokens == []

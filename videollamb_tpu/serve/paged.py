@@ -226,6 +226,10 @@ class PagedServingEngine(ServingEngine):
             if slot is None:
                 return
             req = self.pending.queue[0]  # peek: only pop if pages fit
+            if req.cancelled:
+                self.pending.get()
+                req.done = True
+                continue
             if req.prefix_id is not None:
                 if not self._admit_prefix(req, slot):
                     return  # backpressure
@@ -302,9 +306,16 @@ class PagedServingEngine(ServingEngine):
             for i, req in enumerate(self.slots):
                 if req is None:
                     continue
+                if req.cancelled:
+                    req.done = True
+                    finished.append(req)
+                    self._release(i)
+                    continue
                 for t in range(k):
                     tok = int(toks_host[i, t])
                     req.tokens.append(tok)
+                    if req.on_token is not None:
+                        req.on_token(req, tok)
                     if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                         req.done = True
                         finished.append(req)
@@ -329,8 +340,15 @@ class PagedServingEngine(ServingEngine):
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
+            if req.cancelled:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+                continue
             tok = int(nxt_host[i])
             req.tokens.append(tok)
+            if req.on_token is not None:
+                req.on_token(req, tok)
             if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 finished.append(req)

@@ -120,6 +120,10 @@ class Request:
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # Optional streaming hook: called with (request, token) as each token
+    # is committed host-side (after every k-step sync at most).
+    on_token: Any = None
+    cancelled: bool = False
 
 
 class ServingEngine:
@@ -164,6 +168,9 @@ class ServingEngine:
             if slot is None:
                 return
             req = self.pending.get()
+            if req.cancelled:
+                req.done = True
+                continue
             spliced = prepare_multimodal_embeds(
                 self.params, self.cfg, req.batch, deterministic=True
             )
@@ -203,9 +210,16 @@ class ServingEngine:
             for i, req in enumerate(self.slots):
                 if req is None:
                     continue
+                if req.cancelled:
+                    req.done = True
+                    finished.append(req)
+                    self._release(i)
+                    continue
                 for t in range(k):
                     tok = int(toks_host[i, t])
                     req.tokens.append(tok)
+                    if req.on_token is not None:
+                        req.on_token(req, tok)
                     if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                         req.done = True
                         finished.append(req)
@@ -226,13 +240,35 @@ class ServingEngine:
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
+            if req.cancelled:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+                continue
             tok = int(nxt_host[i])
             req.tokens.append(tok)
+            if req.on_token is not None:
+                req.on_token(req, tok)
             if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 finished.append(req)
                 self._release(i)
         return finished
+
+    def cancel(self, uid) -> bool:
+        """Cancel a pending or running request by uid: pending requests are
+        dropped at admission, running ones release their slot (and pages,
+        in the paged engine) at the next step boundary."""
+        hit = False
+        for r in list(self.pending.queue):
+            if r.uid == uid:
+                r.cancelled = True
+                hit = True
+        for r in self.slots:
+            if r is not None and r.uid == uid:
+                r.cancelled = True
+                hit = True
+        return hit
 
     def run_until_drained(self, max_steps: int = 100000, k: int = 1) -> List[Request]:
         """Drive until the queue and all slots are empty."""
