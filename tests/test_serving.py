@@ -184,3 +184,25 @@ def test_kv_chat_session_matches_full_reprefill(tiny_chat):
     a2b = sess2.ask("and then")
     assert a2b == ref_answers[1]
     assert sess2.full_prefills == 2
+
+
+def test_kv_chat_session_speculative_matches_plain(tiny_chat):
+    """KV reuse + prompt-lookup speculation compose: same answers as the
+    plain session (greedy-exact), cache diff still extends across turns."""
+    from videollamb_tpu.serve.chat import Chat, KVChatSession
+
+    base = tiny_chat
+    frames = base.processors["VIDEO"](_frames())
+
+    def run(spec):
+        chat = Chat(base.tokenizer, base.params, base.cfg, base.processors,
+                    text_bucket=32)
+        sess = KVChatSession(chat, max_new_tokens=6)
+        a1 = sess.ask("what is shown", frames, speculative=spec)
+        a2 = sess.ask("and then", speculative=spec)
+        return [a1, a2], sess
+
+    plain, _ = run(False)
+    spec, sess = run(True)
+    assert spec == plain
+    assert sess.full_prefills == 1 and sess.extends == 1

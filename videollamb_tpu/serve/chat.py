@@ -348,9 +348,15 @@ class KVChatSession:
         self.extends += 1
 
     def ask(self, question: str, frames: Optional[np.ndarray] = None,
-            max_new_tokens: Optional[int] = None) -> str:
+            max_new_tokens: Optional[int] = None,
+            speculative: bool = False) -> str:
         """One greedy turn. ``frames`` (processed (T, C, H, W)) required on
-        the first call; later turns reuse the cached video K/V."""
+        the first call; later turns reuse the cached video K/V.
+
+        ``speculative=True`` additionally runs prompt-lookup speculation
+        over the SAME session cache (models/speculative.py — rollbacks
+        shrink ``cache.length``, which composes with the turn diff because
+        only committed tokens enter ``cached_ids``)."""
         from videollamb_tpu.models.lm.llama import embed_tokens, llama_decode_step
 
         chat = self.chat
@@ -374,23 +380,36 @@ class KVChatSession:
         stop_ids = set(stopper.stop_token_ids())
         eos = int(chat.tokenizer.eos_token_id or 2)
         budget = max_new_tokens or self.max_new_tokens
-        toks: list = []
-        logits = self.logits
-        for _ in range(budget):
-            nxt = int(jnp.argmax(logits[0]))
-            if nxt == eos or nxt in stop_ids:
-                break
-            toks.append(nxt)
-            # Feed the token: its K/V lands in the cache, so it counts as
-            # cached context for the next turn's diff.
-            logits, self.cache = llama_decode_step(
-                chat.params["lm"], chat.cfg.lm,
-                embed_tokens(chat.params["lm"], jnp.asarray([[nxt]])).astype(
-                    self.cache.k.dtype),
-                self.cache,
+
+        if speculative:
+            from videollamb_tpu.models.speculative import speculative_decode
+
+            toks, self.cache, self.logits, _ = speculative_decode(
+                chat.params, chat.cfg.lm, self.cache, self.logits,
+                [t for t in self.cached_ids if t >= 0],
+                max_new_tokens=budget, eos_token_id=eos, stop_ids=stop_ids,
             )
-            self.cached_ids.append(nxt)
-        self.logits = logits
+            # Only committed tokens are in the cache (rollbacks shrank
+            # length past rejects and the stop token).
+            self.cached_ids.extend(toks)
+        else:
+            toks = []
+            logits = self.logits
+            for _ in range(budget):
+                nxt = int(jnp.argmax(logits[0]))
+                if nxt == eos or nxt in stop_ids:
+                    break
+                toks.append(nxt)
+                # Feed the token: its K/V lands in the cache, so it counts
+                # as cached context for the next turn's diff.
+                logits, self.cache = llama_decode_step(
+                    chat.params["lm"], chat.cfg.lm,
+                    embed_tokens(chat.params["lm"], jnp.asarray([[nxt]])).astype(
+                        self.cache.k.dtype),
+                    self.cache,
+                )
+                self.cached_ids.append(nxt)
+            self.logits = logits
         text = chat.tokenizer.decode(toks, skip_special_tokens=True).strip()
         answer = stopper.trim(text)
         chat.conv.messages[-1][1] = answer
