@@ -206,3 +206,37 @@ def test_kv_chat_session_speculative_matches_plain(tiny_chat):
     spec, sess = run(True)
     assert spec == plain
     assert sess.full_prefills == 1 and sess.extends == 1
+
+
+def test_streaming_cli_main_end_to_end(tiny_chat, tmp_path):
+    """serve/cli_streaming.main: real mp4 in, tick loop with fps/latency
+    accounting, JSON history out."""
+    cv2 = pytest.importorskip("cv2")
+    from videollamb_tpu.serve.cli_streaming import main as streaming_main
+    from videollamb_tpu.serve.streaming import LiveInfer
+
+    path = tmp_path / "v.mp4"
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (64, 48))
+    for i in range(90):  # 3 s @ 30 fps -> 3 frames @ 1 fps
+        writer.write(np.full((48, 64, 3), (i * 5) % 255, np.uint8))
+    writer.release()
+
+    tiny_chat.reset()
+    live = LiveInfer(tiny_chat, frame_fps=1.0)
+
+    class Args:
+        video_file = str(path)
+        query = "what is happening"
+        query_time = 0.0
+        no_sleep = True
+        output = str(tmp_path / "history.json")
+
+    import json
+
+    streaming_main(live, Args())
+    hist = json.loads(open(Args.output).read())
+    assert hist["video_path"] == str(path)
+    roles = [m["role"] for m in hist["conversation"]]
+    assert "user" in roles and "assistant" in roles
+    assert all("time" in m and "cost" in m for m in hist["conversation"])
