@@ -40,3 +40,39 @@ def test_extract_mm_projector():
         "model.mm_projector.projector.proj.0.weight",
         "mm_projector.projector.read_memory_emb",
     }
+
+
+def test_consolidate_and_extract_clis(tmp_path, monkeypatch):
+    """The thin CLI mains run end to end on a real checkpoint dir."""
+    import sys
+
+    import torch
+
+    from videollamb_tpu.tools.weights import consolidate_cli, extract_projector_cli
+
+    sd = {
+        "model.layers.0.self_attn.q_proj.weight": torch.randn(4, 4),
+        "model.mm_projector.proj.weight": torch.randn(4, 4),
+        "model.mm_projector.proj.bias": torch.randn(4),
+    }
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    torch.save(sd, src / "pytorch_model.bin")
+
+    dst = tmp_path / "consolidated.npz"
+    monkeypatch.setattr(sys, "argv",
+                        ["x", "--src", str(src), "--dst", str(dst)])
+    consolidate_cli()
+    back = np.load(str(dst))
+    assert set(back.files) == set(sd)
+    np.testing.assert_allclose(
+        back["model.mm_projector.proj.bias"],
+        sd["model.mm_projector.proj.bias"].numpy())
+
+    out = tmp_path / "mm_projector.bin"
+    monkeypatch.setattr(sys, "argv",
+                        ["x", "--model-path", str(src), "--output", str(out)])
+    extract_projector_cli()
+    proj = torch.load(str(out), weights_only=True)
+    assert set(proj) == {"model.mm_projector.proj.weight",
+                         "model.mm_projector.proj.bias"}
