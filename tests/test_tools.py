@@ -76,3 +76,16 @@ def test_consolidate_and_extract_clis(tmp_path, monkeypatch):
     proj = torch.load(str(out), weights_only=True)
     assert set(proj) == {"model.mm_projector.proj.weight",
                          "model.mm_projector.proj.bias"}
+
+
+def test_all_shell_launchers_parse():
+    """Every scripts/*.sh (+ eval launchers) is valid bash."""
+    import glob
+    import os
+    import subprocess
+
+    scripts = sorted(glob.glob(os.path.join(_c.REPO_ROOT, "scripts", "**", "*.sh"),
+                               recursive=True))
+    assert len(scripts) >= 6, scripts
+    for sh in scripts:
+        subprocess.run(["bash", "-n", sh], check=True)
