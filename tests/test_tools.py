@@ -89,3 +89,52 @@ def test_all_shell_launchers_parse():
     assert len(scripts) >= 6, scripts
     for sh in scripts:
         subprocess.run(["bash", "-n", sh], check=True)
+
+
+def test_export_roundtrip_llama_and_bridge(tmp_path):
+    """JAX -> HF export -> JAX import reproduces the exact trees, and the
+    full export loads through the production checkpoint loader."""
+    import jax
+
+    from videollamb_tpu.config import BridgeConfig, LlamaConfig
+    from videollamb_tpu.models.bridge.convert import (
+        convert_rmt_r_state_dict,
+        export_rmt_r_state_dict,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.convert import (
+        convert_llama_state_dict,
+        export_llama_state_dict,
+    )
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.tools.weights import export_hf_checkpoint
+
+    lcfg = LlamaConfig.tiny()
+    lm = init_llama_params(jax.random.PRNGKey(0), lcfg)
+    sd = export_llama_state_dict(lm, root="model.")
+    back = convert_llama_state_dict(sd)
+    for a, b in zip(jax.tree.leaves(lm), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bcfg = BridgeConfig.from_projector_type("rmt_r_transformer1x")
+    bridge = init_rmt_r_params(jax.random.PRNGKey(1), bcfg, lcfg.hidden_size)
+    bsd = export_rmt_r_state_dict(bridge)
+    bback = convert_rmt_r_state_dict(bsd)
+    ra, rb = jax.tree.leaves(bridge), jax.tree.leaves(bback)
+    assert len(ra) == len(rb)
+    for a, b in zip(ra, rb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Full-file export loads through load_state_dict (builder path).
+    from videollamb_tpu.models.builder import load_state_dict
+
+    path = export_hf_checkpoint({"lm": lm, "mm_projector": bridge},
+                                str(tmp_path / "export"))
+    full = load_state_dict(str(tmp_path / "export"))
+    assert "model.embed_tokens.weight" in full
+    assert any(k.startswith("model.mm_projector.projector.layers.0")
+               for k in full)
+    lm_back = convert_llama_state_dict(
+        {k: v for k, v in full.items() if "mm_projector" not in k})
+    np.testing.assert_array_equal(
+        np.asarray(lm_back["layers"]["q_proj"]), np.asarray(lm["layers"]["q_proj"]))

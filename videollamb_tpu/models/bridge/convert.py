@@ -97,3 +97,57 @@ def convert_rmt_r_state_dict(sd: Mapping[str, Any], prefix: str = "") -> Dict[st
         ],
     }
     return {"projector": projector, "retrieval": retrieval}
+
+
+# ---------------------------------------------------------------------------
+# Inverse: JAX tree -> reference torch key namespace (export)
+# ---------------------------------------------------------------------------
+
+
+def _export_dense(out: Dict[str, np.ndarray], tree: Mapping[str, Any], prefix: str):
+    out[f"{prefix}.weight"] = np.asarray(tree["kernel"]).T.copy()
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"]).copy()
+
+
+def _export_layernorm(out, tree, prefix: str):
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"]).copy()
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"]).copy()
+
+
+def _export_residual(out, tree, prefix: str):
+    _export_dense(out, tree["dense"], f"{prefix}.dense")
+    _export_layernorm(out, tree["layernorm"], f"{prefix}.layernorm")
+
+
+def _export_attention(out, tree, prefix: str):
+    for name in ("q_proj", "k_proj", "v_proj"):
+        _export_dense(out, tree[name], f"{prefix}.{name}")
+    _export_residual(out, tree["residual"], f"{prefix}.residual")
+
+
+def _export_layer(out, tree, prefix: str):
+    _export_attention(out, tree["selfattention"], f"{prefix}.selfattention")
+    _export_attention(out, tree["crossattention"], f"{prefix}.crossattention")
+    if "mlp" in tree:
+        _export_dense(out, tree["mlp"]["dense"], f"{prefix}.mlp.0")
+    if "residual" in tree:
+        _export_residual(out, tree["residual"], f"{prefix}.residual")
+
+
+def export_rmt_r_state_dict(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_rmt_r_state_dict`: JAX Memory Bridge tree
+    -> the reference's torch key namespace, so adapter checkpoints trained
+    here load back into the reference (mm_projector.bin interchange).
+    Roundtrip-tested."""
+    out: Dict[str, np.ndarray] = {}
+    proj = tree["projector"]
+    for i, layer in enumerate(proj["layers"]):
+        _export_layer(out, layer, f"projector.layers.{i}")
+    _export_dense(out, proj["proj"]["dense"], "projector.proj.0")
+    out["projector.read_memory_emb"] = np.asarray(proj["read_memory_emb"]).copy()
+    out["projector.memory_tokens"] = np.asarray(proj["memory_tokens"]).copy()
+    for i, layer in enumerate(tree["retrieval"]["layers"]):
+        _export_layer(out, layer, f"retrieval.layers.{i}")
+    if prefix:
+        out = {prefix + k: v for k, v in out.items()}
+    return out

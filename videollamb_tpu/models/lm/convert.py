@@ -79,3 +79,33 @@ def convert_llama_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "norm": _np(sd[f"{root}norm.weight"]),
         "lm_head": lm_head,
     }
+
+
+def export_llama_state_dict(params: Dict[str, Any], root: str = "model.") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_llama_state_dict`: JAX param tree ->
+    HF-format numpy state dict (torch (out, in) weight layout, per-layer
+    keys), so a model fine-tuned here can be loaded back by the reference
+    codebase / transformers. Roundtrip-tested."""
+    layers = params["layers"]
+    n_layers = int(np.asarray(layers["q_proj"]).shape[0])
+    out: Dict[str, np.ndarray] = {}
+
+    def put(key: str, arr, transpose: bool = True):
+        a = np.asarray(arr)
+        out[key] = a.T.copy() if transpose else a.copy()
+
+    for i in range(n_layers):
+        put(f"{root}layers.{i}.input_layernorm.weight",
+            np.asarray(layers["input_layernorm"])[i], transpose=False)
+        put(f"{root}layers.{i}.post_attention_layernorm.weight",
+            np.asarray(layers["post_attention_layernorm"])[i], transpose=False)
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put(f"{root}layers.{i}.self_attn.{name}.weight",
+                np.asarray(layers[name])[i])
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put(f"{root}layers.{i}.mlp.{name}.weight",
+                np.asarray(layers[name])[i])
+    put(f"{root}embed_tokens.weight", params["embed_tokens"], transpose=False)
+    put(f"{root}norm.weight", params["norm"], transpose=False)
+    put("lm_head.weight", params["lm_head"])  # (D, V) -> (V, D)
+    return out

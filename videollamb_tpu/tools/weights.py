@@ -114,3 +114,27 @@ def merge_lora_cli():
 
             shutil.copy(src, os.path.join(args.save_model_path, name))
     print(f"merged -> {args.save_model_path}")
+
+
+def export_hf_checkpoint(params: Dict[str, Any], out_dir: str) -> str:
+    """Write a reference-format ``pytorch_model.bin`` from a JAX param tree
+    (inverse of load_pretrained_model's conversion): LM under ``model.*`` +
+    ``lm_head.weight``, Memory Bridge under ``model.mm_projector.*`` — so a
+    model fine-tuned on TPU loads back into the reference codebase or
+    transformers. Returns the written file path."""
+    import torch
+
+    from videollamb_tpu.models.bridge.convert import export_rmt_r_state_dict
+    from videollamb_tpu.models.lm.convert import export_llama_state_dict
+
+    sd: Dict[str, Any] = {}
+    if "lm" in params:
+        sd.update(export_llama_state_dict(params["lm"], root="model."))
+    if "mm_projector" in params:
+        sd.update(export_rmt_r_state_dict(
+            params["mm_projector"], prefix="model.mm_projector."))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "pytorch_model.bin")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+               path)
+    return path
