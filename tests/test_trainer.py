@@ -233,3 +233,29 @@ def test_trainer_with_seq_parallel_step_factory(tiny_dataset):
     assert all(np.isfinite(l["loss"]) for l in logs)
     after = np.asarray(jax.device_get(state.params["lm"]["layers"]["q_proj"]))
     assert not np.array_equal(before, after)
+
+
+def test_adapter_checkpoint_writes_reference_bin(tmp_path):
+    """Adapter-only saves also emit a reference-format mm_projector.bin
+    that converts back to the exact bridge tree."""
+    import torch
+
+    import os
+
+    from videollamb_tpu.models.bridge.convert import convert_rmt_r_state_dict
+    from videollamb_tpu.train.checkpoint import save_checkpoint
+    from videollamb_tpu.train.step import TrainState
+
+    cfg = ModelConfig.tiny()
+    params = _tiny_params(cfg)
+    state = TrainState(step=jnp.asarray(3), params=params, opt_state={})
+    path = save_checkpoint(str(tmp_path), state, adapter_only=True,
+                           include_embed_tokens=True)
+    bin_path = os.path.join(path, "mm_projector.bin")
+    assert os.path.exists(bin_path)
+    sd = torch.load(bin_path, weights_only=True)
+    assert "model.embed_tokens.weight" in sd
+    bridge = convert_rmt_r_state_dict(sd, prefix="model.mm_projector.")
+    for a, b in zip(jax.tree.leaves(bridge),
+                    jax.tree.leaves(jax.device_get(params["mm_projector"]))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -20,6 +20,7 @@ import shutil
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from videollamb_tpu.train.step import TrainState
@@ -66,6 +67,28 @@ def save_checkpoint(
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+
+    if adapter_only:
+        # Also write the reference-format adapter file alongside orbax
+        # (llava_trainer.py:246-265 semantics): a TPU-trained bridge drops
+        # straight back into the reference's --pretrain_mm_mlp_adapter.
+        try:
+            import torch
+
+            from videollamb_tpu.models.bridge.convert import export_rmt_r_state_dict
+
+            sd = export_rmt_r_state_dict(
+                jax.device_get(state.params["mm_projector"]),
+                prefix="model.mm_projector.")
+            if include_embed_tokens:
+                sd["model.embed_tokens.weight"] = np.asarray(
+                    jax.device_get(state.params["lm"]["embed_tokens"]))
+            torch.save(
+                {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in sd.items()},
+                os.path.join(path, "mm_projector.bin"))
+        except Exception as e:  # noqa: BLE001 — non-rmt_r bridges lack the layout
+            print(f"mm_projector.bin export skipped: {type(e).__name__}: {e}")
 
     if save_total_limit and save_total_limit > 0:
         dirs = _ckpt_dirs(output_dir)
