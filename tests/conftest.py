@@ -19,19 +19,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is dominated by full-model jit
-# compiles on the virtual CPU mesh; caching them across runs cuts repeat
-# wall-clock dramatically (first run pays once).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    # NOTE: do NOT enable jax_persistent_cache_enable_xla_caches="all" —
-    # cached XLA:CPU AOT kernels record machine-feature flags
-    # (+prefer-no-scatter etc.) that fail to load back ("could lead to
-    # SIGILL" -> RuntimeError on replay).
-except Exception:  # older jax: cache flags unavailable
-    pass
+# Persistent compilation cache: DISABLED by default — on this runner the
+# XLA:CPU AOT cache is unreliable in BOTH directions: loading an entry
+# whose recorded machine-feature flags mismatch the host SEGFAULTS
+# (compilation_cache.get_executable_and_time), and serializing certain
+# fresh executables SIGABRTs (put_executable_and_time), each killing the
+# whole suite mid-run. The ~3 min/run it saved is not worth a flaky-fatal
+# suite. Opt back in locally with VIDEOLLAMB_JAX_CACHE=1 on a machine
+# where the cache is known-good.
+if os.environ.get("VIDEOLLAMB_JAX_CACHE") == "1":
+    _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:  # older jax: cache flags unavailable
+        pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -202,6 +202,11 @@ def test_trainer_with_seq_parallel_step_factory(tiny_dataset):
         make_seq_parallel_videollamb_step,
     )
 
+    # Compiling this step late in the full suite has segfaulted XLA:CPU
+    # (LLVM state after ~280 accumulated executables); dropping them first
+    # avoids it and costs only the few remaining tests' recompiles.
+    jax.clear_caches()
+
     data_path, vid_dir, root = tiny_dataset
     cfg = ModelConfig.tiny(max_length=128)
     ds = SupervisedDataset(
