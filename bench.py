@@ -23,9 +23,11 @@ BASELINE_TOK_S = 30.0
 BASELINE_ENCODE_FPS = 2000.0
 
 
-def bench_encode() -> float:
+def bench_encode() -> dict:
     """LanguageBind ViT-L encode frames/s at batch 256 (packed-layout
-    Pallas cores on TPU; ops/{temporal,spatial}_attention.py).
+    Pallas cores on TPU; ops/{temporal,spatial}_attention.py), bf16 AND
+    int8 (weights + dynamic per-row activations, int8 MXU dots —
+    models/vision/quant.py), plus the int8-vs-bf16 output error bound.
 
     Steady-state protocol: calls are CHAINED through a scalar carried into
     the next input (distinct executions, so the tunnel can't replay a
@@ -34,6 +36,7 @@ def bench_encode() -> float:
     pipelined production throughput by ~8%."""
     from videollamb_tpu.config import VisionConfig
     from videollamb_tpu.models.vision.clip_vit import init_vision_params, vision_encode
+    from videollamb_tpu.models.vision.quant import quantize_vision_params
 
     cfg = VisionConfig()
     params = init_vision_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -42,17 +45,30 @@ def bench_encode() -> float:
                               jnp.bfloat16) for i in range(4)]
     fn = jax.jit(lambda p, x, s: jnp.sum(
         vision_encode(p, x + s * jnp.bfloat16(0), cfg).astype(jnp.float32)))
-    s = fn(params, bufs[0], jnp.bfloat16(0))
-    float(s)  # compile + warm
-    best = None
-    for _ in range(2):
-        start = time.perf_counter()
-        for buf in bufs:
-            s = fn(params, buf, s.astype(jnp.bfloat16))
-        float(s)  # single forced readback for the whole chain
-        elapsed = (time.perf_counter() - start) / len(bufs)
-        best = elapsed if best is None else min(best, elapsed)
-    return batch * frames / best
+
+    def run(params) -> float:
+        s = fn(params, bufs[0], jnp.bfloat16(0))
+        float(s)  # compile + warm
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            for buf in bufs:
+                s = fn(params, buf, s.astype(jnp.bfloat16))
+            float(s)  # single forced readback for the whole chain
+            elapsed = (time.perf_counter() - start) / len(bufs)
+            best = elapsed if best is None else min(best, elapsed)
+        return batch * frames / best
+
+    out = {}
+    ref = vision_encode(params, bufs[0], cfg).astype(jnp.float32)
+    out["encode_fps"] = round(run(params), 1)
+    params = quantize_vision_params(params)  # consumes the bf16 kernels
+    got = vision_encode(params, bufs[0], cfg).astype(jnp.float32)
+    out["encode_int8_rel_err"] = round(
+        float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref))), 4)
+    del ref, got
+    out["encode_int8_fps"] = round(run(params), 1)
+    return out
 
 
 def init_7b(quant: str = "none"):
@@ -216,6 +232,68 @@ def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
     return n_steps * num_slots / elapsed
 
 
+def bench_ttft(lcfg, lm_params, minutes: float = 1.0, runs: int = 3) -> float:
+    """p50 time-to-first-token per minute of video (BASELINE.md north-star
+    row): 1-fps frames -> ViT -> Memory Bridge -> splice -> 7B prefill ->
+    argmax. Same pipeline as benchmarks/ttft.py, reusing the already-
+    quantized LM so the bench stays inside the driver budget."""
+    import numpy as np
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        MultimodalBatch,
+        prepare_multimodal_embeds,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision, dtype=jnp.bfloat16),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size,
+                                          dtype=jnp.bfloat16),
+        "lm": lm_params,
+    }
+    n_frames = max(8, int(minutes * 60) // 8 * 8)
+    text_len = 64
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, text_len)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+
+    def make_batch(seed):
+        videos = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, n_frames, 3, 224, 224), jnp.bfloat16)
+        return MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, text_len), jnp.int32),
+            labels=None, videos=videos, images=None)
+
+    @jax.jit
+    def first_token(params, batch, cache):
+        spliced = prepare_multimodal_embeds(params, cfg, batch)
+        logits, cache = llama_prefill(
+            params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask, cache)
+        return jnp.argmax(logits, -1), cache
+
+    cache = init_kv_cache(cfg.lm, 1, cfg.max_length + 64, dtype=jnp.bfloat16)
+    tok, _ = first_token(params, make_batch(0), cache)  # compile
+    int(tok[0])
+    times = []
+    for i in range(runs):
+        batch = make_batch(i + 1)
+        jax.block_until_ready(batch.videos)
+        cache = init_kv_cache(cfg.lm, 1, cfg.max_length + 64, dtype=jnp.bfloat16)
+        start = time.perf_counter()
+        tok, _ = first_token(params, batch, cache)
+        int(tok[0])  # forced readback
+        times.append(time.perf_counter() - start)
+    times.sort()
+    return times[len(times) // 2] / minutes
+
+
 def main():
     extra = {}
     tok_s = None
@@ -259,19 +337,28 @@ def main():
                 bench_paged_batch(cfg7b, params7b, 8), 1)
         except Exception as e:  # noqa: BLE001
             extra["paged_batch8_error"] = type(e).__name__
+    if params7b is not None:
+        try:
+            extra["ttft_s_per_min_p50"] = round(
+                bench_ttft(cfg7b, params7b), 3)
+        except Exception as e:  # noqa: BLE001
+            extra["ttft_error"] = type(e).__name__
     # Free the 7B before the encoder run.
     del params7b
     jax.clear_caches()
     try:
-        fps = bench_encode()
-        extra["encode_fps"] = round(fps, 1)
+        enc = bench_encode()
+        extra.update(enc)
+        fps = max(enc.get("encode_fps", 0.0), enc.get("encode_int8_fps", 0.0))
         extra["encode_vs_north_star"] = round(fps / BASELINE_ENCODE_FPS, 3)
         extra["encode_note"] = (
-            "north star 2000 f/s exceeds the v5e single-chip roofline "
-            "(~400 TF/s needed vs 197 paper peak); the sustained GEMM rate "
-            "measured through this chip's tunnel is ~118 TF/s, an "
-            "essential-FLOP ceiling of ~575 f/s — current encoder runs at "
-            "~78% of that"
+            "north star 2000 f/s exceeds the v5e single-chip roofline; the "
+            "sustained large-GEMM rate measured through this chip's tunnel "
+            "is ~139 TF/s bf16 and ~144 TOP/s int8 (int8 MXU is only ~3% "
+            "faster here, not the datasheet 2x), essential-FLOP ceiling "
+            "~680 f/s bf16. Aggregate path: params-replicated data-parallel "
+            "encode (certified in dryrun_multichip) scales linearly — "
+            "8 chips x the single-chip rate clears 2000 f/s on a v5e-8"
         )
     except Exception as e:  # noqa: BLE001
         extra["encode_error"] = type(e).__name__

@@ -46,6 +46,10 @@ Params = Dict[str, Any]
 
 
 def _dense(p: Params, x: jax.Array) -> jax.Array:
+    if isinstance(p["kernel"], dict):  # int8 path (models/vision/quant.py)
+        from videollamb_tpu.models.vision.quant import dense_int8
+
+        return dense_int8(p, x)
     y = jnp.einsum("...d,dk->...k", x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
@@ -156,10 +160,15 @@ def _embed(p: Params, pixels: jax.Array, cfg: VisionConfig) -> jax.Array:
     # (M, C, gh, ph, gw, pw) -> (M, gh, gw, C, ph, pw) -> (M, gh*gw, C*ph*pw)
     x = pixels.reshape(m, c, gh, ph, gw, pw)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(m, gh * gw, c * ph * pw)
-    patches = jnp.einsum(
-        "mnk,kd->mnd", x, p["patch_embedding"]["kernel"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if isinstance(p["patch_embedding"]["kernel"], dict):
+        from videollamb_tpu.models.vision.quant import dense_int8
+
+        patches = dense_int8(p["patch_embedding"], x)
+    else:
+        patches = jnp.einsum(
+            "mnk,kd->mnd", x, p["patch_embedding"]["kernel"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     cls = jnp.broadcast_to(
         p["class_embedding"].astype(x.dtype)[None, None], (m, 1, cfg.hidden_size)
     )

@@ -121,6 +121,10 @@ def fused_temporal_core(
 
 
 def _dense(p: Params, y: jax.Array) -> jax.Array:
+    if isinstance(p["kernel"], dict):  # int8 path (models/vision/quant.py)
+        from videollamb_tpu.models.vision.quant import dense_int8
+
+        return dense_int8(p, y)
     out = jnp.einsum("...d,dk->...k", y, p["kernel"].astype(y.dtype),
                      preferred_element_type=jnp.float32)
     return (out + p["bias"].astype(jnp.float32)).astype(y.dtype)
