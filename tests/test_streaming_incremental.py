@@ -318,3 +318,135 @@ def test_extend_full_width_chunk_near_buffer_end():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
     assert int(c2.length[0]) == 14
+
+
+# ---------------------------------------------------------------------------
+# Incremental boundary detection (VERDICT r2 #3): parity + compile stability
+# ---------------------------------------------------------------------------
+
+
+def test_boundary_detector_matches_segment_threshold():
+    """Per-tick boundaries from the fixed-shape incremental detector equal
+    the full recompute the r2 engine did (segment_threshold over the whole
+    CLS history) at EVERY stream position that fits the window."""
+    from videollamb_tpu.ops.scene_tilling import segment_threshold
+    from videollamb_tpu.ops.streaming_boundaries import BoundaryDetector
+
+    rng = np.random.default_rng(0)
+    d, t_total = 16, 60
+    # Piecewise-constant-ish CLS trajectory with real scene structure.
+    cls = rng.normal(size=(t_total, d)).astype(np.float32) * 0.1
+    cls[15:30] += rng.normal(size=d) * 2
+    cls[30:47] -= rng.normal(size=d) * 2
+
+    det = BoundaryDetector(dim=d, cap=128)
+    for i in range(t_total):
+        det.add_frame(cls[i])
+        got = det.boundaries()
+        if i + 1 < 3:
+            assert got == [i], got
+            continue
+        bounds, valid = segment_threshold(jnp.asarray(cls[: i + 1]))
+        want = np.asarray(bounds)[np.asarray(valid)].tolist()
+        assert got == want, (i, got, want)
+
+
+def test_boundary_detector_compile_stable_and_bounded():
+    """500 ticks: the jit cache holds exactly one step entry (plus one
+    slide entry once the window wraps) and host/device state stays at its
+    fixed allocation — no per-tick recompiles, no growth."""
+    from videollamb_tpu.ops.streaming_boundaries import BoundaryDetector
+
+    rng = np.random.default_rng(1)
+    d = 8
+    det = BoundaryDetector(dim=d, cap=64)
+    det.add_frame(rng.normal(size=d).astype(np.float32))
+    warm_step, warm_slide = det.compile_cache_sizes  # other tests share the cache
+    for i in range(499):
+        det.add_frame(rng.normal(size=d).astype(np.float32))
+    step_n, slide_n = det.compile_cache_sizes
+    assert step_n == warm_step, (
+        f"boundary step recompiled after warmup: {warm_step} -> {step_n}")
+    assert slide_n <= warm_slide + 1, f"slide recompiled: {slide_n}"
+    # Fixed-size state: window buffers never grew.
+    assert det.cls_buf.shape == (64, d)
+    assert det.sims.shape == (63,)
+    assert det.n <= 64
+    # Absolute indexing survives the slide.
+    assert det.base + det.n == 500
+    assert det.boundaries()[-1] == 499
+
+
+def test_streaming_session_state_bounded_across_long_stream(tiny_chat):
+    """The session's host-side bookkeeping (frame deque, boundary deque)
+    stays bounded over a long stream — the r2 engine's cls_all/boundaries
+    lists grew per tick."""
+    from videollamb_tpu.serve.incremental import StreamingSession
+
+    tiny_chat.reset()
+    sess = StreamingSession(tiny_chat, frame_fps=1.0, max_open_frames=4,
+                            max_seq_len=448, max_new_tokens=2)
+    t_total = 48
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(t_total, 56, 56, 3)).astype(np.uint8)
+    frames[12:24] = 230
+    frames[24:36] = 25
+    sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
+    sess.num_video_frames = t_total
+    sess.video_duration = float(t_total)
+    for i in range(t_total):
+        sess.input_video_stream(float(i))
+        sess()
+    # frame_times fully drained each tick; boundaries bounded by window.
+    assert len(sess.frame_times) == 0
+    assert len(sess.boundaries) <= sess._detector.cap + 16
+
+
+def test_compaction_answers_depend_on_bridge_memory(tiny_chat):
+    """VERDICT r2 #8: after _ensure_room compacts the KV context, answers
+    must still ROUTE THROUGH the bridge's recurrent memory (the stated
+    long-horizon store) — ablating that memory must change the response,
+    proving pre-compaction visual history actually feeds the answer."""
+    import dataclasses
+
+    from videollamb_tpu.serve.incremental import StreamingSession
+
+    def run(ablate: bool):
+        tiny_chat.reset()
+        # Tiny max_seq_len so compaction fires mid-stream.
+        sess = StreamingSession(tiny_chat, frame_fps=1.0, max_open_frames=4,
+                                max_seq_len=256, max_new_tokens=6)
+        t_total = 40
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 255, size=(t_total, 56, 56, 3)).astype(np.uint8)
+        frames[8:16] = 240   # distinctive pre-compaction scene
+        frames[24:32] = 10
+        sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
+        sess.num_video_frames = t_total
+        sess.video_duration = float(t_total)
+        response = None
+        for i in range(t_total):
+            # Ablate + query only AFTER compaction has fired, while frames
+            # are still flowing (queries are served off the frame clock).
+            if i == t_total - 3:
+                assert sess._compactions > 0, \
+                    "stream never compacted; test is vacuous"
+                if ablate:
+                    sess.bridge_state = sess.bridge_state._replace(
+                        memory=jnp.zeros_like(sess.bridge_state.memory),
+                        cache=jnp.zeros_like(sess.bridge_state.cache),
+                    )
+                sess.input_query_stream("what happened at the beginning",
+                                        video_time=float(i))
+            sess.input_video_stream(float(i))
+            q, r = sess()
+            if r is not None and "User:" in (q or ""):
+                response = r
+        assert response is not None
+        return response
+
+    real = run(ablate=False)
+    ablated = run(ablate=True)
+    assert real != ablated, (
+        "ablating the bridge memory did not change the post-compaction "
+        "answer — pre-compaction history is not feeding responses")
