@@ -17,7 +17,12 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from videollamb_tpu.constants import IMAGE_TOKEN_INDEX, X_INDEX_TOKEN
+from videollamb_tpu.constants import (
+    DEFAULT_X_TOKEN,
+    IMAGE_TOKEN_INDEX,
+    X_INDEX_TOKEN,
+    X_TOKEN_INDEX,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +59,49 @@ def tokenizer_x_token(
             return np.asarray(input_ids, dtype=np.int32)
         raise ValueError(f"Unsupported tensor type: {return_tensors}")
     return input_ids
+
+
+def tokenizer_multi_x_token(
+    prompt: str,
+    tokenizer,
+    return_tensors: Optional[str] = None,
+) -> Tuple[object, List[str]]:
+    """Mixed-modality prompt tokenization: split on EVERY modality tag
+    (``<image>``/``<video>``/``<audio>``) in order of appearance and splice
+    each tag's own sentinel index, keeping one BOS at the front. The k-th
+    sentinel binds visual block k in the splice (models/splice.py).
+
+    The reference composes such prompts by iterating an (X, X_modalities)
+    list (llava/eval/model_videoqa_act.py:117-120) and replacing tags one
+    modality at a time; this is the single-pass equivalent for any mix.
+
+    Returns (input_ids, modalities) where ``modalities`` lists the tag
+    names (e.g. ["VIDEO", "IMAGE"]) in prompt order."""
+    import re
+
+    pat = re.compile(
+        "(" + "|".join(re.escape(t) for t in DEFAULT_X_TOKEN.values()) + ")")
+    parts = pat.split(prompt)
+    texts, tags = parts[0::2], parts[1::2]
+    tag_to_mod = {v: k for k, v in DEFAULT_X_TOKEN.items()}
+    modalities = [tag_to_mod[t] for t in tags]
+
+    tok_chunks = [tokenizer(c).input_ids for c in texts]
+    input_ids: List[int] = []
+    offset = 0
+    if tok_chunks and tok_chunks[0] and tok_chunks[0][0] == tokenizer.bos_token_id:
+        offset = 1
+        input_ids.append(tok_chunks[0][0])
+    for i, chunk in enumerate(tok_chunks):
+        input_ids.extend(chunk[offset:])
+        if i < len(modalities):
+            input_ids.append(X_TOKEN_INDEX[modalities[i]])
+
+    if return_tensors is not None:
+        if return_tensors == "np":
+            return np.asarray(input_ids, dtype=np.int32), modalities
+        raise ValueError(f"Unsupported tensor type: {return_tensors}")
+    return input_ids, modalities
 
 
 def tokenizer_image_token(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX,

@@ -161,6 +161,48 @@ def encode_images_anyres(
     return jax.vmap(merge_one)(tokens, image_specs)
 
 
+def encode_mixed(
+    params: Params,
+    cfg: ModelConfig,
+    blocks: Tuple[Tuple[str, jax.Array], ...],
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mixed-modality blocks for ONE row -> stacked K-block splice input.
+
+    ``blocks`` is the ordered list the reference's multi-X drivers build
+    (llava/eval/model_videoqa_act.py:117-120: an ``X`` list plus
+    ``X_modalities``): each entry ("VIDEO", (T,C,H,W)) / ("IMAGE",
+    (C,H,W)) / ("AUDIO", (C,H,W) fbank image). Every block goes through
+    its own encoder; results are right-padded to the widest block and
+    stacked so the k-th X sentinel binds block k.
+
+    Returns x_embeds (1, K, N_max, lm_d) and x_mask (1, K, N_max)."""
+    outs = []
+    for modality, pixels in blocks:
+        if modality == "VIDEO":
+            e, m = encode_videos(
+                params, cfg, pixels[None], deterministic=deterministic, rng=rng)
+        elif modality in ("IMAGE", "AUDIO"):
+            # AUDIO rides the image path: the fbank "image" routes to the
+            # audio tower via the model's TowerSpec (models/vision/builder).
+            e, m = encode_images(params, cfg, pixels[None],
+                                 deterministic=deterministic)
+        else:
+            raise ValueError(f"unknown modality {modality!r}")
+        outs.append((e[0], m[0].astype(bool)))
+
+    n_max = max(e.shape[0] for e, _ in outs)
+    d = outs[0][0].shape[-1]
+    k = len(outs)
+    x_embeds = jnp.zeros((1, k, n_max, d), outs[0][0].dtype)
+    x_mask = jnp.zeros((1, k, n_max), bool)
+    for i, (e, m) in enumerate(outs):
+        x_embeds = x_embeds.at[0, i, : e.shape[0]].set(e)
+        x_mask = x_mask.at[0, i, : m.shape[0]].set(m)
+    return x_embeds, x_mask
+
+
 def init_image_newline(rng: jax.Array, lm_hidden_size: int, dtype=jnp.float32) -> jax.Array:
     """Learned row-terminator token for 'spatial_unpad' (reference
     LlavaMetaModel.__init__: randn(hidden) / sqrt(hidden))."""
@@ -191,6 +233,12 @@ class MultimodalBatch(NamedTuple):
     videos: Optional[jax.Array]  # (B, T_v, C, H, W)
     images: Optional[jax.Array]  # (B, C, H, W) or (B, P, C, H, W) anyres
     image_specs: Optional[jax.Array] = None  # (B, 4) int32, anyres only
+    # Mixed-modality requests (B=1 serving path): ordered per-row visual
+    # blocks, each ("VIDEO"|"IMAGE"|"AUDIO", pixels). The k-th block binds
+    # the k-th X sentinel in input_ids (mm_utils.tokenizer_multi_x_token).
+    # Host-side only — must stay None inside jitted train steps (the
+    # modality strings are not pytree leaves).
+    blocks: Optional[Tuple[Tuple[str, jax.Array], ...]] = None
 
 
 def prepare_multimodal_embeds(
@@ -206,7 +254,11 @@ def prepare_multimodal_embeds(
     b = batch.input_ids.shape[0]
     lm_d = text_embeds.shape[-1]
 
-    if batch.videos is not None:
+    if batch.blocks is not None:
+        x_embeds, x_mask = encode_mixed(
+            params, cfg, batch.blocks, deterministic=deterministic, rng=rng
+        )
+    elif batch.videos is not None:
         x_embeds, x_mask = encode_videos(
             params, cfg, batch.videos, deterministic=deterministic, rng=rng
         )

@@ -83,6 +83,37 @@ def generate(
 ) -> GenerateResult:
     """Multimodal generation, one compiled graph per shape bucket."""
     spliced = prepare_multimodal_embeds(params, cfg, batch, deterministic=True)
+    return generate_spliced(
+        params, cfg, spliced, rng, max_new_tokens=max_new_tokens,
+        do_sample=do_sample, temperature=temperature, top_p=top_p,
+        eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+        max_seq_len=max_seq_len,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "temperature", "top_p",
+                     "eos_token_id", "pad_token_id", "max_seq_len"),
+)
+def generate_spliced(
+    params: Params,
+    cfg: ModelConfig,
+    spliced,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int = 128,
+    do_sample: bool = False,
+    temperature: float = 0.2,
+    top_p: float = 1.0,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    max_seq_len: int = 4096,
+) -> GenerateResult:
+    """Generation from an already-spliced batch. Entry point for callers
+    whose splice cannot be traced (mixed-modality ``blocks`` batches carry
+    static modality strings — assembly.encode_mixed runs eagerly, its
+    per-block encoders are jitted individually)."""
     b = spliced.embeds.shape[0]
 
     assert max_seq_len >= cfg.max_length + max_new_tokens, (

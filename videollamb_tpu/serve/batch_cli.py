@@ -34,23 +34,24 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     from videollamb_tpu.serve.server import Request
 
     for row in lines:
-        videos = images = None
-        modality = "VIDEO" if row.get("video") else (
-            "IMAGE" if row.get("image") else (
-                "AUDIO" if row.get("audio") else None))
+        # Load every medium the row names, in (video, image, audio) order —
+        # a row with 2+ media becomes ONE mixed-modality request whose k-th
+        # prompt tag binds block k (reference multi-X request assembly,
+        # llava/eval/model_videoqa_act.py:117-120).
+        media = []
         if row.get("video"):
             from videollamb_tpu.data.video_reader import load_video
 
             raw = load_video(row["video"], fps=1.0, max_frames=512)
-            videos = jnp.asarray(
-                chat.processors["VIDEO"](raw)[None], chat._dtype())
-        elif row.get("image"):
+            media.append(("VIDEO", jnp.asarray(
+                chat.processors["VIDEO"](raw), chat._dtype())))
+        if row.get("image"):
             import cv2
 
             img = cv2.cvtColor(cv2.imread(row["image"]), cv2.COLOR_BGR2RGB)
-            images = jnp.asarray(
-                chat.processors["IMAGE"](img)[None], chat._dtype())
-        elif row.get("audio"):
+            media.append(("IMAGE", jnp.asarray(
+                chat.processors["IMAGE"](img), chat._dtype())))
+        if row.get("audio"):
             # AUDIO extension: WAV -> log-mel fbank image for an audio
             # TowerSpec model (scripts/finetune_audio.sh recipe).
             from videollamb_tpu.data.audio_reader import load_audio
@@ -61,20 +62,34 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
 
                 proc = AudioProcessor()
             waveform, sr = load_audio(row["audio"])
-            images = jnp.asarray(
-                proc(waveform, origin_sr=sr)[None], chat._dtype())
+            media.append(("AUDIO", jnp.asarray(
+                proc(waveform, origin_sr=sr), chat._dtype())))
 
         chat.reset()
         question = row["prompt"]
-        if modality:
-            question = DEFAULT_X_TOKEN[modality] + "\n" + question
+        # Prepend one tag per medium not already placed in the prompt text.
+        for modality, _ in reversed(media):
+            if DEFAULT_X_TOKEN[modality] not in question:
+                question = DEFAULT_X_TOKEN[modality] + "\n" + question
         chat.conv.append_message(chat.conv.roles[0], question)
         chat.conv.append_message(chat.conv.roles[1], None)
-        ids, mask = chat._prepare_ids(chat.conv.get_prompt(),
-                                      modality or "IMAGE")
+
+        videos = images = blocks = None
+        if len(media) >= 2:
+            ids, mask, tag_order = chat._prepare_multi_ids(chat.conv.get_prompt())
+            by_mod = dict(media)
+            blocks = tuple((m, by_mod[m]) for m in tag_order)
+        else:
+            modality = media[0][0] if media else None
+            ids, mask = chat._prepare_ids(chat.conv.get_prompt(),
+                                          modality or "IMAGE")
+            if modality == "VIDEO":
+                videos = media[0][1][None]
+            elif modality in ("IMAGE", "AUDIO"):
+                images = media[0][1][None]
         batch = MultimodalBatch(
             input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
-            labels=None, videos=videos, images=images,
+            labels=None, videos=videos, images=images, blocks=blocks,
         )
         reqs.append(Request(
             uid=row.get("id"),

@@ -17,7 +17,11 @@ import numpy as np
 from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.constants import DEFAULT_X_TOKEN, X_TOKEN_INDEX
 from videollamb_tpu.conversation import SeparatorStyle, conv_templates
-from videollamb_tpu.mm_utils import KeywordStopper, tokenizer_x_token
+from videollamb_tpu.mm_utils import (
+    KeywordStopper,
+    tokenizer_multi_x_token,
+    tokenizer_x_token,
+)
 from videollamb_tpu.models.assembly import MultimodalBatch
 from videollamb_tpu.models.engine import generate
 
@@ -54,6 +58,19 @@ class Chat:
         out[0, : len(ids)] = ids
         mask[0, : len(ids)] = 1
         return out, mask
+
+    def _prepare_multi_ids(self, prompt: str):
+        """Mixed-modality prompt -> (ids, mask, modalities): every
+        <image>/<video>/<audio> tag becomes its own sentinel, in prompt
+        order (mm_utils.tokenizer_multi_x_token)."""
+        ids, modalities = tokenizer_multi_x_token(
+            prompt, self.tokenizer, return_tensors="np")
+        t = _round_up(len(ids), self.text_bucket)
+        out = np.zeros((1, t), np.int32)
+        mask = np.zeros((1, t), np.int32)
+        out[0, : len(ids)] = ids
+        mask[0, : len(ids)] = 1
+        return out, mask, modalities
 
     def generate_text(
         self,
@@ -261,6 +278,57 @@ class Chat:
             )
         else:
             answer = self.generate_text(prompt, videos=frames, **gen_kwargs)
+        self.conv.messages[-1][1] = answer
+        return answer
+
+    def ask_mixed(self, question: str, blocks, first_turn: bool = True,
+                  max_new_tokens: int = 512, temperature: float = 0.0,
+                  do_sample: bool = False, seed: int = 0) -> str:
+        """Mixed-modality turn: ``blocks`` is an ordered list of
+        ("VIDEO"|"IMAGE"|"AUDIO", pixels) — video (T,C,H,W), image/audio
+        (C,H,W), already processed. One tag per block is prepended to the
+        question (unless the question already places them); the k-th tag
+        binds block k through the K-sentinel splice
+        (models/assembly.encode_mixed). Reference protocol:
+        llava/eval/model_videoqa_act.py:117-120's (X, X_modalities)."""
+        if first_turn:
+            for modality, _ in reversed(blocks):
+                if DEFAULT_X_TOKEN[modality] not in question:
+                    question = DEFAULT_X_TOKEN[modality] + "\n" + question
+        self.conv.append_message(self.conv.roles[0], question)
+        self.conv.append_message(self.conv.roles[1], None)
+        ids, mask, tag_order = self._prepare_multi_ids(self.conv.get_prompt())
+        by_mod: Dict[str, list] = {}
+        for modality, px in blocks:
+            by_mod.setdefault(modality, []).append(px)
+        ordered = tuple(
+            (m, jnp.asarray(by_mod[m].pop(0), self._dtype())) for m in tag_order)
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+            labels=None, videos=None, images=None, blocks=ordered,
+        )
+        stopper = KeywordStopper([self.stop_str()], self.tokenizer)
+        eos = self.tokenizer.eos_token_id or 2
+        # The modality strings in ``blocks`` are static: splice eagerly
+        # (block encoders are jitted individually), then run the jitted
+        # continuation.
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.engine import generate_spliced
+
+        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        result = generate_spliced(
+            self.params, self.cfg, spliced, jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens, do_sample=do_sample,
+            temperature=temperature, eos_token_id=int(eos),
+            pad_token_id=int(self.tokenizer.pad_token_id or 0),
+            max_seq_len=self.cfg.max_length + _round_up(max_new_tokens, 64),
+        )
+        n = int(result.lengths[0])
+        tokens = np.asarray(result.tokens[0][:n]).tolist()
+        if tokens and tokens[-1] == eos:
+            tokens = tokens[:-1]
+        answer = stopper.trim(
+            self.tokenizer.decode(tokens, skip_special_tokens=True).strip())
         self.conv.messages[-1][1] = answer
         return answer
 
