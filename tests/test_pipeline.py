@@ -151,3 +151,93 @@ def test_pipeline_train_step_matches_unpipelined(model, stages, n_data):
     shard_shapes = {tuple(sh.data.shape)
                     for sh in state.params["layers"]["q_proj"].addressable_shards}
     assert {sh[0] for sh in shard_shapes} == {4 // stages}
+
+
+def test_pipeline_multimodal_step_matches_unpipelined():
+    """Pipelined MULTIMODAL train step (VERDICT r2 #7): tower/bridge/splice
+    prologue composed with the GPipe LM stages — loss parity with the
+    unpipelined multimodal forward, gradients reaching EVERY module."""
+    import optax
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        MultimodalBatch,
+        causal_lm_loss,
+        prepare_multimodal_embeds,
+        videollamb_forward,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.parallel.pipeline import (
+        make_pipeline_videollamb_step,
+        pipeline_llama_forward,
+    )
+    from videollamb_tpu.train.step import TrainState
+
+    cfg = ModelConfig.tiny(max_length=64)
+    # 4 LM layers over 2 stages.
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params0 = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(2, 10)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, 10), jnp.int32),
+        labels=jnp.asarray(rng.integers(0, cfg.lm.vocab_size, size=(2, 10)), jnp.int32),
+        videos=jnp.asarray(rng.normal(size=(2, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    step_rng = jax.random.PRNGKey(7)
+
+    def ref_loss(p):
+        logits, spliced = videollamb_forward(
+            p, cfg, batch, deterministic=False,
+            rng=jax.random.fold_in(step_rng, 0))
+        return causal_lm_loss(logits, spliced.labels)
+
+    (ref_l, _), g_ref = jax.value_and_grad(ref_loss, has_aux=True)(params0)
+
+    n_stages = 2
+    mesh = create_pipeline_mesh(n_stages)
+
+    def pp_loss(p):
+        spliced = prepare_multimodal_embeds(
+            p, cfg, batch, deterministic=False,
+            rng=jax.random.fold_in(step_rng, 0))
+        logits = pipeline_llama_forward(
+            mesh, p["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
+            n_micro=2, remat=True)
+        return causal_lm_loss(logits, spliced.labels)
+
+    pp_params = dict(params0)
+    pp_params["lm"] = dict(
+        params0["lm"],
+        layers=shard_stacked_layers(mesh, params0["lm"]["layers"]))
+    (pp_l, _), g_pp = jax.jit(
+        jax.value_and_grad(pp_loss, has_aux=True))(pp_params)
+    np.testing.assert_allclose(float(pp_l), float(ref_l), rtol=1e-5)
+    for mod in ("video_tower", "mm_projector", "lm"):
+        for a, b_ in zip(jax.tree.leaves(jax.device_get(g_pp[mod])),
+                         jax.tree.leaves(g_ref[mod])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-5)
+
+    # The packaged step runs end to end and keeps layers pipe-sharded.
+    import optax as _ox
+    tx = _ox.adamw(1e-2)
+    own = jax.tree.map(jnp.array, pp_params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=own,
+                       opt_state=tx.init(own))
+    step = make_pipeline_videollamb_step(mesh, cfg, tx, n_micro=2)
+    state, metrics = step(state, batch, step_rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    shard_shapes = {tuple(sh.data.shape)
+                    for sh in state.params["lm"]["layers"]["q_proj"].addressable_shards}
+    assert {sh[0] for sh in shard_shapes} == {cfg.lm.num_hidden_layers // n_stages}

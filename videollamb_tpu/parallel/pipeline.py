@@ -235,3 +235,59 @@ def make_pipeline_train_step(
                           opt_state=opt_state), metrics
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_pipeline_videollamb_step(
+    mesh: Mesh,
+    cfg,  # ModelConfig
+    tx,
+    n_micro: int,
+    *,
+    data_axis: str = None,
+    remat: bool = True,
+) -> Callable:
+    """Pipelined MULTIMODAL training step: the tower/bridge/splice
+    prologue runs as a plain GSPMD program (per-frame work, batch-sharded
+    over ``data_axis`` when given), then the spliced token stream feeds
+    the GPipe-staged LM stack over 'pipe' — the composition
+    make_seq_parallel_videollamb_step already gives sequence parallelism
+    (VERDICT r2 #7 closed the PP side). Grads flow through the pipeline's
+    AD transpose back into the tower and projector, so every module
+    trains; tower/bridge params stay replicated across stages while
+    params["lm"]["layers"] is pipe-sharded (shard_stacked_layers).
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` over full
+    MultimodalBatch inputs (same contract as train.step.make_train_step).
+    The spliced batch size must divide into ``n_micro`` microbatches.
+    """
+    import optax
+
+    from videollamb_tpu.models.assembly import (
+        causal_lm_loss,
+        prepare_multimodal_embeds,
+    )
+    from videollamb_tpu.train.step import TrainState
+
+    def loss_fn(params, batch, rng):
+        spliced = prepare_multimodal_embeds(
+            params, cfg, batch, deterministic=False, rng=rng)
+        logits = pipeline_llama_forward(
+            mesh, params["lm"], cfg.lm, spliced.embeds,
+            spliced.attention_mask, n_micro,
+            data_axis=data_axis, remat=remat)
+        return causal_lm_loss(logits, spliced.labels)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), {
+            "loss": loss, "tokens": n, "grad_norm": optax.global_norm(grads)}
+
+    # One jit over the whole step (see make_seq_parallel_videollamb_step:
+    # the embedded shard_map commits outputs to the mesh; the optax update
+    # must run inside the same program).
+    return jax.jit(step, donate_argnums=(0,))
