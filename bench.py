@@ -181,12 +181,15 @@ def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
     sequences over the paged KV pool (int8 weights AND int8 KV pages — the
     production serving config; bf16 weights + the pool exceed the 16 GB
-    chip). The attention dispatcher picks gather-then-dense at this page
-    count (the stock Pallas kernel engages at 16+ pages/seq, where its
-    read-only-active-pages advantage outweighs its small-block overhead). The reference serves one
-    request at a time through HF generate; batching amortizes the weight
-    read across slots, so aggregate tok/s approaches num_slots x the
-    single-stream rate until KV reads bite."""
+    chip). The dispatcher routes this regime to the shared-pool int8 MXU
+    attention (ops/paged_attention_stats.attend_pool_int8_stats): every
+    slot attends over the whole layer pool under an ownership mask, which
+    turns the per-slot matvecs into one true matmul per head and keeps
+    K/V int8 to the MXU (r2's stock-kernel dispatch measured 21 ms/step
+    of grid overhead at this shape). The reference serves one request at
+    a time through HF generate; batching amortizes the weight read across
+    slots, so aggregate tok/s approaches num_slots x the single-stream
+    rate until KV reads bite."""
     import numpy as np
 
     from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill

@@ -66,7 +66,10 @@ def paged_greedy_decode_steps(
     def body(carry, _):
         logits, cache = carry
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k_pages.dtype)
+        # Cast to the COMPUTE dtype (logits carry it), never the page
+        # dtype: with quantize_kv the pages are int8 and an astype there
+        # rounds the embeddings to near-zero integers.
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(logits.dtype)
         logits, cache = paged_decode_step(
             params["lm"], cfg.lm, tok_embeds, cache, total_pages
         )
