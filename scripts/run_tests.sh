@@ -31,6 +31,11 @@ test_streaming_incremental.py test_mistral.py test_assembly_all_projectors.py \
 test_ring_attention.py test_speculative.py test_trainer.py test_llama.py \
 test_retro.py"
 
+# The parity dress rehearsal is one ~5-min test (torch reference generate
+# + a fresh full-model XLA compile) — it gets its OWN shard (index NSHARDS)
+# so it cannot blow another shard's budget.
+SOLO="test_parity_rehearsal.py"
+
 mapfile -t ALL < <(cd tests && ls test_*.py | sort)
 
 # heavy first (in listed order), then the rest alphabetically
@@ -39,17 +44,20 @@ for f in $HEAVY; do
   [ -f "tests/$f" ] && ORDERED+=("$f")
 done
 for f in "${ALL[@]}"; do
-  case " $HEAVY " in
+  case " $HEAVY $SOLO " in
     *" $f "*) ;;
     *) ORDERED+=("$f") ;;
   esac
 done
 
-# round-robin deal into shards
+# round-robin deal into shards; the solo shard holds the rehearsal alone
 declare -a SHARD_FILES
 for i in "${!ORDERED[@]}"; do
   s=$((i % NSHARDS))
   SHARD_FILES[$s]="${SHARD_FILES[$s]:-} tests/${ORDERED[$i]}"
+done
+for f in $SOLO; do
+  [ -f "tests/$f" ] && SHARD_FILES[$NSHARDS]="${SHARD_FILES[$NSHARDS]:-} tests/$f"
 done
 
 run_shard() {
@@ -75,7 +83,7 @@ FAIL=0
 if [ "$#" -ge 1 ]; then
   run_shard "$1" || FAIL=1
 else
-  for s in $(seq 0 $((NSHARDS - 1))); do
+  for s in $(seq 0 "$NSHARDS"); do
     echo "=== shard $s/$NSHARDS ==="
     run_shard "$s" || FAIL=1
   done

@@ -107,6 +107,29 @@ def load_tower_params(tower_dir: str) -> Dict[str, Any]:
     return convert_vision_state_dict(sd, prefix="vision_model.")
 
 
+def vision_config_from_tower_json(tower_dir: str) -> Optional["VisionConfig"]:
+    """Read a LanguageBind tower checkpoint's config.json (reference
+    configuration_video.py LanguageBindVideoConfig: top-level dict with a
+    ``vision_config`` sub-dict) into our VisionConfig. Returns None when
+    the dir has no config.json (weights-only dumps keep the defaults)."""
+    path = os.path.join(tower_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    vc = raw.get("vision_config", raw)
+    return VisionConfig(
+        hidden_size=vc.get("hidden_size", 1024),
+        intermediate_size=vc.get("intermediate_size", 4096),
+        num_hidden_layers=vc.get("num_hidden_layers", 24),
+        num_attention_heads=vc.get("num_attention_heads", 16),
+        image_size=vc.get("image_size", 224),
+        patch_size=vc.get("patch_size", 14),
+        num_frames=vc.get("num_frames", 8),
+        add_time_attn=vc.get("add_time_attn", True),
+    )
+
+
 def _merge_lora(base_sd: Dict[str, np.ndarray], lora_dir: str,
                 scaling: Optional[float] = None) -> Dict[str, np.ndarray]:
     """Merge PEFT LoRA adapter weights into a base state dict
@@ -191,6 +214,20 @@ def load_pretrained_model(
         params["video_tower"] = load_tower_params(video_tower_path)
     if image_tower_path:
         params["image_tower"] = load_tower_params(image_tower_path)
+    # Tower checkpoint dirs carry the authoritative ViT dims (the main
+    # config.json only knows mm_hidden_size) — reference behavior: the
+    # tower rebuilds itself from ITS config
+    # (languagebind/__init__.py:248-251 load_model).
+    tower_cfg_dir = video_tower_path or image_tower_path
+    if tower_cfg_dir:
+        vision = vision_config_from_tower_json(tower_cfg_dir)
+        if vision is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(
+                    vision, select_layer=cfg.vision.select_layer,
+                    select_feature=cfg.vision.select_feature))
 
     wanted = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     import jax
@@ -212,6 +249,7 @@ def load_pretrained_model(
             model_base or model_path, use_fast=True
         )
 
-    processors = {"VIDEO": VideoProcessor(), "IMAGE": ImageProcessor()}
+    processors = {"VIDEO": VideoProcessor(size=cfg.vision.image_size),
+                  "IMAGE": ImageProcessor(size=cfg.vision.image_size)}
     context_len = cfg.max_length
     return tokenizer, params, cfg, processors, context_len
