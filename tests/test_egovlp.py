@@ -151,3 +151,102 @@ def test_egovlp_factory_dispatch():
 
     spec = resolve_tower("EgoVLP")
     assert spec.kind == "egovlp"
+
+
+# ---------------------------------------------------------------------------
+# Hardened oracle (VERDICT r2 #10): parity against the VENDORED reference
+# module itself, imported with a faithful timm shim.
+# ---------------------------------------------------------------------------
+
+
+def _import_vendored_video_transformer():
+    """Import egovlp/model/video_transformer.py. Its two import blockers
+    are shimmed with REAL semantics: timm.models.layers provides
+    to_2tuple / trunc_normal_ (torch ships trunc_normal_) and DropPath
+    (identity at p=0 / eval — the config uses drop_path_rate=0); the
+    module-level yaml read is cwd-relative, so import under the
+    reference root."""
+    import importlib.machinery as machinery
+    import os
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    if "timm.models.layers" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm.__spec__ = machinery.ModuleSpec("timm", None)
+        timm.__path__ = []
+        models = types.ModuleType("timm.models")
+        models.__spec__ = machinery.ModuleSpec("timm.models", None)
+        models.__path__ = []
+        layers = types.ModuleType("timm.models.layers")
+        layers.__spec__ = machinery.ModuleSpec("timm.models.layers", None)
+        layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):  # eval / p=0: identity
+                return x
+
+        layers.DropPath = DropPath
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+
+    old = os.getcwd()
+    os.chdir(_c.REFERENCE_ROOT)
+    try:
+        return _c.load_reference_module(
+            "llava/model/multimodal_encoder/egovlp/model/video_transformer.py",
+            "ref_egovlp_video_transformer")
+    finally:
+        os.chdir(old)
+
+
+@pytest.mark.parametrize("b,f", [(2, 3)])
+def test_egovlp_matches_vendored_module(b, f):
+    """Parity chain now terminates at reference code: the vendored
+    SpaceTimeTransformer's own forward_features (torch CPU, converted
+    weights) vs egovlp_encode."""
+    torch = pytest.importorskip("torch")
+    vt = _import_vendored_video_transformer()
+    from videollamb_tpu.models.vision.egovlp import convert_egovlp_state_dict
+
+    cfg = EgoVLPConfig(hidden_size=24, num_hidden_layers=2,
+                       num_attention_heads=4, image_size=16, patch_size=8,
+                       num_frames=f, mlp_ratio=2.0)
+    torch.manual_seed(0)
+    ref = vt.SpaceTimeTransformer(
+        img_size=cfg.image_size, patch_size=cfg.patch_size,
+        embed_dim=cfg.hidden_size, depth=cfg.num_hidden_layers,
+        num_heads=cfg.num_attention_heads, mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=True, num_frames=f, time_init="zeros",
+    ).eval()
+    # Give every parameter a non-degenerate value (several init to zeros).
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    params = jax.tree.map(jnp.asarray, convert_egovlp_state_dict(
+        {k: v for k, v in ref.state_dict().items()}, cfg))
+
+    rng = np.random.default_rng(3)
+    pixels = rng.normal(size=(b, f, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+
+    # forward_features returns only the CLS row; hook the final norm to
+    # capture the full token grid our encoder emits.
+    captured = {}
+    ref.norm.register_forward_hook(
+        lambda mod, inp, out: captured.__setitem__("tokens", out))
+    with torch.no_grad():
+        cls_want = ref.forward_features(torch.from_numpy(pixels)).numpy()
+    want = captured["tokens"].numpy()  # (B, 1 + F*N, D)
+
+    got = np.asarray(egovlp_encode(params, jnp.asarray(pixels), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got[:, 0], cls_want, rtol=2e-4, atol=2e-5)

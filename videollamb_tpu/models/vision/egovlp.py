@@ -227,3 +227,47 @@ def init_egovlp_params(rng: jax.Array, cfg: EgoVLPConfig, dtype=jnp.float32) -> 
         "blocks": blocks,
         "norm": ln(),
     }
+
+
+def convert_egovlp_state_dict(sd, cfg: EgoVLPConfig) -> Params:
+    """Reference SpaceTimeTransformer state dict -> our param tree
+    (egovlp/model/video_transformer.py:231-352 module names). Linear
+    weights transpose to (in, out); the Conv2d patch embed flattens to a
+    (C*ps*ps, D) matmul kernel — channel-major then the two patch dims,
+    matching the pixel unfold in ``egovlp_encode``."""
+    import numpy as np
+
+    def t(name):
+        return np.asarray(sd[name])
+
+    def linear(name):
+        return {"kernel": t(f"{name}.weight").T, "bias": t(f"{name}.bias")}
+
+    def ln(name):
+        return {"scale": t(f"{name}.weight"), "bias": t(f"{name}.bias")}
+
+    d = cfg.hidden_size
+    w = t("patch_embed.proj.weight")  # (D, C, ps, ps)
+    patch = {"kernel": w.reshape(d, -1).T, "bias": t("patch_embed.proj.bias")}
+
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"blocks.{i}"
+        blocks.append({
+            "norm1": ln(f"{p}.norm1"), "norm2": ln(f"{p}.norm2"),
+            "norm3": ln(f"{p}.norm3"),
+            "attn": {"qkv": linear(f"{p}.attn.qkv"),
+                     "proj": linear(f"{p}.attn.proj")},
+            "timeattn": {"qkv": linear(f"{p}.timeattn.qkv"),
+                         "proj": linear(f"{p}.timeattn.proj")},
+            "mlp": {"fc1": linear(f"{p}.mlp.fc1"),
+                    "fc2": linear(f"{p}.mlp.fc2")},
+        })
+    return {
+        "patch_embed": patch,
+        "cls_token": t("cls_token").reshape(d),
+        "pos_embed": t("pos_embed")[0],
+        "temporal_embed": t("temporal_embed")[0],
+        "blocks": blocks,
+        "norm": ln("norm"),
+    }
