@@ -274,10 +274,18 @@ def bench_ttft(lcfg, lm_params, minutes: float = 1.0, runs: int = 3) -> float:
             attention_mask=jnp.ones((1, text_len), jnp.int32),
             labels=None, videos=videos, images=None)
 
+    # The engines' admission path (serve/server._admit): splice, then
+    # CHUNKED prefill — LM compute proportional to the actual prompt
+    # length (~200 tokens here) instead of the 2048-padded splice buffer.
+    from videollamb_tpu.models.lm.llama import chunked_prefill
+
     @jax.jit
+    def encode_and_splice(params, batch):
+        return prepare_multimodal_embeds(params, cfg, batch)
+
     def first_token(params, batch, cache):
-        spliced = prepare_multimodal_embeds(params, cfg, batch)
-        logits, cache = llama_prefill(
+        spliced = encode_and_splice(params, batch)
+        logits, cache = chunked_prefill(
             params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask, cache)
         return jnp.argmax(logits, -1), cache
 

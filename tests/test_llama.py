@@ -144,3 +144,47 @@ def test_resize_token_embeddings(hf_and_params):
     # No-op when new vocab <= old.
     same = resize_token_embeddings(dict(params), old_v)
     assert same["embed_tokens"].shape[0] == old_v
+
+
+def test_chunked_prefill_matches_whole_prefill():
+    """chunked_prefill (fixed-shape llama_extend slices — the engines'
+    admission path) must reproduce llama_prefill's last-token logits and
+    the subsequent greedy chain, including rows shorter than one chunk
+    and rows spanning several."""
+    from videollamb_tpu.models.lm.llama import (
+        chunked_prefill, embed_tokens, init_kv_cache, llama_decode_step,
+        llama_prefill,
+    )
+
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    s_pad, lens = 40, [5, 19]  # row 0 fits in one 8-chunk, row 1 spans 3
+    ids = rng.integers(4, cfg.vocab_size, size=(2, s_pad)).astype(np.int32)
+    mask = np.zeros((2, s_pad), np.int32)
+    for i, ln in enumerate(lens):
+        mask[i, :ln] = 1
+        ids[i, ln:] = 0
+    emb = embed_tokens(params, jnp.asarray(ids))
+
+    def chain(logits, cache, steps=4):
+        toks = []
+        for _ in range(steps):
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            toks.append(np.asarray(nxt))
+            logits, cache = llama_decode_step(
+                params, cfg, embed_tokens(params, nxt[:, None]), cache)
+        return np.stack(toks)
+
+    c1 = init_kv_cache(cfg, 2, 64, jnp.float32)
+    ref_logits, c1 = llama_prefill(params, cfg, emb, jnp.asarray(mask), c1)
+    ref_chain = chain(ref_logits, c1)
+
+    c2 = init_kv_cache(cfg, 2, 64, jnp.float32)
+    got_logits, c2 = chunked_prefill(
+        params, cfg, jnp.array(emb), jnp.asarray(mask), c2, chunk=8)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(c2.length), np.asarray(lens))
+    # (decode steps donate the cache — length checked first)
+    np.testing.assert_array_equal(chain(got_logits, c2), ref_chain)

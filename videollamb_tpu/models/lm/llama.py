@@ -26,6 +26,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videollamb_tpu.config import LlamaConfig
 from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
@@ -394,6 +395,52 @@ def llama_extend(
         logits, jnp.maximum(fresh_len - 1, 0)[:, None, None], axis=1
     )[:, 0]
     return last, new_cache
+
+
+def chunked_prefill(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,  # (B, S_pad, D) right-padded (splice buffer)
+    attention_mask: jax.Array,  # (B, S_pad)
+    cache: KVCache,
+    chunk: int = 256,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill in fixed-size ``chunk`` slices of ``llama_extend``.
+
+    The splice pads every prompt to ``cfg.max_length`` (models/splice.py
+    static buffers), so a whole-buffer ``llama_prefill`` pays the full
+    padded GEMM cost no matter how short the prompt is. Chunking keeps
+    compute proportional to the ACTUAL prompt length while compiling
+    exactly ONE extend graph shape for the whole serving lifetime (every
+    chunk is (B, chunk, D)) — an admission-latency / TTFT lever, not a
+    throughput one. Requires contiguous right-padded masks, which the
+    splice guarantees (attn = arange < length).
+
+    Returns (last-valid-token logits (B, V), cache) — same contract as
+    ``llama_prefill``; greedy continuations are token-identical
+    (tests/test_llama.py::test_chunked_prefill_matches_whole_prefill).
+    """
+    b, s_pad, d = inputs_embeds.shape
+    lengths = np.asarray(jnp.sum(attention_mask, axis=1))  # host sync
+    n_chunks = max(1, -(-int(lengths.max()) // chunk))
+    logits = None
+    for i in range(n_chunks):
+        lo = i * chunk
+        e = inputs_embeds[:, lo: lo + chunk]
+        m = attention_mask[:, lo: lo + chunk]
+        if e.shape[1] < chunk:  # ragged tail of the splice buffer
+            pad = chunk - e.shape[1]
+            e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)))
+            m = jnp.pad(m, ((0, 0), (0, pad)))
+        nxt, cache = llama_extend(params, cfg, e, m, cache)
+        # Rows whose prompt ended in an earlier chunk keep their logits
+        # (a fully-padded chunk row returns garbage at slot 0).
+        if logits is None:
+            logits = nxt
+        else:
+            alive = jnp.asarray(lengths > lo, bool)[:, None]
+            logits = jnp.where(alive, nxt, logits)
+    return logits, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))

@@ -38,10 +38,10 @@ from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.models.assembly import Params, prepare_multimodal_embeds
 from videollamb_tpu.models.lm.llama import (
     KVCache,
+    chunked_prefill,
     embed_tokens,
     init_kv_cache,
     llama_extend,
-    llama_prefill,
 )
 from videollamb_tpu.models.lm.paged import (
     TRASH_PAGE,
@@ -147,7 +147,7 @@ class PagedServingEngine(ServingEngine):
         prefix_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
         n_full = prefix_len // self.page_size
         dense = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
-        logits, dense = llama_prefill(
+        logits, dense = chunked_prefill(
             self.params["lm"], self.cfg.lm,
             spliced.embeds.astype(self._dtype), spliced.attention_mask, dense,
         )
@@ -251,7 +251,10 @@ class PagedServingEngine(ServingEngine):
                 return  # pool exhausted — backpressure until slots free
             self.pending.get()
             single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
-            logits, single = llama_prefill(
+            # Chunked admission: one compiled extend shape for the whole
+            # engine lifetime, prefill compute proportional to the ACTUAL
+            # prompt length, not the padded splice buffer.
+            logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
             )

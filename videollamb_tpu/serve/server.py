@@ -30,10 +30,10 @@ from videollamb_tpu.models.assembly import MultimodalBatch, Params, prepare_mult
 from videollamb_tpu.models.engine import sample_token
 from videollamb_tpu.models.lm.llama import (
     KVCache,
+    chunked_prefill,
     embed_tokens,
     init_kv_cache,
     llama_decode_step,
-    llama_prefill,
 )
 
 
@@ -175,7 +175,10 @@ class ServingEngine:
                 self.params, self.cfg, req.batch, deterministic=True
             )
             single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
-            logits, single = llama_prefill(
+            # Chunked admission: one compiled extend shape for the whole
+            # engine lifetime, prefill compute proportional to the ACTUAL
+            # prompt length, not the padded splice buffer.
+            logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
             )
