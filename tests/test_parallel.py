@@ -186,3 +186,40 @@ def test_adapter_only_tuning_freezes_lm():
     pr0 = np.asarray(params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
     pr1 = np.asarray(state1.params["mm_projector"]["projector"]["proj"]["dense"]["kernel"])
     assert np.abs(pr0 - pr1).max() > 0
+
+
+def test_sharded_serving_engines_match_single_device():
+    """The continuous-batching engines run UNCHANGED over TP+FSDP-sharded
+    params (GSPMD inserts the collectives into the jitted prefill/decode
+    graphs) and produce token-identical output — the multi-chip serving
+    story: shard the weights, keep the engine."""
+    from videollamb_tpu.serve.paged import PagedServingEngine
+    from videollamb_tpu.serve.server import Request, ServingEngine
+
+    cfg = ModelConfig.tiny(max_length=128)
+    params = _tiny_params(cfg)
+
+    def make_req(uid, seed):
+        r = np.random.default_rng(seed)
+        ids = r.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+        ids[:, 2] = VIDEO_TOKEN_INDEX
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, 8), jnp.int32), labels=None,
+            videos=jnp.asarray(r.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+            images=None)
+        return Request(uid=uid, batch=batch, max_new_tokens=5, temperature=0.0)
+
+    def run(engine):
+        reqs = [make_req(i, i) for i in range(2)]
+        for r in reqs:
+            engine.submit(r)
+        done = engine.run_until_drained(k=2)
+        return {r.uid: r.tokens for r in done}
+
+    ref = run(ServingEngine(params, cfg, num_slots=2, eos_token_id=-1))
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    assert run(ServingEngine(sharded, cfg, num_slots=2, eos_token_id=-1)) == ref
+    assert run(PagedServingEngine(sharded, cfg, num_slots=2, page_size=32,
+                                  eos_token_id=-1)) == ref
