@@ -257,13 +257,17 @@ def main(argv=None):
                              "reader and fed to BOTH sides")
     args = parser.parse_args(argv)
 
-    # This sandbox pre-imports jax targeting the TPU tunnel; the rehearsal
-    # is a CPU cross-check (torch CPU vs XLA:CPU) — override before any
-    # backend initializes (same technique as tests/conftest.py).
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # This sandbox pre-imports jax targeting the TPU tunnel AND exports
+    # JAX_PLATFORMS=axon; the rehearsal is a CPU cross-check (torch CPU vs
+    # XLA:CPU), so FORCE cpu — direct assignment plus a live-config update
+    # before any backend initializes (same technique as tests/conftest.py).
+    # Override with VIDEOLLAMB_REHEARSAL_PLATFORM to run the JAX side on a
+    # real accelerator (expect bf16-vs-f32 drift on long generations).
+    platform = os.environ.get("VIDEOLLAMB_REHEARSAL_PLATFORM", "cpu")
+    os.environ["JAX_PLATFORMS"] = platform
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", platform)
 
     install_reference_shims()
     import numpy as np

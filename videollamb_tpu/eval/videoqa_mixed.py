@@ -21,33 +21,25 @@ from videollamb_tpu.eval.videoqa_mc import get_chunk, resolve_video_path
 
 
 def _load_media(args, sample, chat):
-    """Assemble the ordered (modality, processed-pixels) block list."""
-    blocks = []
-    if sample.get("video_name"):
-        from videollamb_tpu.data.video_reader import load_video
+    """Assemble the ordered (modality, processed-pixels) block list;
+    None (skip the sample) when any named medium is missing/unreadable."""
+    from videollamb_tpu.data.media import load_media_blocks
 
-        path = resolve_video_path(args.video_dir, sample["video_name"])
-        if path is None:
-            return None
-        raw = load_video(path, num_frames=args.num_frames)
-        blocks.append(("VIDEO", chat.processors["VIDEO"](raw)))
-    if sample.get("image_name"):
-        import cv2
-
-        path = os.path.join(args.image_dir or args.video_dir, sample["image_name"])
-        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-        blocks.append(("IMAGE", chat.processors["IMAGE"](img)))
-    if sample.get("audio_name"):
-        from videollamb_tpu.data.audio_reader import load_audio
-
-        proc = chat.processors.get("AUDIO")
-        if proc is None:
-            from videollamb_tpu.models.vision.modalities import AudioProcessor
-
-            proc = AudioProcessor()
-        waveform, sr = load_audio(
-            os.path.join(args.audio_dir or args.video_dir, sample["audio_name"]))
-        blocks.append(("AUDIO", proc(waveform, origin_sr=sr)))
+    video_path = (resolve_video_path(args.video_dir, sample["video_name"])
+                  if sample.get("video_name") else None)
+    if sample.get("video_name") and video_path is None:
+        return None
+    paths = {
+        "VIDEO": video_path,
+        "IMAGE": (os.path.join(args.image_dir or args.video_dir,
+                               sample["image_name"])
+                  if sample.get("image_name") else None),
+        "AUDIO": (os.path.join(args.audio_dir or args.video_dir,
+                               sample["audio_name"])
+                  if sample.get("audio_name") else None),
+    }
+    blocks = load_media_blocks(paths, chat.processors,
+                               num_frames=args.num_frames, strict=False)
     return blocks or None
 
 

@@ -127,6 +127,8 @@ def vision_config_from_tower_json(tower_dir: str) -> Optional["VisionConfig"]:
         patch_size=vc.get("patch_size", 14),
         num_frames=vc.get("num_frames", 8),
         add_time_attn=vc.get("add_time_attn", True),
+        hidden_act=vc.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=vc.get("layer_norm_eps", 1e-5),
     )
 
 

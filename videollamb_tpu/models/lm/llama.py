@@ -404,6 +404,7 @@ def chunked_prefill(
     attention_mask: jax.Array,  # (B, S_pad)
     cache: KVCache,
     chunk: int = 256,
+    lengths=None,  # optional host ints — skips this function's own sync
 ) -> Tuple[jax.Array, KVCache]:
     """Prefill in fixed-size ``chunk`` slices of ``llama_extend``.
 
@@ -421,7 +422,9 @@ def chunked_prefill(
     (tests/test_llama.py::test_chunked_prefill_matches_whole_prefill).
     """
     b, s_pad, d = inputs_embeds.shape
-    lengths = np.asarray(jnp.sum(attention_mask, axis=1))  # host sync
+    if lengths is None:
+        lengths = np.asarray(jnp.sum(attention_mask, axis=1))  # host sync
+    lengths = np.atleast_1d(np.asarray(lengths))
     n_chunks = max(1, -(-int(lengths.max()) // chunk))
     logits = None
     for i in range(n_chunks):

@@ -33,37 +33,21 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     reqs = []
     from videollamb_tpu.serve.server import Request
 
+    from videollamb_tpu.data.media import load_media_blocks
+
     for row in lines:
         # Load every medium the row names, in (video, image, audio) order —
         # a row with 2+ media becomes ONE mixed-modality request whose k-th
         # prompt tag binds block k (reference multi-X request assembly,
-        # llava/eval/model_videoqa_act.py:117-120).
-        media = []
-        if row.get("video"):
-            from videollamb_tpu.data.video_reader import load_video
-
-            raw = load_video(row["video"], fps=1.0, max_frames=512)
-            media.append(("VIDEO", jnp.asarray(
-                chat.processors["VIDEO"](raw), chat._dtype())))
-        if row.get("image"):
-            import cv2
-
-            img = cv2.cvtColor(cv2.imread(row["image"]), cv2.COLOR_BGR2RGB)
-            media.append(("IMAGE", jnp.asarray(
-                chat.processors["IMAGE"](img), chat._dtype())))
-        if row.get("audio"):
-            # AUDIO extension: WAV -> log-mel fbank image for an audio
-            # TowerSpec model (scripts/finetune_audio.sh recipe).
-            from videollamb_tpu.data.audio_reader import load_audio
-
-            proc = chat.processors.get("AUDIO")
-            if proc is None:
-                from videollamb_tpu.models.vision.modalities import AudioProcessor
-
-                proc = AudioProcessor()
-            waveform, sr = load_audio(row["audio"])
-            media.append(("AUDIO", jnp.asarray(
-                proc(waveform, origin_sr=sr), chat._dtype())))
+        # llava/eval/model_videoqa_act.py:117-120). AUDIO is the WAV ->
+        # log-mel fbank extension (scripts/finetune_audio.sh recipe).
+        media = [
+            (m, jnp.asarray(px, chat._dtype()))
+            for m, px in load_media_blocks(
+                {"VIDEO": row.get("video"), "IMAGE": row.get("image"),
+                 "AUDIO": row.get("audio")},
+                chat.processors, strict=True)
+        ]
 
         chat.reset()
         question = row["prompt"]
@@ -78,6 +62,11 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
         if len(media) >= 2:
             ids, mask, tag_order = chat._prepare_multi_ids(chat.conv.get_prompt())
             by_mod = dict(media)
+            if sorted(tag_order) != sorted(by_mod):
+                raise ValueError(
+                    f"request {row.get('id')!r}: prompt tags {tag_order} do "
+                    f"not match the attached media {sorted(by_mod)} — remove "
+                    "stray <image>/<video>/<audio> tags or attach the file")
             blocks = tuple((m, by_mod[m]) for m in tag_order)
         else:
             modality = media[0][0] if media else None

@@ -292,8 +292,14 @@ class Chat:
         (models/assembly.encode_mixed). Reference protocol:
         llava/eval/model_videoqa_act.py:117-120's (X, X_modalities)."""
         if first_turn:
+            # Prepend one tag per block BEYOND those already placed in the
+            # question (counted per modality, so repeated blocks of one
+            # modality each get a sentinel).
+            need: Dict[str, int] = {}
+            for modality, _ in blocks:
+                need[modality] = need.get(modality, 0) + 1
             for modality, _ in reversed(blocks):
-                if DEFAULT_X_TOKEN[modality] not in question:
+                if question.count(DEFAULT_X_TOKEN[modality]) < need[modality]:
                     question = DEFAULT_X_TOKEN[modality] + "\n" + question
         self.conv.append_message(self.conv.roles[0], question)
         self.conv.append_message(self.conv.roles[1], None)
@@ -301,6 +307,11 @@ class Chat:
         by_mod: Dict[str, list] = {}
         for modality, px in blocks:
             by_mod.setdefault(modality, []).append(px)
+        if sorted(tag_order) != sorted(m for m, _ in blocks):
+            raise ValueError(
+                f"prompt tags {tag_order} do not match the supplied blocks "
+                f"{[m for m, _ in blocks]} — every <image>/<video>/<audio> "
+                "tag needs exactly one block of that modality")
         ordered = tuple(
             (m, jnp.asarray(by_mod[m].pop(0), self._dtype())) for m in tag_order)
         batch = MultimodalBatch(

@@ -12,9 +12,10 @@ but context HBM is allocated in pages from one shared pool
   per new page);
 - finished slots return their pages immediately.
 
-Decode attention is JAX's stock TPU Pallas paged-attention kernel (reads
-only the active pages from HBM); CPU tests run the gather fallback with
-identical logits.
+Decode attention dispatches per regime (models/lm/paged.py): shared-pool
+int8 MXU attention for the serving sweet spot, the stock TPU Pallas
+paged-attention kernel for big-pool/long-context, an XLA gather for short
+bf16 contexts — logits agree across paths within the int8 bounds.
 
 Prefix caching (register_prefix / Request.prefix_id): the long shared
 prompt prefix (system + video tokens) is prefilled ONCE; its whole pages
@@ -66,10 +67,14 @@ def paged_greedy_decode_steps(
     def body(carry, _):
         logits, cache = carry
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-        # Cast to the COMPUTE dtype (logits carry it), never the page
-        # dtype: with quantize_kv the pages are int8 and an astype there
-        # rounds the embeddings to near-zero integers.
-        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(logits.dtype)
+        # The embedding table keeps the model's COMPUTE dtype (it is never
+        # int8-quantized — gathers need the full-precision table), so its
+        # output needs no cast. Never cast to the page dtype: with
+        # quantize_kv the pages are int8 and an astype there rounds the
+        # embeddings to near-zero integers; and logits are always f32
+        # (_final), so casting to logits.dtype would silently run the k>1
+        # greedy path in f32 while the k=1 path runs bf16.
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
         logits, cache = paged_decode_step(
             params["lm"], cfg.lm, tok_embeds, cache, total_pages
         )
@@ -150,6 +155,7 @@ class PagedServingEngine(ServingEngine):
         logits, dense = chunked_prefill(
             self.params["lm"], self.cfg.lm,
             spliced.embeds.astype(self._dtype), spliced.attention_mask, dense,
+            lengths=prefix_len,
         )
         pages = self.allocator.alloc(n_full) if n_full else []
         if pages is None:
@@ -257,6 +263,7 @@ class PagedServingEngine(ServingEngine):
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
+                lengths=prompt_len,
             )
             page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
             page_ids[: len(pages)] = pages
