@@ -305,6 +305,93 @@ def bench_ttft(lcfg, lm_params, minutes: float = 1.0, runs: int = 3) -> float:
     return times[len(times) // 2] / minutes
 
 
+def bench_train_adapter(lm_params_int8, runs: int = 6) -> float:
+    """Stage-1 (adapter) train-step time at the production shape on ONE
+    chip: frozen int8 7B backbone + frozen bf16 ViT-L tower, AdamW on the
+    Memory Bridge projector, 16 frames + text spliced to the full
+    2048-token context, remat backbone + rematted chunked attention. This
+    is the reference's pretrain configuration (freeze LM+tower, tune
+    mm_projector — train.py flag surface; BASELINE.md records its
+    full-recipe wall-clock on 4xA800), on the QLoRA-style quantized-
+    backbone path: the int8 dequant-matmul is plain XLA and fully
+    differentiable w.r.t. activations, so projector grads are exact for
+    the quantized model. A bf16 frozen backbone misses one 16 GB chip by
+    ~0.7 GB at S=2048 (13.44 GB weights + ~3 GB step temps, measured) —
+    bf16 stage-1 and full-backbone training run on the sharded FSDP path
+    certified by dryrun_multichip.
+
+    Returns median step time in ms."""
+    import numpy as np
+    import optax
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.constants import VIDEO_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        MultimodalBatch,
+        causal_lm_loss,
+        videollamb_forward,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig()
+    k1, k2, _ = jax.random.split(jax.random.PRNGKey(11), 3)
+    frozen = {
+        "video_tower": init_vision_params(k1, cfg.vision, dtype=jnp.bfloat16),
+        "lm": lm_params_int8,
+    }
+    proj = init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size,
+                             dtype=jnp.bfloat16)
+    jax.block_until_ready(jax.tree.leaves(frozen["video_tower"])[0])
+    tx = optax.adamw(1e-3)
+    opt = tx.init(proj)
+
+    text_len = 64
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, text_len)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+
+    def make_batch(seed):
+        return MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, text_len), jnp.int32),
+            labels=jnp.asarray(ids),
+            videos=jax.random.normal(
+                jax.random.PRNGKey(seed), (1, 16, 3, 224, 224), jnp.bfloat16),
+            images=None)
+
+    # `frozen` MUST be a jit argument, not a closure: closed-over arrays
+    # are baked into the lowered module as constants — 14.25 GB of
+    # captured weights made lowering/compile take >25 min (measured).
+    @jax.jit
+    def step(frozen, proj, opt, batch):
+        def loss_fn(p):
+            # chunked = the differentiable online-softmax attention the
+            # train step uses (the flash kernel has no VJP).
+            logits, spliced = videollamb_forward(
+                dict(frozen, mm_projector=p), cfg, batch, remat=True,
+                attn_impl="chunked")
+            loss, n = causal_lm_loss(logits, spliced.labels)
+            return loss, n
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(proj)
+        updates, opt = tx.update(grads, opt, proj)
+        return optax.apply_updates(proj, updates), opt, loss
+
+    proj, opt, loss = step(frozen, proj, opt, make_batch(0))  # compile
+    float(loss)
+    times = []
+    for i in range(runs):
+        batch = make_batch(i + 1)
+        jax.block_until_ready(batch.videos)
+        t0 = time.perf_counter()
+        proj, opt, loss = step(frozen, proj, opt, batch)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] * 1000.0
+
+
 def main():
     extra = {}
     tok_s = None
@@ -354,6 +441,13 @@ def main():
                 bench_ttft(cfg7b, params7b), 3)
         except Exception as e:  # noqa: BLE001
             extra["ttft_error"] = type(e).__name__
+    if params7b is not None:
+        jax.clear_caches()  # drop decode-bench executables before training
+        try:
+            extra["train_adapter_step_ms"] = round(
+                bench_train_adapter(params7b), 1)
+        except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
+            extra["train_adapter_error"] = type(e).__name__
     # Free the 7B before the encoder run.
     del params7b
     jax.clear_caches()

@@ -153,6 +153,14 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
     m0 = jnp.full((b, hkv, g, sq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, sq, 1), jnp.float32)
     acc0 = jnp.zeros((b, hkv, g, sq, dh), jnp.float32)
+    # Remat the chunk body: without it, scan's backward saves every
+    # chunk's f32 scores/probabilities — O(Sq*Skv) residuals (measured:
+    # 2x512 MB f32 + 256 MB bf16 buffers at S=2048, the difference
+    # between a 7B train step fitting one 16 GB chip or not). With it,
+    # the backward recomputes each chunk's scores from q/k (flash-attn
+    # backward), keeping activation memory O(Sq*bkv) as advertised.
+    # prevent_cse=False is safe (and recommended) under lax.scan.
+    step = jax.checkpoint(step, prevent_cse=False)
     (m_f, l_f, acc), _ = jax.lax.scan(step, (m0, l0, acc0), (k_c, v_c, m_c, idx_c))
 
     out = acc / jnp.where(l_f == 0.0, 1.0, l_f)
