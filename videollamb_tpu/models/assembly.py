@@ -10,6 +10,7 @@ loop (llava_arch.py:505).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -289,6 +290,56 @@ def prepare_multimodal_embeds(
         batch.input_ids, batch.attention_mask, batch.labels,
         text_embeds, x_embeds, x_mask, cfg.max_length,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "deterministic"))
+def _prepare_embeds_jit(params, cfg, batch, deterministic=True):
+    return prepare_multimodal_embeds(params, cfg, batch,
+                                     deterministic=deterministic)
+
+
+@partial(jax.jit, static_argnames=("cfg", "modalities", "deterministic"))
+def _encode_mixed_jit(params, cfg, modalities, pixels, deterministic=True):
+    return encode_mixed(params, cfg, tuple(zip(modalities, pixels)),
+                        deterministic=deterministic)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _splice_with_x(params, cfg, batch, x_embeds, x_mask):
+    text_embeds = embed_tokens(params["lm"], batch.input_ids)
+    return splice_multimodal(
+        batch.input_ids, batch.attention_mask, batch.labels,
+        text_embeds, x_embeds, x_mask, cfg.max_length,
+    )
+
+
+def prepare_multimodal_embeds_fast(
+    params: Params,
+    cfg: ModelConfig,
+    batch: MultimodalBatch,
+    deterministic: bool = True,
+) -> SplicedBatch:
+    """Jit-dispatched splice for HOST-DRIVEN serving paths (engines,
+    Chat, offline generate).
+
+    ``prepare_multimodal_embeds`` is a plain function — correct inside
+    already-jitted train steps, but catastrophic when a host loop calls
+    it eagerly: every op dispatches individually (and on the TPU tunnel
+    each dispatch pays a round trip — measured ~1.5 s per serving
+    admission at 7B, ~30x the compiled cost; the round-3 serving-load
+    bench caught it). This wrapper runs the same computation as one
+    compiled graph per (shape, cfg) key. Mixed-modality blocks carry
+    host-side modality strings, so they route through a jit whose
+    modality tuple is STATIC and whose pixel tensors are traced."""
+    if batch.blocks is not None:
+        modalities = tuple(m for m, _ in batch.blocks)
+        pixels = tuple(p for _, p in batch.blocks)
+        x_embeds, x_mask = _encode_mixed_jit(
+            params, cfg, modalities, pixels, deterministic=deterministic)
+        return _splice_with_x(params, cfg, batch._replace(blocks=None),
+                              x_embeds, x_mask)
+    return _prepare_embeds_jit(params, cfg, batch,
+                               deterministic=deterministic)
 
 
 def videollamb_forward(

@@ -21,7 +21,7 @@ from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.models.assembly import (
     MultimodalBatch,
     Params,
-    prepare_multimodal_embeds,
+    prepare_multimodal_embeds_fast,
 )
 from videollamb_tpu.models.lm.llama import (
     embed_tokens,
@@ -82,7 +82,7 @@ def generate(
     max_seq_len: int = 4096,
 ) -> GenerateResult:
     """Multimodal generation, one compiled graph per shape bucket."""
-    spliced = prepare_multimodal_embeds(params, cfg, batch, deterministic=True)
+    spliced = prepare_multimodal_embeds_fast(params, cfg, batch, deterministic=True)
     return generate_spliced(
         params, cfg, spliced, rng, max_new_tokens=max_new_tokens,
         do_sample=do_sample, temperature=temperature, top_p=top_p,

@@ -124,7 +124,7 @@ class Chat:
         path, gradio_demo.py:33-110). Uses the same prefill + cached
         decode-step machinery as generate, but the loop lives on the host
         so the UI can render tokens as they arrive."""
-        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds_fast
         from videollamb_tpu.models.lm.llama import (
             embed_tokens,
             init_kv_cache,
@@ -141,7 +141,7 @@ class Chat:
             videos=jnp.asarray(videos[None], self._dtype()) if videos is not None else None,
             images=jnp.asarray(images[None], self._dtype()) if images is not None else None,
         )
-        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        spliced = prepare_multimodal_embeds_fast(self.params, self.cfg, batch)
         cache = init_kv_cache(
             self.cfg.lm, 1, self.cfg.max_length + _round_up(max_new_tokens, 64),
             self._dtype(),
@@ -195,7 +195,7 @@ class Chat:
         the bf16 target: it shares this model's multimodal embeds, so any
         hidden-size-compatible draft works. Returns (text, stats)."""
         from videollamb_tpu.mm_utils import tokenizer_x_token
-        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds_fast
         from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
         from videollamb_tpu.models.speculative import (
             speculative_decode,
@@ -211,7 +211,7 @@ class Chat:
             videos=jnp.asarray(videos[None], self._dtype()) if videos is not None else None,
             images=jnp.asarray(images[None], self._dtype()) if images is not None else None,
         )
-        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        spliced = prepare_multimodal_embeds_fast(self.params, self.cfg, batch)
         cache = init_kv_cache(
             self.cfg.lm, 1, self.cfg.max_length + _round_up(max_new_tokens, 64),
             self._dtype(),
@@ -320,13 +320,13 @@ class Chat:
         )
         stopper = KeywordStopper([self.stop_str()], self.tokenizer)
         eos = self.tokenizer.eos_token_id or 2
-        # The modality strings in ``blocks`` are static: splice eagerly
-        # (block encoders are jitted individually), then run the jitted
-        # continuation.
-        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        # The modality strings in ``blocks`` are static jit keys: the fast
+        # splice routes them through _encode_mixed_jit, then runs the
+        # jitted continuation.
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds_fast
         from videollamb_tpu.models.engine import generate_spliced
 
-        spliced = prepare_multimodal_embeds(self.params, self.cfg, batch)
+        spliced = prepare_multimodal_embeds_fast(self.params, self.cfg, batch)
         result = generate_spliced(
             self.params, self.cfg, spliced, jax.random.PRNGKey(seed),
             max_new_tokens=max_new_tokens, do_sample=do_sample,
@@ -380,7 +380,7 @@ class KVChatSession:
             return_tensors="np")]
 
     def _full_prefill(self, ids: list):
-        from videollamb_tpu.models.assembly import prepare_multimodal_embeds
+        from videollamb_tpu.models.assembly import prepare_multimodal_embeds_fast
         from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
 
         chat = self.chat
@@ -395,7 +395,7 @@ class KVChatSession:
             videos=jnp.asarray(self.frames[None], chat._dtype()),
             images=None,
         )
-        spliced = prepare_multimodal_embeds(chat.params, chat.cfg, batch)
+        spliced = prepare_multimodal_embeds_fast(chat.params, chat.cfg, batch)
         self.cache = init_kv_cache(
             chat.cfg.lm, 1,
             chat.cfg.max_length + _round_up(self.max_new_tokens, 64),

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videollamb_tpu.config import ModelConfig
-from videollamb_tpu.models.assembly import Params, prepare_multimodal_embeds
+from videollamb_tpu.models.assembly import Params, prepare_multimodal_embeds_fast
 from videollamb_tpu.models.lm.llama import (
     KVCache,
     chunked_prefill,
@@ -146,7 +146,7 @@ class PagedServingEngine(ServingEngine):
         whole pages are written into the pool and shared (refcounted) by
         every consumer slot; its dense cache is kept so each admission only
         prefills the request suffix (llama_extend)."""
-        spliced = prepare_multimodal_embeds(
+        spliced = prepare_multimodal_embeds_fast(
             self.params, self.cfg, batch, deterministic=True
         )
         prefix_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
@@ -182,7 +182,7 @@ class PagedServingEngine(ServingEngine):
         copy of the prefix's dense cache, shared pages mapped by refcount.
         Returns False on backpressure (leave the request queued)."""
         info = self._prefixes[req.prefix_id]
-        spliced = prepare_multimodal_embeds(
+        spliced = prepare_multimodal_embeds_fast(
             self.params, self.cfg, req.batch, deterministic=True
         )
         suffix_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
@@ -243,7 +243,7 @@ class PagedServingEngine(ServingEngine):
                 if not self._admit_prefix(req, slot):
                     return  # backpressure
                 continue
-            spliced = prepare_multimodal_embeds(
+            spliced = prepare_multimodal_embeds_fast(
                 self.params, self.cfg, req.batch, deterministic=True
             )
             prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))

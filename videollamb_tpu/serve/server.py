@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videollamb_tpu.config import ModelConfig
-from videollamb_tpu.models.assembly import MultimodalBatch, Params, prepare_multimodal_embeds
+from videollamb_tpu.models.assembly import MultimodalBatch, Params, prepare_multimodal_embeds_fast
 from videollamb_tpu.models.engine import sample_token
 from videollamb_tpu.models.lm.llama import (
     KVCache,
@@ -171,7 +171,7 @@ class ServingEngine:
             if req.cancelled:
                 req.done = True
                 continue
-            spliced = prepare_multimodal_embeds(
+            spliced = prepare_multimodal_embeds_fast(
                 self.params, self.cfg, req.batch, deterministic=True
             )
             single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
