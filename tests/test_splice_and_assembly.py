@@ -351,3 +351,55 @@ def test_multi_image_conversation_forward(tiny_model):
     t0, _ = encode_images(params, cfg, jnp.asarray(images[:, 0]))
     t1, _ = encode_images(params, cfg, jnp.asarray(images[:, 1]))
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_fast_splice_matches_plain_all_batch_kinds(tiny_model):
+    """prepare_multimodal_embeds_fast (the jitted serving-path splice,
+    round 3: engines/Chat called the plain function EAGERLY — ~1.5 s of
+    per-op tunnel dispatch per admission) must be numerically identical
+    to prepare_multimodal_embeds for every batch kind it serves."""
+    from videollamb_tpu.constants import X_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        prepare_multimodal_embeds,
+        prepare_multimodal_embeds_fast,
+    )
+
+    cfg, params = tiny_model
+    rng = np.random.default_rng(7)
+    size = cfg.vision.image_size
+
+    def text_batch(with_sentinels=()):
+        ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 14)).astype(np.int32)
+        for j, s in enumerate(with_sentinels):
+            ids[0, 2 + j] = s
+        return ids, np.ones((1, 14), np.int32)
+
+    cases = {}
+    cases["video"] = _video_batch(cfg, b=2)
+    ids, mask = text_batch((X_TOKEN_INDEX["IMAGE"],))
+    cases["image"] = MultimodalBatch(
+        jnp.asarray(ids), jnp.asarray(mask), None, None,
+        jnp.asarray(rng.normal(size=(1, 3, size, size)), jnp.float32))
+    ids, mask = text_batch()
+    cases["text_only"] = MultimodalBatch(
+        jnp.asarray(ids), jnp.asarray(mask), None, None, None)
+    ids, mask = text_batch((X_TOKEN_INDEX["VIDEO"], X_TOKEN_INDEX["IMAGE"]))
+    cases["mixed"] = MultimodalBatch(
+        jnp.asarray(ids), jnp.asarray(mask), None, None, None,
+        blocks=(
+            ("VIDEO", jnp.asarray(rng.normal(size=(8, 3, size, size)),
+                                  jnp.float32)),
+            ("IMAGE", jnp.asarray(rng.normal(size=(3, size, size)),
+                                  jnp.float32)),
+        ))
+
+    for name, batch in cases.items():
+        ref = prepare_multimodal_embeds(params, cfg, batch)
+        got = prepare_multimodal_embeds_fast(params, cfg, batch)
+        np.testing.assert_allclose(
+            np.asarray(got.embeds), np.asarray(ref.embeds),
+            rtol=2e-5, atol=2e-5, err_msg=name)
+        assert np.array_equal(np.asarray(got.attention_mask),
+                              np.asarray(ref.attention_mask)), name
+        assert np.array_equal(np.asarray(got.lengths),
+                              np.asarray(ref.lengths)), name
