@@ -68,7 +68,8 @@ def build_requests(cfg, n: int, seed: int, video_frac: float,
             videos=frames if with_video else None,
             images=None,
         )
-        reqs.append(Request(uid=i, batch=batch, max_new_tokens=max_new))
+        reqs.append(Request(uid=i, batch=batch, max_new_tokens=max_new,
+                            prompt_len=None if with_video else prompt_len))
     return reqs
 
 

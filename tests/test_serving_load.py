@@ -86,3 +86,26 @@ def test_open_loop_queueing_shows_in_ttft(tiny_setup):
                           prompt_len=24, max_new=6)
     out = run_load(engine, reqs, rate=1000.0, k=2)
     assert out["ttft_p99_s"] > out["ttft_p50_s"]
+
+
+@pytest.mark.parametrize("engine_kind", ["dense", "paged"])
+def test_prompt_len_hint_is_token_identical(tiny_setup, engine_kind):
+    """The host-known prompt_len hint (skips chunked prefill's device
+    sync for text-only rows) must not change a single emitted token."""
+    from serving_load import make_engine, parse_args
+
+    cfg, params = tiny_setup
+
+    def run(with_hint):
+        args = parse_args(["--engine", engine_kind, "--slots", "2"])
+        engine, _, _ = make_engine(args, cfg=cfg, params=params)
+        reqs = build_requests(cfg, 4, seed=11, video_frac=0.0,
+                              prompt_len=24, max_new=6)
+        for r in reqs:
+            if not with_hint:
+                r.prompt_len = None
+            engine.submit(r)
+        engine.run_until_drained(k=2)
+        return {r.uid: list(r.tokens) for r in reqs}
+
+    assert run(True) == run(False)

@@ -246,7 +246,15 @@ class PagedServingEngine(ServingEngine):
             spliced = prepare_multimodal_embeds_fast(
                 self.params, self.cfg, req.batch, deterministic=True
             )
-            prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+            b = req.batch
+            text_only = (b.videos is None and b.images is None
+                         and b.blocks is None)
+            if text_only and req.prompt_len is not None:
+                # Host-known hint (text-only: spliced length == mask sum)
+                # saves the per-admission device sync.
+                prompt_len = int(req.prompt_len)
+            else:
+                prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
             n_pages = self.allocator.pages_needed(prompt_len, self.page_size)
             if n_pages > self.pages_per_seq:
                 self.pending.get()

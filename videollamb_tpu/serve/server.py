@@ -117,6 +117,12 @@ class Request:
     # set, ``batch`` holds ONLY the suffix (e.g. the user question) — the
     # prompt prefix (system + media) comes from the shared cached pages.
     prefix_id: Any = None
+    # Optional host-known prompt length (valid tokens in attention_mask).
+    # Used ONLY for text-only batches, where the spliced length equals the
+    # mask sum — it saves the one device->host sync per admission that
+    # chunked prefill otherwise needs to size its chunk loop. Ignored for
+    # rows with visual content (their spliced length is device-computed).
+    prompt_len: Optional[int] = None
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -177,10 +183,16 @@ class ServingEngine:
             single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
             # Chunked admission: one compiled extend shape for the whole
             # engine lifetime, prefill compute proportional to the ACTUAL
-            # prompt length, not the padded splice buffer.
+            # prompt length, not the padded splice buffer. The host-known
+            # prompt_len hint (text-only rows: spliced length == mask sum)
+            # saves chunked_prefill's per-admission device sync.
+            b = req.batch
+            text_only = (b.videos is None and b.images is None
+                         and b.blocks is None)
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
+                lengths=req.prompt_len if text_only else None,
             )
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
