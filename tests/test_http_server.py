@@ -1,0 +1,142 @@
+"""HTTP serving front-end (serve/http_server.py): JSON API over the
+continuous-batching engines, streaming SSE, concurrent clients sharing
+one slot batch. Tiny model, ephemeral port."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def http_srv():
+    from test_serving import ChatTokenizer
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.serve.chat import Chat
+    from videollamb_tpu.serve.http_server import make_server
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg = ModelConfig.tiny(max_length=128)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    tok = ChatTokenizer()
+    tok("A chat between a curious human and an artificial intelligence "
+        "assistant describe the scene")
+    chat = Chat(tok, params, cfg, {
+        "VIDEO": VideoProcessor(size=cfg.vision.image_size),
+        "IMAGE": ImageProcessor(size=cfg.vision.image_size),
+    }, text_bucket=32)
+    engine = ServingEngine(params, cfg, num_slots=2)
+    httpd, srv = make_server(chat, engine, port=0, k=2, timeout_s=120)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def _post(base, path, payload, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health(http_srv):
+    with urllib.request.urlopen(http_srv + "/v1/health", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["active"] == 0
+
+
+def test_generate_text_only(http_srv):
+    status, out = _post(http_srv, "/v1/generate",
+                        {"prompt": "describe the scene",
+                         "max_new_tokens": 4})
+    assert status == 200
+    assert out["tokens"] > 0
+    assert isinstance(out["text"], str)
+    assert out["id"].startswith("req-")
+
+
+def test_missing_prompt_is_400(http_srv):
+    try:
+        _post(http_srv, "/v1/generate", {"max_new_tokens": 4})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_concurrent_clients_batch_together(http_srv):
+    """Two simultaneous requests must both complete (continuous batching
+    across connections — each handler thread enqueues, one worker steps)."""
+    results = {}
+
+    def call(name):
+        results[name] = _post(http_srv, "/v1/generate",
+                              {"prompt": f"describe the scene {name}",
+                               "max_new_tokens": 6})
+
+    threads = [threading.Thread(target=call, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert set(results) == {"a", "b"}
+    for status, out in results.values():
+        assert status == 200 and out["tokens"] > 0
+
+
+def test_stream_events_match_plain_generate(http_srv):
+    """SSE route: per-token events concatenate to the same greedy text a
+    non-streaming call returns for the same prompt."""
+    plain = _post(http_srv, "/v1/generate",
+                  {"prompt": "describe the scene", "max_new_tokens": 5})[1]
+
+    req = urllib.request.Request(
+        http_srv + "/v1/generate",
+        data=json.dumps({"prompt": "describe the scene",
+                         "max_new_tokens": 5, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events and events[-1].get("done") is True
+    assert events[-1]["text"] == plain["text"]
+    assert len(events) - 1 == events[-1]["tokens"]
+
+
+def test_generate_with_video(http_srv, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = tmp_path / "clip.mp4"
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        writer.write(rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8))
+    writer.release()
+    status, out = _post(http_srv, "/v1/generate",
+                        {"prompt": "describe the scene",
+                         "video": str(path), "max_new_tokens": 4})
+    assert status == 200 and out["tokens"] > 0

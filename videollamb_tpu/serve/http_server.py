@@ -1,0 +1,264 @@
+"""HTTP serving front-end over the continuous-batching engines.
+
+The reference's serving surfaces are interactive (CLI, gradio). This is
+the deployment surface: a dependency-free (stdlib ``http.server``) JSON
+API over `serve/server.ServingEngine` / `serve/paged.PagedServingEngine`,
+with continuous batching across concurrent HTTP clients — requests from
+different connections decode together in one slot batch.
+
+  POST /v1/generate   {"prompt": ..., "video": <path>?, "image": <path>?,
+                       "audio": <path>?, "max_new_tokens": 128,
+                       "temperature": 0.0, "top_p": 1.0, "stream": false}
+      -> {"id": ..., "text": ..., "tokens": N}
+      With "stream": true the response is text/event-stream: one
+      ``data: {"token": <piece>}`` event per committed token and a final
+      ``data: {"done": true, "text": <full text>}``.
+  GET  /v1/health     -> {"status": "ok", "active": A, "pending": P}
+  POST /v1/cancel     {"id": ...} -> {"cancelled": bool}
+
+Threading model: HTTP handler threads (ThreadingHTTPServer) only build
+requests and wait; ONE worker thread drives ``engine.step(k)`` — the
+engine itself is single-threaded by design (submit() is the only
+thread-safe entry, backed by queue.Queue). Prompt assembly borrows the
+shared Chat's conversation template under a lock.
+
+    python -m videollamb_tpu.serve.http_server \
+        --model-path <ckpt> --port 8000 --paged --quantize-kv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from videollamb_tpu.serve.batch_cli import build_requests
+
+
+class EngineWorker(threading.Thread):
+    """Drives the engine; signals each request's completion Event."""
+
+    def __init__(self, engine, k: int = 4):
+        super().__init__(daemon=True)
+        self.engine = engine
+        self.k = k
+        self._stopping = threading.Event()
+
+    def run(self) -> None:
+        while not self._stopping.is_set():
+            busy = (any(r is not None for r in self.engine.slots)
+                    or not self.engine.pending.empty())
+            if not busy:
+                time.sleep(0.002)
+                continue
+            for req in self.engine.step(self.k):
+                ev = getattr(req, "_done_event", None)
+                if ev is not None:
+                    ev.set()
+
+    def stop(self) -> None:
+        self._stopping.set()
+
+
+class Server:
+    """Engine + worker + prompt assembly shared by all handler threads."""
+
+    def __init__(self, chat, engine, k: int = 4, timeout_s: float = 600.0):
+        self.chat = chat
+        self.engine = engine
+        self.tokenizer = chat.tokenizer
+        self.timeout_s = timeout_s
+        self._build_lock = threading.Lock()  # Chat conv state is shared
+        self._uid_lock = threading.Lock()
+        self._next_uid = 0
+        self.worker = EngineWorker(engine, k=k)
+        self.worker.start()
+
+    def _uid(self) -> str:
+        with self._uid_lock:
+            self._next_uid += 1
+            return f"req-{self._next_uid}"
+
+    def build(self, row: Dict[str, Any]):
+        with self._build_lock:
+            req = build_requests([row], self.chat)[0]
+        if req.uid is None:
+            req.uid = self._uid()
+        req.top_p = float(row.get("top_p", 1.0))
+        # Text-only rows: host-known prompt length skips the admission sync.
+        b = req.batch
+        if b.videos is None and b.images is None and b.blocks is None:
+            req.prompt_len = int(b.attention_mask.sum())
+        req._done_event = threading.Event()
+        return req
+
+    def generate(self, row: Dict[str, Any]) -> Dict[str, Any]:
+        req = self.build(row)
+        self.engine.submit(req)
+        if not req._done_event.wait(self.timeout_s):
+            self.engine.cancel(req.uid)
+            raise TimeoutError(f"request {req.uid} timed out")
+        text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
+        return {"id": req.uid, "text": text.strip(), "tokens": len(req.tokens)}
+
+    def generate_stream(self, row: Dict[str, Any]):
+        """Yields per-token event dicts, then a final done event."""
+        req = self.build(row)
+        events: "queue.Queue[Optional[int]]" = queue.Queue()
+        req.on_token = lambda r, tok: events.put(tok)
+        self.engine.submit(req)
+        deadline = time.monotonic() + self.timeout_s
+        emitted = 0
+        while True:
+            try:
+                tok = events.get(timeout=0.1)
+            except queue.Empty:
+                if req._done_event.is_set() and events.empty():
+                    break
+                if time.monotonic() > deadline:
+                    self.engine.cancel(req.uid)
+                    break
+                continue
+            emitted += 1
+            # Decode incrementally so multi-token pieces render correctly.
+            piece = self.tokenizer.decode(req.tokens[:emitted],
+                                          skip_special_tokens=True)
+            prev = self.tokenizer.decode(req.tokens[:emitted - 1],
+                                         skip_special_tokens=True)
+            yield {"token": piece[len(prev):]}
+        text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
+        yield {"done": True, "id": req.uid, "text": text.strip(),
+               "tokens": len(req.tokens)}
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "ok",
+            "active": sum(r is not None for r in self.engine.slots),
+            "pending": self.engine.pending.qsize(),
+        }
+
+    def cancel(self, uid) -> bool:
+        return self.engine.cancel(uid)
+
+    def shutdown(self) -> None:
+        self.worker.stop()
+        self.worker.join(timeout=5)
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_obj: Server  # injected via make_handler
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_body(self) -> Dict[str, Any]:
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def do_GET(self) -> None:
+        if self.path == "/v1/health":
+            self._json(200, self.server_obj.health())
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:
+        try:
+            row = self._read_body()
+        except (ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": f"bad JSON: {e}"})
+            return
+        if self.path == "/v1/cancel":
+            self._json(200, {"cancelled": self.server_obj.cancel(row.get("id"))})
+            return
+        if self.path != "/v1/generate":
+            self._json(404, {"error": f"unknown path {self.path}"})
+            return
+        if "prompt" not in row:
+            self._json(400, {"error": "missing 'prompt'"})
+            return
+        try:
+            if row.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for event in self.server_obj.generate_stream(row):
+                    self.wfile.write(
+                        b"data: " + json.dumps(event).encode() + b"\n\n")
+                    self.wfile.flush()
+            else:
+                self._json(200, self.server_obj.generate(row))
+        except TimeoutError as e:
+            self._json(504, {"error": str(e)})
+        except FileNotFoundError as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — surface, don't kill the thread
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(chat, engine, host: str = "127.0.0.1", port: int = 8000,
+                k: int = 4, timeout_s: float = 600.0):
+    """Returns (ThreadingHTTPServer, Server). Port 0 picks an ephemeral
+    port (tests); read it back from httpd.server_address."""
+    srv = Server(chat, engine, k=k, timeout_s=timeout_s)
+    handler = type("BoundHandler", (Handler,), {"server_obj": srv})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd, srv
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-base", default=None)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--num-slots", type=int, default=8)
+    parser.add_argument("--paged", action="store_true")
+    parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--quantize-kv", action="store_true")
+    parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--sync-every", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    from videollamb_tpu.models.builder import load_pretrained_model
+    from videollamb_tpu.serve.chat import Chat
+
+    tokenizer, params, cfg, processors, _ = load_pretrained_model(
+        args.model_path, model_base=args.model_base, load_8bit=args.load_8bit,
+    )
+    chat = Chat(tokenizer, params, cfg, processors)
+    eos = int(tokenizer.eos_token_id or 2)
+    if args.paged:
+        from videollamb_tpu.serve.paged import PagedServingEngine
+
+        engine = PagedServingEngine(
+            params, cfg, num_slots=args.num_slots, page_size=args.page_size,
+            quantize_kv=args.quantize_kv, eos_token_id=eos)
+    else:
+        from videollamb_tpu.serve.server import ServingEngine
+
+        engine = ServingEngine(params, cfg, num_slots=args.num_slots,
+                               eos_token_id=eos)
+    httpd, srv = make_server(chat, engine, args.host, args.port,
+                             k=args.sync_every)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]}")
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
