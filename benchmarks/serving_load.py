@@ -51,8 +51,12 @@ def build_requests(cfg, n: int, seed: int, video_frac: float,
     from videollamb_tpu.serve.server import Request
 
     rng = np.random.default_rng(seed)
+    # 8 frames = one bridge segment = 8 x tokens_per_frame visual tokens;
+    # make_engine sizes the context to hold them unclipped. (16-frame
+    # prompts exceed even the production 2048 context at 7B — that is the
+    # reference's own truncation regime, not a serving-latency workload.)
     frames = jax.random.normal(
-        jax.random.PRNGKey(seed), (1, 16, 3, cfg.vision.image_size,
+        jax.random.PRNGKey(seed), (1, 8, 3, cfg.vision.image_size,
                                    cfg.vision.image_size), jnp.bfloat16)
     reqs = []
     for i in range(n):
@@ -103,8 +107,7 @@ def run_load(engine, requests, rate: float, k: int = 4,
         while submitted < len(requests) and arrivals[submitted] <= now:
             engine.submit(requests[submitted])
             submitted += 1
-        busy = any(r is not None for r in engine.slots) or not engine.pending.empty()
-        if not busy:
+        if not engine.has_work():
             if submitted < len(requests):
                 time.sleep(min(0.005, max(0.0, arrivals[submitted] - now)))
             continue
@@ -115,12 +118,16 @@ def run_load(engine, requests, rate: float, k: int = 4,
             n_done += 1
     makespan = time.perf_counter() - t0
 
+    # Requests the engine dropped (rejected/cancelled) completed without a
+    # first token — count them, keep them out of the latency percentiles.
+    rejected = sum(1 for r in requests if r.error is not None)
     ttft = [meta[r.uid]["first"] - arrivals[i]
-            for i, r in enumerate(requests)]
+            for i, r in enumerate(requests) if "first" in meta[r.uid]]
     e2e = [meta[r.uid]["done"] - arrivals[i]
-           for i, r in enumerate(requests)]
+           for i, r in enumerate(requests) if "first" in meta[r.uid]]
     return {
         "n_requests": len(requests),
+        "rejected": rejected,
         "rate_rps": rate,
         "k": k,
         "ttft_p50_s": round(_percentile(ttft, 50), 4),
@@ -141,11 +148,19 @@ def make_engine(args, cfg=None, params=None):
     from videollamb_tpu.serve.server import ServingEngine
 
     if cfg is None:
-        # Short-context serving profile: the load bench caps contexts at
-        # prompt + max_new, so a 2048 splice buffer would only slow
-        # admission and (dense) blow 8 slots past HBM.
-        ctx = 64 * (-(-(args.prompt_len + args.max_new + 64) // 64))
-        cfg = dataclasses.replace(ModelConfig(), max_length=ctx)
+        # Short-context serving profile: the context must hold the
+        # LONGEST spliced prompt — video rows splice in 8 frames x
+        # tokens_per_frame visual tokens (they replace the one sentinel)
+        # — plus the decode budget. A blanket 2048 buffer would only slow
+        # admission and (dense) blow 8 slots past HBM; too-small and the
+        # splice silently truncates the video tokens, understating video
+        # admission cost (code-review finding, round 3).
+        base = ModelConfig()
+        visual = (8 * base.bridge.tokens_per_frame
+                  if args.video_frac > 0 else 0)
+        need = args.prompt_len - 1 + visual + args.max_new + 64
+        ctx = 64 * (-(-need // 64))
+        cfg = dataclasses.replace(base, max_length=ctx)
     if params is None:
         from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
         from videollamb_tpu.models.lm.llama import init_llama_params

@@ -140,3 +140,48 @@ def test_generate_with_video(http_srv, tmp_path):
                         {"prompt": "describe the scene",
                          "video": str(path), "max_new_tokens": 4})
     assert status == 200 and out["tokens"] > 0
+
+
+def test_worker_engine_error_fails_inflight_and_degrades_health(http_srv):
+    """An exception out of engine.step must fail waiting clients with
+    HTTP 500 (not hang them to the timeout) and flip /v1/health to
+    degraded (round-3 code-review finding: the worker died silently)."""
+    # Reach into the live server to make exactly one step raise.
+    from videollamb_tpu.serve import http_server as hs
+    # The fixture keeps one Server per module; find it via the handler.
+    srv = None
+    import gc
+    for obj in gc.get_objects():
+        if isinstance(obj, hs.Server):
+            srv = obj
+            break
+    assert srv is not None
+    real_step = srv.engine.step
+    state = {"raised": False}
+
+    def boom(k=1):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("synthetic engine failure")
+        return real_step(k)
+
+    srv.engine.step = boom
+    try:
+        try:
+            _post(http_srv, "/v1/generate",
+                  {"prompt": "describe the scene", "max_new_tokens": 4})
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "synthetic engine failure" in json.loads(e.read())["error"]
+    finally:
+        srv.engine.step = real_step
+    with urllib.request.urlopen(http_srv + "/v1/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "degraded"
+    assert "synthetic engine failure" in h["last_error"]
+    # The engine itself still serves once the fault clears.
+    status, out = _post(http_srv, "/v1/generate",
+                        {"prompt": "describe the scene",
+                         "max_new_tokens": 3})
+    assert status == 200 and out["tokens"] > 0

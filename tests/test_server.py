@@ -198,3 +198,46 @@ def test_on_token_streaming_and_cancellation(tiny):
     engine2.run_until_drained(k=2)
     assert r4.done and len(r4.tokens) == 4
     assert r5.done and r5.tokens == []
+
+
+def test_dropped_requests_are_returned_from_step(tiny):
+    """Cancel-while-pending and paged page-budget rejections must come
+    back from step() so waiting callers get a completion signal (round-3
+    code-review finding: they were silently swallowed and clients hung)."""
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=1)
+    a = _request(cfg, "a", seed=1)
+    b = _request(cfg, "b", seed=2)
+    engine.submit(a)
+    engine.submit(b)
+    engine.cancel("b")  # still pending: slot 0 goes to "a"
+    finished = []
+    for _ in range(200):
+        finished += engine.step(2)
+        if {r.uid for r in finished} >= {"a", "b"}:
+            break
+    uids = {r.uid for r in finished}
+    assert "b" in uids, "cancelled-while-pending request never signaled"
+    assert all(r.done for r in finished)
+
+
+def test_paged_rejection_signals_with_error(tiny):
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    cfg, params = tiny
+    engine = PagedServingEngine(params, cfg, num_slots=1, page_size=16,
+                                pages_per_seq=2, total_pages=8)
+    # A 48-token text prompt exceeds pages_per_seq * page_size = 32.
+    ids = np.full((1, 48), 5, np.int32)
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((1, 48), jnp.int32),
+        labels=None, videos=None, images=None)
+    req = Request(uid="big", batch=batch, max_new_tokens=4)
+    engine.submit(req)
+    finished = engine.step(1)
+    assert [r.uid for r in finished] == ["big"]
+    assert req.done and req.error and "rejected" in req.error
+    assert req.tokens == []

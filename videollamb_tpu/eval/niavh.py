@@ -71,9 +71,14 @@ def insert_needle(
 def score_pred(pred: str, answer: str) -> bool:
     """Substring containment, case/punctuation-lenient — the standard
     needle-retrieval criterion; free-form grading can be redone with the
-    GPT judge over the saved records."""
-    norm = lambda s: "".join(c for c in s.lower() if c.isalnum() or c == " ")
-    return norm(answer).strip() in norm(pred)
+    GPT judge over the saved records. Non-alphanumerics (newlines,
+    hyphens, tabs) map to spaces, then runs collapse, so "red\\ncar" and
+    "ice-cream" still match "red car" / "ice cream"."""
+    def norm(s: str) -> str:
+        return " ".join(
+            "".join(c if c.isalnum() else " " for c in s.lower()).split())
+
+    return norm(answer) in norm(pred)
 
 
 def summarize(records: List[dict]) -> dict:
@@ -111,6 +116,7 @@ def _ask_streaming(chat, frames: np.ndarray, question: str, args) -> str:
         max_open_frames=args.stream_open_frames,
         max_seq_len=args.stream_seq_len,
         max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
     )
     t_total = len(frames)
     sess.video_tensor = chat.processors["VIDEO"](frames)

@@ -12,15 +12,20 @@ different connections decode together in one slot batch.
       -> {"id": ..., "text": ..., "tokens": N}
       With "stream": true the response is text/event-stream: one
       ``data: {"token": <piece>}`` event per committed token and a final
-      ``data: {"done": true, "text": <full text>}``.
-  GET  /v1/health     -> {"status": "ok", "active": A, "pending": P}
+      ``data: {"done": true, "text": <full text>}`` (plus
+      ``"timeout": true`` if the deadline truncated it).
+  GET  /v1/health     -> {"status": "ok"|"degraded", "active": A,
+                          "pending": P, ["last_error": ...]}
   POST /v1/cancel     {"id": ...} -> {"cancelled": bool}
 
-Threading model: HTTP handler threads (ThreadingHTTPServer) only build
-requests and wait; ONE worker thread drives ``engine.step(k)`` — the
-engine itself is single-threaded by design (submit() is the only
-thread-safe entry, backed by queue.Queue). Prompt assembly borrows the
-shared Chat's conversation template under a lock.
+Threading model: HTTP handler threads (ThreadingHTTPServer) build
+requests — each under a throwaway per-request Chat clone, so media
+decoding never serializes behind another client's — and wait on a
+completion event; ONE worker thread drives ``engine.step(k)`` (the
+engine is single-threaded by design: ``submit()`` is the only
+thread-safe entry). A worker-side engine error fails all in-flight
+requests with HTTP 500 and flips /v1/health to "degraded" instead of
+silently hanging clients.
 
     python -m videollamb_tpu.serve.http_server \
         --model-path <ckpt> --port 8000 --paged --quantize-kv
@@ -39,23 +44,52 @@ from typing import Any, Dict, Optional
 from videollamb_tpu.serve.batch_cli import build_requests
 
 
+class RequestRejected(Exception):
+    """Engine refused the request (policy, not server failure) -> 400."""
+
+
 class EngineWorker(threading.Thread):
-    """Drives the engine; signals each request's completion Event."""
+    """Drives the engine; signals each request's completion Event. An
+    exception out of step() (OOM, pool exhaustion, compile failure) fails
+    every in-flight request — clients get a response, not a hang — and is
+    recorded for /v1/health; the worker keeps running so the server stays
+    inspectable."""
 
     def __init__(self, engine, k: int = 4):
         super().__init__(daemon=True)
         self.engine = engine
         self.k = k
+        self.last_error: Optional[str] = None
         self._stopping = threading.Event()
+
+    def _fail_inflight(self, message: str) -> None:
+        inflight = [r for r in self.engine.slots if r is not None]
+        while not self.engine.pending.empty():
+            try:
+                inflight.append(self.engine.pending.get_nowait())
+            except queue.Empty:
+                break
+        for i in range(len(self.engine.slots)):
+            self.engine.slots[i] = None
+        for req in inflight:
+            req.error = req.error or message
+            req.done = True
+            ev = getattr(req, "_done_event", None)
+            if ev is not None:
+                ev.set()
 
     def run(self) -> None:
         while not self._stopping.is_set():
-            busy = (any(r is not None for r in self.engine.slots)
-                    or not self.engine.pending.empty())
-            if not busy:
+            if not self.engine.has_work():
                 time.sleep(0.002)
                 continue
-            for req in self.engine.step(self.k):
+            try:
+                finished = self.engine.step(self.k)
+            except Exception as e:  # noqa: BLE001 — engine-side failure
+                self.last_error = f"{type(e).__name__}: {e}"
+                self._fail_inflight(f"engine error: {self.last_error}")
+                continue
+            for req in finished:
                 ev = getattr(req, "_done_event", None)
                 if ev is not None:
                     ev.set()
@@ -72,7 +106,6 @@ class Server:
         self.engine = engine
         self.tokenizer = chat.tokenizer
         self.timeout_s = timeout_s
-        self._build_lock = threading.Lock()  # Chat conv state is shared
         self._uid_lock = threading.Lock()
         self._next_uid = 0
         self.worker = EngineWorker(engine, k=k)
@@ -84,8 +117,16 @@ class Server:
             return f"req-{self._next_uid}"
 
     def build(self, row: Dict[str, Any]):
-        with self._build_lock:
-            req = build_requests([row], self.chat)[0]
+        # Per-request Chat clone: conversation state is per-build, while
+        # tokenizer/params/processors are shared immutable — so media
+        # loading and template assembly need no lock and concurrent
+        # clients' preprocessing runs in parallel.
+        from videollamb_tpu.serve.chat import Chat
+
+        chat = Chat(self.chat.tokenizer, self.chat.params, self.chat.cfg,
+                    self.chat.processors, conv_mode=self.chat.conv_mode,
+                    text_bucket=self.chat.text_bucket)
+        req = build_requests([row], chat)[0]
         if req.uid is None:
             req.uid = self._uid()
         req.top_p = float(row.get("top_p", 1.0))
@@ -96,50 +137,76 @@ class Server:
         req._done_event = threading.Event()
         return req
 
+    def _finish(self, req) -> Dict[str, Any]:
+        if req.error is not None:
+            if req.error.startswith("rejected"):
+                raise RequestRejected(req.error)
+            raise RuntimeError(req.error)
+        text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
+        return {"id": req.uid, "text": text.strip(), "tokens": len(req.tokens)}
+
     def generate(self, row: Dict[str, Any]) -> Dict[str, Any]:
         req = self.build(row)
         self.engine.submit(req)
         if not req._done_event.wait(self.timeout_s):
             self.engine.cancel(req.uid)
             raise TimeoutError(f"request {req.uid} timed out")
-        text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
-        return {"id": req.uid, "text": text.strip(), "tokens": len(req.tokens)}
+        return self._finish(req)
 
     def generate_stream(self, row: Dict[str, Any]):
         """Yields per-token event dicts, then a final done event."""
         req = self.build(row)
-        events: "queue.Queue[Optional[int]]" = queue.Queue()
+        events: "queue.Queue[int]" = queue.Queue()
         req.on_token = lambda r, tok: events.put(tok)
         self.engine.submit(req)
         deadline = time.monotonic() + self.timeout_s
         emitted = 0
-        while True:
-            try:
-                tok = events.get(timeout=0.1)
-            except queue.Empty:
-                if req._done_event.is_set() and events.empty():
-                    break
-                if time.monotonic() > deadline:
-                    self.engine.cancel(req.uid)
-                    break
-                continue
-            emitted += 1
-            # Decode incrementally so multi-token pieces render correctly.
-            piece = self.tokenizer.decode(req.tokens[:emitted],
-                                          skip_special_tokens=True)
-            prev = self.tokenizer.decode(req.tokens[:emitted - 1],
-                                         skip_special_tokens=True)
-            yield {"token": piece[len(prev):]}
+        timed_out = False
+        try:
+            while True:
+                try:
+                    tok = events.get(timeout=0.1)
+                except queue.Empty:
+                    if req._done_event.is_set() and events.empty():
+                        break
+                    if time.monotonic() > deadline:
+                        self.engine.cancel(req.uid)
+                        timed_out = True
+                        break
+                    continue
+                emitted += 1
+                # Decode incrementally so multi-token pieces render correctly.
+                piece = self.tokenizer.decode(req.tokens[:emitted],
+                                              skip_special_tokens=True)
+                prev = self.tokenizer.decode(req.tokens[:emitted - 1],
+                                             skip_special_tokens=True)
+                yield {"token": piece[len(prev):]}
+        except GeneratorExit:
+            # Client went away mid-stream: free the slot immediately
+            # instead of decoding the rest of max_new_tokens into the void.
+            self.engine.cancel(req.uid)
+            raise
+        if req.error is not None:
+            yield {"done": True, "id": req.uid, "error": req.error}
+            return
         text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
-        yield {"done": True, "id": req.uid, "text": text.strip(),
-               "tokens": len(req.tokens)}
+        event = {"done": True, "id": req.uid, "text": text.strip(),
+                 "tokens": len(req.tokens)}
+        if timed_out:
+            event["timeout"] = True
+        yield event
 
     def health(self) -> Dict[str, Any]:
-        return {
-            "status": "ok",
+        degraded = (self.worker.last_error is not None
+                    or not self.worker.is_alive())
+        out = {
+            "status": "degraded" if degraded else "ok",
             "active": sum(r is not None for r in self.engine.slots),
             "pending": self.engine.pending.qsize(),
         }
+        if self.worker.last_error:
+            out["last_error"] = self.worker.last_error
+        return out
 
     def cancel(self, uid) -> bool:
         return self.engine.cancel(uid)
@@ -150,7 +217,7 @@ class Server:
 
 
 class Handler(BaseHTTPRequestHandler):
-    server_obj: Server  # injected via make_handler
+    server_obj: Server  # injected via make_server
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -173,6 +240,31 @@ class Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
+    def _stream(self, row: Dict[str, Any]) -> None:
+        """SSE response. Once headers are sent, errors become in-band
+        ``data: {"error": ...}`` events — never a second header block."""
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        gen = self.server_obj.generate_stream(row)
+        try:
+            for event in gen:
+                self.wfile.write(
+                    b"data: " + json.dumps(event).encode() + b"\n\n")
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            gen.close()  # triggers GeneratorExit -> engine.cancel
+        except Exception as e:  # noqa: BLE001 — in-band error event
+            try:
+                payload = {"done": True,
+                           "error": f"{type(e).__name__}: {e}"}
+                self.wfile.write(
+                    b"data: " + json.dumps(payload).encode() + b"\n\n")
+                self.wfile.flush()
+            except OSError:
+                pass
+
     def do_POST(self) -> None:
         try:
             row = self._read_body()
@@ -188,21 +280,14 @@ class Handler(BaseHTTPRequestHandler):
         if "prompt" not in row:
             self._json(400, {"error": "missing 'prompt'"})
             return
+        if row.get("stream"):
+            self._stream(row)
+            return
         try:
-            if row.get("stream"):
-                self.send_response(200)
-                self.send_header("Content-Type", "text/event-stream")
-                self.send_header("Cache-Control", "no-cache")
-                self.end_headers()
-                for event in self.server_obj.generate_stream(row):
-                    self.wfile.write(
-                        b"data: " + json.dumps(event).encode() + b"\n\n")
-                    self.wfile.flush()
-            else:
-                self._json(200, self.server_obj.generate(row))
+            self._json(200, self.server_obj.generate(row))
         except TimeoutError as e:
             self._json(504, {"error": str(e)})
-        except FileNotFoundError as e:
+        except (FileNotFoundError, RequestRejected) as e:
             self._json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — surface, don't kill the thread
             self._json(500, {"error": f"{type(e).__name__}: {e}"})

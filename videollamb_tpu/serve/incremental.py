@@ -73,6 +73,8 @@ class StreamingSession:
         cache_segments: int = 32,
         max_seq_len: int = 2048,
         max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
         self.chat = chat
         self.cfg: ModelConfig = chat.cfg
@@ -81,6 +83,8 @@ class StreamingSession:
         self.cache_segments = cache_segments
         self.max_seq_len = max_seq_len
         self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.seed = seed
         self.reset()
 
     # -- state ----------------------------------------------------------
@@ -371,7 +375,8 @@ class StreamingSession:
         q_text = query if query is not None else ""
         chunk = f"{conv.sep if conv.messages else ''}{conv.roles[0]}: {q_text} {conv.roles[1]}:"
         logits = self._extend_text(chunk)
-        response = self._decode(logits)
+        response = self._decode(logits, temperature=self.temperature,
+                                seed=self.seed)
         self._extend_text(response + (conv.sep2 or conv.sep or ""))
         conv.append_message(conv.roles[0], q_text)
         conv.append_message(conv.roles[1], response)

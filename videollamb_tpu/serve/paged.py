@@ -130,6 +130,7 @@ class PagedServingEngine(ServingEngine):
         import queue
 
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._dropped: List[Request] = []
         # Prefix cache: pid -> dict(pages, dense, logits, len). Shared full
         # pages are mapped read-only into each consumer slot's page table;
         # decode never writes them (writes land at position >= prefix_len).
@@ -192,6 +193,10 @@ class PagedServingEngine(ServingEngine):
         if n_pages > self.pages_per_seq:
             self.pending.get()
             req.done = True  # reject: exceeds per-sequence budget
+            req.error = (
+                f"rejected: prefix+suffix needs {n_pages} pages, "
+                f"per-sequence budget is {self.pages_per_seq}")
+            self._dropped.append(req)
             return True
         private = self.allocator.alloc(n_pages - n_full)
         if private is None:
@@ -238,6 +243,7 @@ class PagedServingEngine(ServingEngine):
             if req.cancelled:
                 self.pending.get()
                 req.done = True
+                self._dropped.append(req)
                 continue
             if req.prefix_id is not None:
                 if not self._admit_prefix(req, slot):
@@ -259,6 +265,10 @@ class PagedServingEngine(ServingEngine):
             if n_pages > self.pages_per_seq:
                 self.pending.get()
                 req.done = True  # reject: exceeds per-sequence budget
+                req.error = (
+                    f"rejected: prompt needs {n_pages} pages, per-sequence "
+                    f"budget is {self.pages_per_seq}")
+                self._dropped.append(req)
                 continue
             pages = self.allocator.alloc(n_pages)
             if pages is None:
@@ -311,8 +321,9 @@ class PagedServingEngine(ServingEngine):
 
     def step(self, k: int = 1) -> List[Request]:
         self._admit()
+        dropped = self._drain_dropped()
         if not any(self._active_mask()):
-            return []
+            return dropped
         self._ensure_pages(max(k, 1))
 
         all_greedy = all((r is None or r.temperature == 0.0) for r in self.slots)
@@ -323,7 +334,7 @@ class PagedServingEngine(ServingEngine):
             )
             self._host_len += k
             toks_host = np.asarray(toks)
-            finished: List[Request] = []
+            finished: List[Request] = dropped
             for i, req in enumerate(self.slots):
                 if req is None:
                     continue
@@ -357,7 +368,7 @@ class PagedServingEngine(ServingEngine):
 
         self._host_len += 1
         nxt_host = np.asarray(nxt)
-        finished: List[Request] = []
+        finished: List[Request] = dropped
         for i, req in enumerate(self.slots):
             if req is None:
                 continue

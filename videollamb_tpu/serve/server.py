@@ -126,6 +126,10 @@ class Request:
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # Set when the engine drops the request without decoding (e.g. the
+    # paged engine rejects a prompt exceeding its per-sequence page
+    # budget). A done request with error set produced no valid tokens.
+    error: Optional[str] = None
     # Optional streaming hook: called with (request, token) as each token
     # is committed host-side (after every k-step sync at most).
     on_token: Any = None
@@ -157,6 +161,10 @@ class ServingEngine:
         # Last logits per slot (B, V); inactive rows are garbage but masked.
         self.logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        # Requests dropped at admission (cancelled while pending, or
+        # rejected). step() returns them with the finished list so callers
+        # waiting on completion always get a signal.
+        self._dropped: List[Request] = []
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
@@ -176,6 +184,7 @@ class ServingEngine:
             req = self.pending.get()
             if req.cancelled:
                 req.done = True
+                self._dropped.append(req)
                 continue
             spliced = prepare_multimodal_embeds_fast(
                 self.params, self.cfg, req.batch, deterministic=True
@@ -201,6 +210,15 @@ class ServingEngine:
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.slots])
 
+    def has_work(self) -> bool:
+        """True iff a step() could make progress (shared by the HTTP
+        worker loop and the load generator)."""
+        return any(r is not None for r in self.slots) or not self.pending.empty()
+
+    def _drain_dropped(self) -> List[Request]:
+        dropped, self._dropped = self._dropped, []
+        return dropped
+
     def _release(self, slot: int) -> None:
         """Free a slot (hook: the paged engine also returns its pages)."""
         self.slots[slot] = None
@@ -210,8 +228,9 @@ class ServingEngine:
         tokens (multi-step only when all active slots are greedy). Returns
         requests completed this step."""
         self._admit()
+        dropped = self._drain_dropped()
         if not any(self._active_mask()):
-            return []
+            return dropped
 
         all_greedy = all(
             (r is None or r.temperature == 0.0) for r in self.slots
@@ -221,7 +240,7 @@ class ServingEngine:
                 self.params, self.cfg, self.logits, self.cache, k
             )
             toks_host = np.asarray(toks)  # (B, k)
-            finished: List[Request] = []
+            finished: List[Request] = dropped
             for i, req in enumerate(self.slots):
                 if req is None:
                     continue
@@ -251,7 +270,7 @@ class ServingEngine:
         )
 
         nxt_host = np.asarray(nxt)
-        finished: List[Request] = []
+        finished: List[Request] = dropped
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
