@@ -19,7 +19,7 @@ from videollamb_tpu.models.bridge.builder import init_bridge_params
 # SpatialPool which the factory never wires as a projector) — it can't feed
 # the LM directly, so it's covered in test_projector_variants instead.
 KINDS = ["linear", "mlp", "transformer", "mlp_transformer",
-         "rmt_transformer", "rmt_r_transformer", "qformer"]
+         "rmt_transformer", "rmt_r_transformer", "qformer", "retention"]
 
 
 def _model(kind):

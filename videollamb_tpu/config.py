@@ -141,6 +141,13 @@ class BridgeConfig:
         m = re.match(r"^(rmt_r_transformer|rmt_transformer|mlp_transformer|transformer)(\d+)x$", projector_type)
         if m:
             return BridgeConfig(kind=m.group(1), depth=int(m.group(2)), **cfg)
+        m = re.match(r"^retention_transformer(\d+)x$", projector_type)
+        if m:
+            # Our name — the reference never registers its retention module
+            # in the factory. The module hard-codes 128 memory tokens
+            # (retent_transformer_projector.py:480).
+            cfg.setdefault("num_memory_tokens", 128)
+            return BridgeConfig(kind="retention", depth=int(m.group(1)), **cfg)
         if projector_type in ("identity", "linear", "spatial_pool"):
             return BridgeConfig(kind=projector_type, **cfg)
         raise ValueError(f"Unknown projector type: {projector_type!r}")
@@ -154,6 +161,8 @@ class BridgeConfig:
             return f"mlp{self.mlp_depth}x_gelu"
         if self.kind in ("identity", "linear", "spatial_pool"):
             return self.kind
+        if self.kind == "retention":
+            return f"retention_transformer{self.depth}x"
         return f"{self.kind}{self.depth}x"
 
 

@@ -48,13 +48,11 @@ def init_bridge_params(rng: jax.Array, cfg: BridgeConfig, lm_hidden_size: int,
     if kind == "spatial_pool":
         return {}
     if kind == "retention":
-        raise NotImplementedError(
-            "The reference retention projector is unconstructible dead code "
-            "(retent_transformer_projector.py:70 initializes self.out_proj "
-            "which is never created -> AttributeError at __init__; its "
-            "forward is plain softmax attention anyway). Use "
-            "kind='transformer'."
-        )
+        # Reference retent_transformer_projector.py — dead code there (never
+        # registered in the factory; its Retention class has a construction
+        # bug), implemented here with the bug fixed. See the retention
+        # section of variants.py for the full provenance note.
+        return v.init_retention_params(rng, cfg, lm_hidden_size, dtype)
     raise ValueError(f"Unknown projector kind: {kind!r}")
 
 
@@ -120,6 +118,13 @@ def bridge_apply(
 
     if kind == "qformer":
         return v.qformer_forward(params, cfg, features, deterministic)
+
+    if kind == "retention":
+        if modality == "image":
+            return v.retention_image_forward(params, cfg, img,
+                                             deterministic=deterministic)
+        return v.retention_video_forward(params, cfg, features,
+                                         deterministic=deterministic)
 
     if kind == "spatial_pool":
         # Resampler semantics (reference spatial_pool_projector.py): output

@@ -375,3 +375,142 @@ def qformer_forward(
     tokens = _dense(params["proj"]["fc2"],
                     jax.nn.gelu(_dense(params["proj"]["fc1"], q), approximate=False))[0]
     return tokens, jnp.ones(tokens.shape[:1], bool)
+
+
+# ---------------------------------------------------------------------------
+# Retention projector — reference retent_transformer_projector.py
+# ---------------------------------------------------------------------------
+#
+# The reference module is dead code: it is not registered in the factory
+# (multimodal_projector/builder.py:13-53 has no name for it) and its
+# eponymous `Retention` class is unconstructible as written, twice over:
+# :59 references `RMSNorm`, never defined or imported in the file
+# (NameError), and reset_parameters (:70) initializes
+# `self.out_proj.weight` but the attribute created at :57 is `output_proj`
+# (AttributeError). The class is ALSO unused within its own
+# file: `TransformerLayer` (:232-236) builds the plain `Attention`, so the
+# file's `RMTTransformerProjector` (:391-499) is constructible and runs.
+#
+# We implement both pieces, bug fixed:
+#   * retention_video/image_forward — the file's projector semantics: raw
+#     patches (no spatial pooling), CLS read from patch index 1 (:437
+#     quirk), SceneTilling k=3 whole segments (no frame subsample),
+#     num_memory_tokens=128 (:480), initial memory = read_memory_emb
+#     (zeros, :351-352), carried memory passed through un-adjusted, output
+#     = LAST segment's projected tokens (:445-455).
+#   * retention_attention / init_retention_attention — the Retention layer
+#     itself. Its forward (:78-145) is plain softmax attention + Residual;
+#     g_proj / output_proj / the affine-free RMSNorm group_norm are
+#     initialized but never touched by forward. We keep the dead params in
+#     the tree for state-dict parity and reproduce the forward exactly.
+
+
+def init_retention_params(rng, cfg: BridgeConfig, lm_d: int, dtype=jnp.float32) -> Params:
+    """Parameter tree of the file's RMTTransformerProjector: projector only
+    (no retrieval module exists in retent_transformer_projector.py)."""
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+
+    return {"projector": init_rmt_r_params(rng, cfg, lm_d, dtype)["projector"]}
+
+
+def retention_video_forward(
+    params: Params, cfg: BridgeConfig, features: jax.Array,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference retent_transformer_projector.py:429-455: CLS from index 1,
+    drop token 0, k=3 whole segments (every frame, no linspace subsample),
+    recurrent memory without retrieval, return the final segment."""
+    t, n, d = features.shape
+    cls_states = features[:, 1, :]
+    patches = features[:, 1:, :]
+    p = n - 1
+    s = cfg.max_segments
+    m = cfg.num_memory_tokens
+
+    bounds = segment_topk(cls_states, k=cfg.segment_topk)
+    # max_frames=t => linspace(start, end, len) == every frame of the segment.
+    frame_idx, frame_mask = segment_plan(bounds, t, max_frames=t)
+
+    seg_tokens = patches[frame_idx].reshape(s, t * p, d)
+    seg_mask = jnp.repeat(frame_mask, p, axis=1)
+    seg_tokens = jnp.where(seg_mask[..., None], seg_tokens, 0.0)
+
+    emb = params["projector"]["read_memory_emb"].astype(seg_tokens.dtype)
+
+    def body(carry, xs):
+        mem, step = carry
+        tokens, tmask = xs
+        mem_in = jnp.where(step == 0, emb[None], mem)
+        proj, mem_out = projector_pass(
+            params["projector"], cfg, tokens[None], tmask[None], mem_in,
+            deterministic=deterministic,
+        )
+        return (mem_out, step + 1), proj[0]
+
+    init = (jnp.zeros((1, m, d), seg_tokens.dtype), jnp.asarray(0, jnp.int32))
+    _, all_proj = jax.lax.scan(body, init, (seg_tokens, seg_mask))
+    return all_proj[-1], seg_mask[-1]
+
+
+def retention_image_forward(
+    params: Params, cfg: BridgeConfig, img: jax.Array,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """t==1 path (:417-428): ALL tokens (CLS kept, no pooling), one
+    projector pass with the zero read_memory_emb as the initial memory."""
+    emb = params["projector"]["read_memory_emb"].astype(img.dtype)
+    proj, _ = projector_pass(
+        params["projector"], cfg, img, None, emb[None],
+        deterministic=deterministic,
+    )
+    return proj[0], jnp.ones(proj.shape[1:2], bool)
+
+
+def init_retention_attention(rng, d: int, dtype=jnp.float32) -> Params:
+    """Retention layer params (retent_transformer_projector.py:40-70), with
+    the reference's construction bug fixed: the gain-2**-1 xavier init that
+    :70 aims at the nonexistent `out_proj` is applied to `output_proj`.
+    Biases keep the torch Linear default (reset_parameters touches only
+    weights). g_proj/output_proj are dead in forward but kept for
+    state-dict parity; group_norm is affine-free (no params)."""
+    from videollamb_tpu.models.bridge.layers import init_residual
+
+    ks = jax.random.split(rng, 6)
+
+    def xavier(k, gain):
+        limit = gain * math.sqrt(6.0 / (d + d))
+        kb, kw = jax.random.split(k)
+        blim = math.sqrt(1.0 / d)
+        return {
+            "kernel": jax.random.uniform(kw, (d, d), dtype, -limit, limit),
+            "bias": jax.random.uniform(kb, (d,), dtype, -blim, blim),
+        }
+
+    return {
+        "q_proj": xavier(ks[0], 2 ** -2.5),
+        "k_proj": xavier(ks[1], 2 ** -2.5),
+        "v_proj": xavier(ks[2], 2 ** -2.5),
+        "g_proj": xavier(ks[3], 2 ** -2.5),
+        "output_proj": xavier(ks[4], 2 ** -1),
+        "residual": init_residual(ks[5], d, d, dtype),
+    }
+
+
+def retention_attention(
+    p: Params, hidden: jax.Array, *, num_heads: int, eps: float,
+    encoder_hidden: Optional[jax.Array] = None,
+    key_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Retention.forward (retent_transformer_projector.py:78-145): despite
+    the RetNet-style parameter set, the forward is plain softmax attention
+    (q/k/v, 1/sqrt(dh) scaling, optional cross source) into the Residual
+    block — gate, output_proj and group_norm are never applied. We delegate
+    to the shared attention primitive, which reads exactly the live keys."""
+    from videollamb_tpu.models.bridge.layers import attention
+
+    return attention(
+        p, hidden, num_heads=num_heads, eps=eps,
+        encoder_hidden=encoder_hidden, key_mask=key_mask,
+        deterministic=deterministic,
+    )
