@@ -264,3 +264,96 @@ def test_adapter_checkpoint_writes_reference_bin(tmp_path):
     for a, b in zip(jax.tree.leaves(bridge),
                     jax.tree.leaves(jax.device_get(params["mm_projector"]))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetcher_backpressure_bounds_lookahead():
+    import time as _time
+
+    from videollamb_tpu.train.trainer import Prefetcher
+
+    calls = []
+
+    class CountingDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return i
+
+    pf = Prefetcher(CountingDS(), list(range(64)), 1, list,
+                    num_threads=2, depth=3)
+    _time.sleep(0.5)
+    # Without consumption, workers must stall at the lookahead bound
+    # instead of decoding the whole epoch into host memory.
+    assert len(calls) <= 3 + 2
+    out = list(pf)
+    assert len(out) == 64
+    assert sorted(calls) == list(range(64))
+
+
+def _preempt_trainer(tiny_dataset, outdir, log_fn):
+    from videollamb_tpu.data.processing import VideoProcessor
+    from videollamb_tpu.train.dataset import DataConfig
+
+    data_path, vid_dir, _ = tiny_dataset
+    cfg = ModelConfig.tiny(max_length=128)
+    ds = SupervisedDataset(
+        data_path, WordTokenizer(),
+        DataConfig(video_folder=vid_dir, num_frames=8, model_max_length=64),
+        video_processor=VideoProcessor(size=cfg.vision.image_size),
+    )
+    tcfg = TrainConfig(
+        per_device_batch_size=1, num_train_epochs=2, save_steps=0,
+        logging_steps=1, output_dir=outdir, gradient_checkpointing=False,
+    )
+    trainer = Trainer(cfg, tcfg, _tiny_params(cfg), ds, log_fn=log_fn,
+                      collator=Collator(bucket=16, max_length=cfg.max_length))
+    trainer.global_batch = 1  # 4 batches/epoch on the tiny dataset
+    return trainer
+
+
+def test_preemption_checkpoints_and_resumes(tiny_dataset, tmp_path):
+    from videollamb_tpu.train.trainer import GracefulShutdown
+
+    outdir = str(tmp_path / "ckpt_preempt")
+    sd = GracefulShutdown()
+    logs = []
+
+    def log(m):
+        logs.append(m)
+        if m.get("step") == 2 and "loss" in m:
+            sd.request()
+
+    trainer = _preempt_trainer(tiny_dataset, outdir, log)
+    state = trainer.train(shutdown=sd)
+    # Preempted after step 2: loop saved and returned, losing zero steps.
+    assert int(state.step) == 2
+    assert any(l.get("preempted") for l in logs)
+    path = latest_checkpoint(outdir)
+    assert path is not None and path.endswith("checkpoint-2")
+
+    # A fresh Trainer auto-resumes from step 2 and completes both epochs.
+    trainer2 = _preempt_trainer(tiny_dataset, outdir, lambda m: None)
+    assert int(trainer2.state.step) == 2
+    state2 = trainer2.train()
+    assert int(state2.step) == 8
+
+
+def test_sigterm_triggers_graceful_checkpoint(tiny_dataset, tmp_path):
+    import os
+    import signal as _signal
+
+    outdir = str(tmp_path / "ckpt_sigterm")
+
+    def log(m):
+        # Delivered in the main thread: the default GracefulShutdown that
+        # train() installs must catch it, checkpoint, and return cleanly.
+        if m.get("step") == 1 and "loss" in m:
+            os.kill(os.getpid(), _signal.SIGTERM)
+
+    trainer = _preempt_trainer(tiny_dataset, outdir, log)
+    state = trainer.train()
+    assert int(state.step) == 1
+    path = latest_checkpoint(outdir)
+    assert path is not None and path.endswith("checkpoint-1")

@@ -10,6 +10,7 @@ auto-resume, per-step loss logging.
 from __future__ import annotations
 
 import queue
+import signal
 import threading
 import time
 from typing import Callable, Iterator, List, Optional
@@ -49,21 +50,29 @@ class Prefetcher:
     gets this from torch DataLoader workers).
 
     ``start_batch`` supports cheap resume: earlier batches are never
-    enqueued, so fast-forwarding a resumed run does ZERO video decodes."""
+    enqueued, so fast-forwarding a resumed run does ZERO video decodes.
+
+    ``depth`` bounds the lookahead: workers block once ``depth`` collated
+    batches are ready but unconsumed, so host memory holds O(depth)
+    decoded batches regardless of epoch length (16-frame video batches
+    are tens of MB each — an unbounded queue would buffer the epoch)."""
 
     def __init__(self, dataset, order: List[int], batch_size: int,
                  collator: Collator, num_threads: int = 2,
-                 start_batch: int = 0):
+                 start_batch: int = 0, depth: int = 4):
         self.dataset = dataset
         self.order = order
         self.batch_size = batch_size
         self.collator = collator
         self.num_batches = len(order) // batch_size
         self.start_batch = min(start_batch, self.num_batches)
+        self.depth = max(depth, num_threads)
         self._batch_queue = queue.Queue()
         for b in range(self.start_batch, self.num_batches):
             self._batch_queue.put(b)
         self._results = {}
+        self._next = self.start_batch  # next batch the consumer will take
+        self._stopped = False
         self._cv = threading.Condition()
         self._threads = []
         for _ in range(num_threads):
@@ -77,19 +86,83 @@ class Prefetcher:
                 b = self._batch_queue.get_nowait()
             except queue.Empty:
                 return
+            # Backpressure: don't run further than `depth` batches past the
+            # consumer's cursor.
+            with self._cv:
+                while not self._stopped and b >= self._next + self.depth:
+                    self._cv.wait()
+                if self._stopped:
+                    return
             idxs = self.order[b * self.batch_size: (b + 1) * self.batch_size]
             batch = self.collator([self.dataset[i] for i in idxs])
             with self._cv:
                 self._results[b] = batch
                 self._cv.notify_all()
 
+    def stop(self) -> None:
+        """Release worker threads early (preempted / abandoned epoch)."""
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+
     def __iter__(self) -> Iterator[MultimodalBatch]:
         for b in range(self.start_batch, self.num_batches):
             with self._cv:
                 while b not in self._results:
+                    if self._stopped:
+                        return
                     self._cv.wait()
                 batch = self._results.pop(b)
+                self._next = b + 1
+                self._cv.notify_all()
             yield batch
+
+
+class GracefulShutdown:
+    """SIGTERM/SIGINT -> "finish the current step, checkpoint, exit 0".
+
+    TPU pods (especially preemptible/spot capacity) are reclaimed with a
+    SIGTERM and a short grace window; the reference's only story is a
+    slurm job restart from the last periodic checkpoint (SURVEY §5.3).
+    Here the handler just sets a flag — the training loop checks it after
+    every step, saves, and returns cleanly, so at most ONE step of work is
+    lost regardless of ``save_steps``.
+
+    Usable as a context manager; restores prior handlers on exit. Signal
+    handlers can only be installed in the main thread — elsewhere (tests,
+    notebook executors) installation degrades to a no-op flag that can
+    still be set programmatically via :meth:`request`.
+    """
+
+    SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+    def __init__(self):
+        self._flag = threading.Event()
+        self._prev = {}
+
+    def __enter__(self) -> "GracefulShutdown":
+        try:
+            for sig in self.SIGNALS:
+                self._prev[sig] = signal.signal(sig, self._handle)
+        except ValueError:  # not the main thread
+            self._prev = {}
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev = {}
+
+    def _handle(self, signum, frame) -> None:
+        self._flag.set()
+
+    def request(self) -> None:
+        """Programmatic preemption (tests, external schedulers)."""
+        self._flag.set()
+
+    @property
+    def requested(self) -> bool:
+        return self._flag.is_set()
 
 
 class Trainer:
@@ -161,7 +234,17 @@ class Trainer:
             order, self.global_batch, self.process_count, self.process_index
         )
 
-    def train(self) -> TrainState:
+    def train(self, shutdown: Optional[GracefulShutdown] = None) -> TrainState:
+        """Run the recipe. If ``shutdown`` is provided (or by default,
+        installing one), a SIGTERM/SIGINT mid-run finishes the in-flight
+        step, checkpoints, and returns — preemption loses at most one step
+        (auto-resume picks the run back up decode-free)."""
+        if shutdown is None:
+            with GracefulShutdown() as shutdown:
+                return self._train_loop(shutdown)
+        return self._train_loop(shutdown)
+
+    def _train_loop(self, shutdown: GracefulShutdown) -> TrainState:
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         start_step = int(self.state.step)
         local_batch = max(1, self.global_batch // self.process_count)
@@ -187,6 +270,12 @@ class Trainer:
                         "tokens": int(metrics["tokens"]),
                         "step_time": round(time.perf_counter() - t0, 3),
                     })
+                if shutdown.requested:
+                    prefetcher.stop()
+                    self._save(step)
+                    self.log_fn({"step": step, "preempted": True,
+                                 "checkpointed": True})
+                    return self.state
                 if self.train_cfg.save_steps and step % self.train_cfg.save_steps == 0:
                     self._save(step)
         self._save(int(self.state.step))
