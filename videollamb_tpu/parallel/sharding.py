@@ -47,6 +47,16 @@ def _lm_layer_specs(layers: Dict, fsdp: str, tp: str) -> Dict[str, P]:
             # (L, r, d_out): shard the output dim like the base kernel's.
             parent = base.get(key[:-7], P(None, fsdp, tp))
             specs[key] = P(None, None, parent[2])
+        elif key.endswith("_mlora_a"):
+            # Multi-LoRA stack (L, K, d_in, r): input dim follows the base
+            # kernel; the adapter axis K stays replicated (it is gathered
+            # per row at runtime, models/lm/mlora.py).
+            parent = base.get(key[:-8], P(None, fsdp, tp))
+            specs[key] = P(None, None, parent[1], None)
+        elif key.endswith("_mlora_b"):
+            # (L, K, r, d_out): output dim follows the base kernel.
+            parent = base.get(key[:-8], P(None, fsdp, tp))
+            specs[key] = P(None, None, None, parent[2])
         else:
             specs[key] = P()
     return specs

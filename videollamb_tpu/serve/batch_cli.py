@@ -85,6 +85,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             batch=batch,
             max_new_tokens=int(row.get("max_new_tokens", 128)),
             temperature=float(row.get("temperature", 0.0)),
+            adapter=row.get("adapter"),
         ))
     return reqs
 

@@ -7,8 +7,12 @@ with continuous batching across concurrent HTTP clients — requests from
 different connections decode together in one slot batch.
 
   POST /v1/generate   {"prompt": ..., "video": <path>?, "image": <path>?,
-                       "audio": <path>?, "max_new_tokens": 128,
+                       "audio": <path>?, "adapter": <name>?,
+                       "max_new_tokens": 128,
                        "temperature": 0.0, "top_p": 1.0, "stream": false}
+      "adapter" selects a served LoRA fine-tune by name (multi-LoRA
+      serving, models/lm/mlora.py; dense engine built with an adapter
+      registry). Unknown names are rejected with HTTP 400.
       -> {"id": ..., "text": ..., "tokens": N}
       With "stream": true the response is text/event-stream: one
       ``data: {"token": <piece>}`` event per committed token and a final
@@ -139,7 +143,8 @@ class Server:
 
     def _finish(self, req) -> Dict[str, Any]:
         if req.error is not None:
-            if req.error.startswith("rejected"):
+            if req.error.startswith(("rejected", "unknown adapter",
+                                     "engine has no adapter")):
                 raise RequestRejected(req.error)
             raise RuntimeError(req.error)
         text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)

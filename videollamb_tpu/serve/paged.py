@@ -245,6 +245,14 @@ class PagedServingEngine(ServingEngine):
                 req.done = True
                 self._dropped.append(req)
                 continue
+            if req.adapter is not None:
+                # Multi-LoRA rides the dense engine (its decode step
+                # threads adapter_idx); the paged decode kernels don't.
+                self.pending.get()
+                req.error = "multi-LoRA requests require the dense engine"
+                req.done = True
+                self._dropped.append(req)
+                continue
             if req.prefix_id is not None:
                 if not self._admit_prefix(req, slot):
                     return  # backpressure

@@ -88,7 +88,8 @@ def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
 def greedy_decode_steps(
-    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    adapter_idx=None,
 ):
     """Run k greedy decode steps fully on device -> (tokens (B, k), logits,
     cache). Lets the engine sync with the host every k tokens instead of
@@ -99,7 +100,8 @@ def greedy_decode_steps(
         logits, cache = carry
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k.dtype)
-        logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds, cache)
+        logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds, cache,
+                                          adapter_idx=adapter_idx)
         return (logits, cache), nxt
 
     (logits, cache), toks = jax.lax.scan(body, (logits, cache), None, length=k)
@@ -117,6 +119,10 @@ class Request:
     # set, ``batch`` holds ONLY the suffix (e.g. the user question) — the
     # prompt prefix (system + media) comes from the shared cached pages.
     prefix_id: Any = None
+    # Multi-LoRA serving (models/lm/mlora.py): name of the adapter this
+    # request decodes with; None = base model. The engine must have been
+    # built with the matching adapter registry.
+    adapter: Optional[str] = None
     # Optional host-known prompt length (valid tokens in attention_mask).
     # Used ONLY for text-only batches, where the spliced length equals the
     # mask sum — it saves the one device->host sync per admission that
@@ -146,10 +152,19 @@ class ServingEngine:
         max_seq_len: Optional[int] = None,
         eos_token_id: int = 2,
         seed: int = 0,
+        adapter_registry: Optional[Dict[str, int]] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
+        # Multi-LoRA: name -> index into the stacked adapter params
+        # (models/lm/mlora.add_multi_lora_params). Per-slot indices ride
+        # every decode step; -1 rows run the pure base model.
+        self.adapter_registry = adapter_registry
+        self.adapter_idx = (
+            jnp.full((num_slots,), -1, jnp.int32)
+            if adapter_registry is not None else None
+        )
         self.max_seq_len = max_seq_len or (cfg.max_length + 512)
         self.eos = eos_token_id
         self.rng = jax.random.PRNGKey(seed)
@@ -186,6 +201,18 @@ class ServingEngine:
                 req.done = True
                 self._dropped.append(req)
                 continue
+            if req.adapter is not None and (
+                self.adapter_registry is None
+                or req.adapter not in self.adapter_registry
+            ):
+                req.error = (
+                    f"unknown adapter {req.adapter!r}"
+                    if self.adapter_registry is not None
+                    else "engine has no adapter registry"
+                )
+                req.done = True
+                self._dropped.append(req)
+                continue
             spliced = prepare_multimodal_embeds_fast(
                 self.params, self.cfg, req.batch, deterministic=True
             )
@@ -198,10 +225,17 @@ class ServingEngine:
             b = req.batch
             text_only = (b.videos is None and b.images is None
                          and b.blocks is None)
+            aidx1 = None
+            if self.adapter_idx is not None:
+                val = (self.adapter_registry[req.adapter]
+                       if req.adapter is not None else -1)
+                aidx1 = jnp.asarray([val], jnp.int32)
+                self.adapter_idx = self.adapter_idx.at[slot].set(val)
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
                 lengths=req.prompt_len if text_only else None,
+                adapter_idx=aidx1,
             )
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
@@ -237,7 +271,8 @@ class ServingEngine:
         )
         if k > 1 and all_greedy:
             toks, self.logits, self.cache = greedy_decode_steps(
-                self.params, self.cfg, self.logits, self.cache, k
+                self.params, self.cfg, self.logits, self.cache, k,
+                adapter_idx=self.adapter_idx,
             )
             toks_host = np.asarray(toks)  # (B, k)
             finished: List[Request] = dropped
@@ -266,7 +301,8 @@ class ServingEngine:
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
-            self.params["lm"], self.cfg.lm, tok_embeds, self.cache
+            self.params["lm"], self.cfg.lm, tok_embeds, self.cache,
+            adapter_idx=self.adapter_idx,
         )
 
         nxt_host = np.asarray(nxt)
