@@ -174,3 +174,59 @@ def test_resolve_adapter_idx_errors():
         resolve_adapter_idx({"a": 0}, ["missing"])
     idx = resolve_adapter_idx({"a": 0, "b": 1}, [None, "b", "a"])
     assert idx.tolist() == [-1, 1, 0]
+
+
+def test_paged_engine_serves_adapters(stacked):
+    from videollamb_tpu.models.assembly import MultimodalBatch
+    from videollamb_tpu.models.engine import generate
+    from videollamb_tpu.serve.paged import PagedServingEngine
+    from videollamb_tpu.serve.server import Request
+
+    cfg_lm, lm, merged, registry = stacked
+    base_model = ModelConfig.tiny(max_length=64)
+    cfg = dataclasses.replace(base_model, lm=cfg_lm)
+
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    extras = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+    }
+    params = {"lm": lm, **extras}
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=16,
+                                eos_token_id=-1, adapter_registry=registry)
+
+    def _req(uid, adapter, seed):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 7)).astype(np.int32)
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, 7), jnp.int32),
+            labels=None, videos=None, images=None,
+        )
+        return Request(uid=uid, batch=batch, max_new_tokens=5,
+                       temperature=0.0, adapter=adapter)
+
+    reqs = [_req(0, "a", 20), _req(1, None, 21)]
+    for r in reqs:
+        engine.submit(r)
+    engine.run_until_drained()
+    assert all(r.done and r.error is None for r in reqs)
+
+    for r, which in zip(reqs, ("a", "base")):
+        ref_params = {"lm": merged[which], **extras}
+        ref = generate(ref_params, cfg, r.batch, jax.random.PRNGKey(0),
+                       max_new_tokens=5, do_sample=False, eos_token_id=-1,
+                       max_seq_len=cfg.max_length + 512)
+        want = np.asarray(ref.tokens[0][: int(ref.lengths[0])]).tolist()
+        assert r.tokens == want, f"request {r.uid} adapter {which}"
+
+    # adapter + shared prefix is refused (prefix KV is base-model).
+    pid = engine.register_prefix(reqs[1].batch)
+    bad = _req(5, "a", 22)
+    bad.prefix_id = pid
+    engine.submit(bad)
+    engine.run_until_drained()
+    assert bad.done and bad.error and "prefix" in bad.error

@@ -199,6 +199,7 @@ def paged_decode_step(
     token_embeds: jax.Array,  # (B_slots, 1, D)
     cache: PagedKVCache,
     total_pages: int,
+    adapter_idx: Optional[jax.Array] = None,  # (B,) multi-LoRA row adapters
 ) -> Tuple[jax.Array, PagedKVCache]:
     """One decode step over all slots against the paged pool —
     **attention-before-write** (VERDICT r2 #2).
@@ -262,9 +263,9 @@ def paged_decode_step(
     def body(hidden, xs):
         l, lp = xs
         normed = _rms_norm(lp["input_layernorm"], hidden, cfg.rms_norm_eps)
-        q = _lproj(lp, "q_proj", normed).reshape(b, 1, h, dh)
-        k = _lproj(lp, "k_proj", normed).reshape(b, 1, h_kv, dh)
-        v = _lproj(lp, "v_proj", normed).reshape(b, 1, h_kv, dh)
+        q = _lproj(lp, "q_proj", normed, adapter_idx).reshape(b, 1, h, dh)
+        k = _lproj(lp, "k_proj", normed, adapter_idx).reshape(b, 1, h_kv, dh)
+        v = _lproj(lp, "v_proj", normed, adapter_idx).reshape(b, 1, h_kv, dh)
         q = apply_rope(q, cos, sin)[:, 0] * scale  # (B, H, Dh) pre-scaled
         k_new = apply_rope(k, cos, sin)[:, 0]  # (B, H_kv, Dh)
         v_new = v[:, 0]
@@ -310,14 +311,15 @@ def paged_decode_step(
             v_new[:, :, None], (b, h_kv, groups, dh)).reshape(b, h, dh)
         attn = merge_one_token(o_old, m_old, l_old, s_self, v_b)
 
-        attn = _lproj(lp, "o_proj", attn.reshape(b, 1, cfg.hidden_size))
+        attn = _lproj(lp, "o_proj", attn.reshape(b, 1, cfg.hidden_size),
+                      adapter_idx)
         hidden = hidden + attn
         normed = _rms_norm(lp["post_attention_layernorm"], hidden, cfg.rms_norm_eps)
         gate = jax.nn.silu(
-            _lproj(lp, "gate_proj", normed).astype(jnp.float32)
+            _lproj(lp, "gate_proj", normed, adapter_idx).astype(jnp.float32)
         ).astype(hidden.dtype)
-        up = _lproj(lp, "up_proj", normed)
-        hidden = hidden + _lproj(lp, "down_proj", gate * up)
+        up = _lproj(lp, "up_proj", normed, adapter_idx)
+        hidden = hidden + _lproj(lp, "down_proj", gate * up, adapter_idx)
 
         # Stack this layer's fresh K/V for the single post-loop scatter.
         k_vals = k_new.transpose(1, 0, 2)  # (H_kv, B, Dh)

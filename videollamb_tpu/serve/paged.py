@@ -59,7 +59,7 @@ from videollamb_tpu.serve.server import Request, ServingEngine
 @partial(jax.jit, static_argnames=("cfg", "k", "total_pages"), donate_argnames=("cache",))
 def paged_greedy_decode_steps(
     params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
-    total_pages: int,
+    total_pages: int, adapter_idx=None,
 ):
     """k greedy steps fully on device (pages for positions len..len+k-1 must
     already be allocated). Returns (tokens (B, k), logits, cache)."""
@@ -76,7 +76,8 @@ def paged_greedy_decode_steps(
         # greedy path in f32 while the k=1 path runs bf16.
         tok_embeds = embed_tokens(params["lm"], nxt[:, None])
         logits, cache = paged_decode_step(
-            params["lm"], cfg.lm, tok_embeds, cache, total_pages
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx,
         )
         return (logits, cache), nxt
 
@@ -97,10 +98,18 @@ class PagedServingEngine(ServingEngine):
         eos_token_id: int = 2,
         seed: int = 0,
         quantize_kv: bool = False,
+        adapter_registry=None,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
+        # Multi-LoRA (models/lm/mlora.py): same protocol as the dense
+        # engine — per-slot indices ride every decode step.
+        self.adapter_registry = adapter_registry
+        self.adapter_idx = (
+            jnp.full((num_slots,), -1, jnp.int32)
+            if adapter_registry is not None else None
+        )
         self.page_size = page_size
         # Default pool: enough for every slot to hold max_length + 512 —
         # dense-parity capacity; real deployments oversubscribe. Rounded up
@@ -245,11 +254,25 @@ class PagedServingEngine(ServingEngine):
                 req.done = True
                 self._dropped.append(req)
                 continue
-            if req.adapter is not None:
-                # Multi-LoRA rides the dense engine (its decode step
-                # threads adapter_idx); the paged decode kernels don't.
+            if req.adapter is not None and (
+                self.adapter_registry is None
+                or req.adapter not in self.adapter_registry
+            ):
                 self.pending.get()
-                req.error = "multi-LoRA requests require the dense engine"
+                req.error = (
+                    f"unknown adapter {req.adapter!r}"
+                    if self.adapter_registry is not None
+                    else "engine has no adapter registry")
+                req.done = True
+                self._dropped.append(req)
+                continue
+            if req.adapter is not None and req.prefix_id is not None:
+                # A shared prefix's KV was prefilled by the BASE model;
+                # splicing an adapter suffix onto it would silently decode
+                # against mismatched context. Refuse instead.
+                self.pending.get()
+                req.error = ("rejected: adapter requests cannot reuse a "
+                             "shared prefix (prefix KV is base-model)")
                 req.done = True
                 self._dropped.append(req)
                 continue
@@ -286,10 +309,16 @@ class PagedServingEngine(ServingEngine):
             # Chunked admission: one compiled extend shape for the whole
             # engine lifetime, prefill compute proportional to the ACTUAL
             # prompt length, not the padded splice buffer.
+            aidx1 = None
+            if self.adapter_idx is not None:
+                val = (self.adapter_registry[req.adapter]
+                       if req.adapter is not None else -1)
+                aidx1 = jnp.asarray([val], jnp.int32)
+                self.adapter_idx = self.adapter_idx.at[slot].set(val)
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
-                lengths=prompt_len,
+                lengths=prompt_len, adapter_idx=aidx1,
             )
             page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
             page_ids[: len(pages)] = pages
@@ -338,7 +367,7 @@ class PagedServingEngine(ServingEngine):
         if k > 1 and all_greedy:
             toks, self.logits, self.cache = paged_greedy_decode_steps(
                 self.params, self.cfg, self.logits, self.cache, k,
-                self.total_pages,
+                self.total_pages, adapter_idx=self.adapter_idx,
             )
             self._host_len += k
             toks_host = np.asarray(toks)
@@ -371,7 +400,7 @@ class PagedServingEngine(ServingEngine):
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = paged_decode_step(
             self.params["lm"], self.cfg.lm, tok_embeds, self.cache,
-            self.total_pages,
+            self.total_pages, adapter_idx=self.adapter_idx,
         )
 
         self._host_len += 1
