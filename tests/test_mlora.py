@@ -230,3 +230,33 @@ def test_paged_engine_serves_adapters(stacked):
     engine.submit(bad)
     engine.run_until_drained()
     assert bad.done and bad.error and "prefix" in bad.error
+
+
+def test_trained_lora_checkpoint_feeds_multi_lora_stack(tmp_path):
+    """The train->serve loop: a LoRA training checkpoint (full-params save,
+    tune_mode='lora') restores, its adapter extracts, and the stacked
+    serving params reproduce the merged model — no bespoke export step."""
+    from videollamb_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from videollamb_tpu.train.step import TrainState
+
+    cfg = _lm_cfg()
+    base = init_llama_params(jax.random.PRNGKey(0), cfg)
+    pa = _adapter(base, cfg, seed=5, r=4)
+
+    state = TrainState(step=jnp.asarray(3), params=pa, opt_state=())
+    path = save_checkpoint(str(tmp_path / "lora_run"), state, step=3)
+
+    fresh = _adapter(base, cfg, seed=99, r=4)  # template: same tree shapes
+    restored = restore_checkpoint(
+        path, TrainState(step=jnp.asarray(0), params=fresh, opt_state=()))
+
+    params, registry = add_multi_lora_params(
+        {"lm": base}, {"run3": extract_lora_layers(restored.params)})
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden_size)).astype(np.float32))
+    mask = jnp.ones((1, 4), jnp.int32)
+    idx = jnp.asarray(resolve_adapter_idx(registry, ["run3"]))
+    got = llama_forward(params["lm"], cfg, x, mask, adapter_idx=idx)
+    want = llama_forward(merge_lora_params(pa)["lm"], cfg, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
