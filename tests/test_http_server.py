@@ -185,3 +185,29 @@ def test_worker_engine_error_fails_inflight_and_degrades_health(http_srv):
                         {"prompt": "describe the scene",
                          "max_new_tokens": 3})
     assert status == 200 and out["tokens"] > 0
+
+
+def test_metrics_endpoint(http_srv):
+    # Generate once so counters move, then scrape.
+    status, out = _post(http_srv, "/v1/generate",
+                        {"prompt": "describe the scene", "max_new_tokens": 3})
+    assert status == 200
+    with urllib.request.urlopen(http_srv + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    vals = {}
+    for line in body.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        vals[name] = float(val)
+    assert vals["videollamb_requests_total"] >= 1
+    assert vals["videollamb_tokens_generated_total"] >= 3
+    assert vals["videollamb_ttft_seconds_count"] >= 1
+    assert vals["videollamb_ttft_seconds_sum"] > 0
+    assert vals["videollamb_e2e_seconds_count"] >= 1
+    assert vals["videollamb_engine_up"] == 1
+    assert vals["videollamb_slots_total"] == 2
+    # Summary ordering: TTFT never exceeds end-to-end.
+    assert vals["videollamb_ttft_seconds_sum"] <= vals["videollamb_e2e_seconds_sum"] + 1e-6

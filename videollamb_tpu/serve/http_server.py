@@ -20,6 +20,9 @@ different connections decode together in one slot batch.
       ``"timeout": true`` if the deadline truncated it).
   GET  /v1/health     -> {"status": "ok"|"degraded", "active": A,
                           "pending": P, ["last_error": ...]}
+  GET  /metrics       -> Prometheus text format: request/token counters,
+                          TTFT and end-to-end latency summaries, slot
+                          occupancy and queue-depth gauges.
   POST /v1/cancel     {"id": ...} -> {"cancelled": bool}
 
 Threading model: HTTP handler threads (ThreadingHTTPServer) build
@@ -102,6 +105,83 @@ class EngineWorker(threading.Thread):
         self._stopping.set()
 
 
+class Metrics:
+    """Process-wide serving counters in the Prometheus exposition format
+    (text/plain 0.0.4; no client library). Counters and summaries are
+    updated from handler threads and the per-token hooks, so every write
+    takes the lock; reads (scrapes) render a consistent snapshot."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.failed_total = 0
+        self.tokens_total = 0
+        self.ttft_sum = 0.0
+        self.ttft_count = 0
+        self.e2e_sum = 0.0
+        self.e2e_count = 0
+
+    def on_submit(self, req) -> None:
+        req._t_submit = time.monotonic()
+        req._t_first = None
+        with self._lock:
+            self.requests_total += 1
+
+    def on_token(self, req) -> None:
+        with self._lock:
+            self.tokens_total += 1
+            if req._t_first is None:
+                req._t_first = time.monotonic()
+                self.ttft_sum += req._t_first - req._t_submit
+                self.ttft_count += 1
+
+    def on_finish(self, req, failed: bool) -> None:
+        with self._lock:
+            self.e2e_sum += time.monotonic() - req._t_submit
+            self.e2e_count += 1
+            if failed:
+                self.failed_total += 1
+
+    def render(self, engine, worker) -> str:
+        with self._lock:
+            vals = dict(self.__dict__)
+        lines = []
+
+        def counter(name, v, help_):
+            lines.append(f"# HELP videollamb_{name} {help_}")
+            lines.append(f"# TYPE videollamb_{name} counter")
+            lines.append(f"videollamb_{name} {v}")
+
+        def gauge(name, v, help_):
+            lines.append(f"# HELP videollamb_{name} {help_}")
+            lines.append(f"# TYPE videollamb_{name} gauge")
+            lines.append(f"videollamb_{name} {v}")
+
+        counter("requests_total", vals["requests_total"],
+                "Requests accepted by the HTTP layer.")
+        counter("requests_failed_total", vals["failed_total"],
+                "Requests that finished with an error.")
+        counter("tokens_generated_total", vals["tokens_total"],
+                "Tokens committed across all requests.")
+        for key, help_ in (("ttft_seconds", "Submit-to-first-token latency."),
+                           ("e2e_seconds", "Submit-to-completion latency.")):
+            pfx = key.split("_")[0]
+            lines.append(f"# HELP videollamb_{key} {help_}")
+            lines.append(f"# TYPE videollamb_{key} summary")
+            lines.append(f"videollamb_{key}_sum {vals[pfx + '_sum']}")
+            lines.append(f"videollamb_{key}_count {vals[pfx + '_count']}")
+        gauge("slots_active", sum(r is not None for r in engine.slots),
+              "Decode slots currently occupied.")
+        gauge("slots_total", engine.num_slots, "Configured decode slots.")
+        gauge("queue_pending", engine.pending.qsize(),
+              "Requests waiting for admission.")
+        # Liveness only — a past step error is sticky in /v1/health's
+        # "degraded" but should not read as a dead engine forever here.
+        gauge("engine_up", 1 if worker.is_alive() else 0,
+              "1 while the engine worker thread is alive.")
+        return "\n".join(lines) + "\n"
+
+
 class Server:
     """Engine + worker + prompt assembly shared by all handler threads."""
 
@@ -112,6 +192,7 @@ class Server:
         self.timeout_s = timeout_s
         self._uid_lock = threading.Lock()
         self._next_uid = 0
+        self.metrics = Metrics()
         self.worker = EngineWorker(engine, k=k)
         self.worker.start()
 
@@ -139,6 +220,8 @@ class Server:
         if b.videos is None and b.images is None and b.blocks is None:
             req.prompt_len = int(b.attention_mask.sum())
         req._done_event = threading.Event()
+        self.metrics.on_submit(req)
+        req.on_token = lambda r, tok: self.metrics.on_token(r)
         return req
 
     def _finish(self, req) -> Dict[str, Any]:
@@ -155,14 +238,18 @@ class Server:
         self.engine.submit(req)
         if not req._done_event.wait(self.timeout_s):
             self.engine.cancel(req.uid)
+            self.metrics.on_finish(req, failed=True)
             raise TimeoutError(f"request {req.uid} timed out")
+        self.metrics.on_finish(req, failed=req.error is not None)
         return self._finish(req)
 
     def generate_stream(self, row: Dict[str, Any]):
         """Yields per-token event dicts, then a final done event."""
         req = self.build(row)
         events: "queue.Queue[int]" = queue.Queue()
-        req.on_token = lambda r, tok: events.put(tok)
+        metrics_hook = req.on_token  # chain: keep the metrics callback
+        req.on_token = lambda r, tok: (metrics_hook(r, tok),
+                                       events.put(tok))
         self.engine.submit(req)
         deadline = time.monotonic() + self.timeout_s
         emitted = 0
@@ -191,6 +278,7 @@ class Server:
             # instead of decoding the rest of max_new_tokens into the void.
             self.engine.cancel(req.uid)
             raise
+        self.metrics.on_finish(req, failed=req.error is not None)
         if req.error is not None:
             yield {"done": True, "id": req.uid, "error": req.error}
             return
@@ -242,6 +330,15 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:
         if self.path == "/v1/health":
             self._json(200, self.server_obj.health())
+        elif self.path == "/metrics":
+            body = self.server_obj.metrics.render(
+                self.server_obj.engine, self.server_obj.worker).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
