@@ -167,6 +167,50 @@ class BridgeConfig:
 
 
 @dataclass(frozen=True)
+class RopeScaling:
+    """Long-context RoPE scaling (HF ``rope_scaling`` parity).
+
+    The reference caps its LLM context at 2048 and never scales RoPE;
+    modern Llama-family checkpoints (e.g. Llama-3.1) ship scaled rope
+    configs, so loading them needs this. Types:
+
+    - ``linear``: positions interpolate by 1/factor (inv_freq / factor);
+    - ``dynamic``: NTK-aware base rescaling. HF recomputes the table per
+      current sequence length; XLA needs a STATIC table, so ours is
+      computed once for the scaled maximum (factor x
+      max_position_embeddings) — the two agree exactly at that length;
+    - ``llama3``: frequency-dependent wavelength interpolation (the
+      Llama-3.1 scheme: long wavelengths scale by 1/factor, short ones
+      keep, mid band blends).
+    """
+
+    rope_type: str = "linear"  # 'linear' | 'dynamic' | 'llama3'
+    factor: float = 1.0
+    # llama3 only:
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+    @staticmethod
+    def from_hf(d: Optional[dict]) -> Optional["RopeScaling"]:
+        """Map an HF config.json ``rope_scaling`` dict (old 'type' or new
+        'rope_type' key). Returns None for null/'default'."""
+        if not d:
+            return None
+        t = d.get("rope_type", d.get("type", "default"))
+        if t == "default":
+            return None
+        return RopeScaling(
+            rope_type=t,
+            factor=float(d.get("factor", 1.0)),
+            low_freq_factor=float(d.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(d.get("high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                d.get("original_max_position_embeddings", 8192)),
+        )
+
+
+@dataclass(frozen=True)
 class LlamaConfig:
     """Llama-family LM backbone (Vicuna-7B defaults)."""
 
@@ -182,6 +226,8 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     # Mistral-style sliding-window attention (None = full causal).
     sliding_window: Optional[int] = None
+    # Long-context rope scaling (None = unscaled).
+    rope_scaling: Optional[RopeScaling] = None
 
     @property
     def head_dim(self) -> int:

@@ -26,7 +26,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from videollamb_tpu.config import BridgeConfig, LlamaConfig, ModelConfig, VisionConfig
+from videollamb_tpu.config import BridgeConfig, LlamaConfig, ModelConfig, VisionConfig, RopeScaling
 from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
 from videollamb_tpu.models.bridge.convert import convert_rmt_r_state_dict
 from videollamb_tpu.models.lm.convert import convert_llama_state_dict
@@ -78,6 +78,7 @@ def config_from_json(model_dir: str) -> ModelConfig:
         max_position_embeddings=raw.get("max_position_embeddings", 4096),
         rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
         rope_theta=raw.get("rope_theta", 10000.0),
+        rope_scaling=RopeScaling.from_hf(raw.get("rope_scaling")),
         sliding_window=(raw.get("sliding_window")
                         if raw.get("model_type") == "mistral" else None),
     )

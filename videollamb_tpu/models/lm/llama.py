@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videollamb_tpu.config import LlamaConfig
-from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
+from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin_cfg
 from videollamb_tpu.ops.attention import multihead_attention
 
 Params = Dict[str, Any]
@@ -280,7 +280,7 @@ def llama_forward(
     b, s, _ = inputs_embeds.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, position_ids)
 
     valid = attention_mask.astype(bool)
     x, _ = _run_layers(
@@ -305,7 +305,7 @@ def llama_forward_with_hidden(
     (reference llava_llama_retro_lm.py:173)."""
     b, s, _ = inputs_embeds.shape
     position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, position_ids)
     valid = attention_mask.astype(bool)
     x, _ = _run_layers(
         params, cfg, inputs_embeds, cos, sin, valid, remat=remat,
@@ -335,7 +335,7 @@ def llama_prefill(
     lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
 
     position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, position_ids)
 
     write_pos = jnp.zeros((b,), jnp.int32)
     x, cache = _run_layers(
@@ -375,7 +375,7 @@ def llama_extend(
     # Positions: fresh token j (if valid) sits at absolute start + rank_j.
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     pos_ids = start[:, None] + jnp.where(valid, rank, s)  # invalid -> past end
-    cos, sin = rope_cos_sin(pos_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, pos_ids)
 
     # Mask over the full cache buffer: query j attends keys < its absolute
     # position + itself + earlier fresh keys. Since fresh keys are written
@@ -500,7 +500,7 @@ def llama_decode_step(
     b = token_embeds.shape[0]
     s_max = cache.k.shape[2]
     pos = cache.length  # (B,)
-    cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, pos[:, None])
 
     k_pos = jnp.arange(s_max, dtype=jnp.int32)
     mask = k_pos[None] <= pos[:, None]

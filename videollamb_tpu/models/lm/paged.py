@@ -43,7 +43,7 @@ from videollamb_tpu.models.lm.llama import (
     _lproj,
     _rms_norm,
 )
-from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
+from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin_cfg
 
 Params = Dict[str, Any]
 
@@ -236,7 +236,7 @@ def paged_decode_step(
     rows = jnp.arange(b)
     write_logical = cache.page_table[rows, pos // page]  # (B,)
     write_off = pos % page
-    cos, sin = rope_cos_sin(pos[:, None], cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, pos[:, None])
     h, h_kv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     groups = h // h_kv
     scale = dh**-0.5

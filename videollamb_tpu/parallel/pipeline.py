@@ -153,7 +153,7 @@ def pipeline_llama_forward(
     'pipe' (reference equivalent: none — the reference cannot pipeline).
     Returns (B, S, V) logits, replicated."""
     from videollamb_tpu.models.lm.llama import _final, _layer
-    from videollamb_tpu.models.lm.rope import rope_cos_sin
+    from videollamb_tpu.models.lm.rope import rope_cos_sin_cfg
 
     b, s, _ = inputs_embeds.shape
     assert b % n_micro == 0, (b, n_micro)
@@ -162,7 +162,7 @@ def pipeline_llama_forward(
     # axis the shard-local microbatch is smaller than mb — a leading 1
     # broadcasts against any local batch.
     position_ids = jnp.arange(s, dtype=jnp.int32)[None]
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin_cfg(cfg, position_ids)
 
     valid = attention_mask.astype(bool).reshape(n_micro, mb, s)
     x = inputs_embeds.reshape(n_micro, mb, s, -1)

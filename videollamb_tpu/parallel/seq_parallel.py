@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videollamb_tpu.models.lm.llama import _final, _lproj, _rms_norm
-from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin
+from videollamb_tpu.models.lm.rope import apply_rope, rope_cos_sin_cfg
 from videollamb_tpu.parallel.ring_attention import ring_attention_local
 
 Params = Dict[str, Any]
@@ -68,7 +68,7 @@ def seq_parallel_llama_forward(
         idx = jax.lax.axis_index(axis)
         bl, sl, d = x_l.shape
         pos = (idx * sl + jnp.arange(sl, dtype=jnp.int32))[None]  # (1, S_l)
-        cos, sin = rope_cos_sin(pos, dh, cfg.rope_theta)
+        cos, sin = rope_cos_sin_cfg(cfg, pos)
         valid_l = valid_l.astype(bool)
 
         def layer(x, lp):
