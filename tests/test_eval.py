@@ -351,3 +351,41 @@ def test_mc_batched_engine_matches_sequential(tmp_path):
         assert bat_recs[qid]["pred"] == seq_recs[qid]["pred"], qid
         assert bat_recs[qid]["answer"] == seq_recs[qid]["answer"]
     assert bat["acc"] == seq["acc"]
+
+
+def test_mc_batched_constrained_pins_output_to_letters(tmp_path):
+    """--constrained: every prediction is exactly one of the option
+    letters, regardless of what the free model would have said."""
+    cv2 = pytest.importorskip("cv2")
+    from videollamb_tpu.eval.videoqa_mc import run_inference_batched
+
+    chat = _tiny_eval_chat()
+    # Seed the letters so the tokenizer has ids for them.
+    chat.tokenizer("A B C")
+    vids = _write_tiny_video(tmp_path, "v1.mp4")
+
+    questions = [
+        {"question_id": 1, "video_name": "v1", "question": "what",
+         "option": {"0": "x", "1": "y"}},
+        {"question_id": 2, "video_name": "v1", "question": "which",
+         "option": {"0": "p", "1": "q", "2": "r"}},
+    ]
+    answers = [{"answer": 0}, {"answer": 2}]
+    (tmp_path / "q.json").write_text(json.dumps(questions))
+    (tmp_path / "a.json").write_text(json.dumps(answers))
+
+    class Args(_BaseArgs):
+        video_dir = str(vids)
+        gt_file_question = str(tmp_path / "q.json")
+        gt_file_answers = str(tmp_path / "a.json")
+        output_dir = str(tmp_path / "out")
+        output_name = "con"
+        names_have_extension = False
+        temperature = 0.0
+        constrained = True
+
+    res = run_inference_batched(Args(), chat=chat, num_slots=2, sync_every=4)
+    recs = [json.loads(l) for l in open(res["output"])]
+    assert len(recs) == 2
+    assert recs[0]["pred"] in ("A", "B")
+    assert recs[1]["pred"] in ("A", "B", "C")

@@ -166,9 +166,20 @@ def run_inference_batched(args, chat=None, num_slots: int = 4,
             input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
             labels=None,
             videos=jnp.asarray(frames[None], chat._dtype()), images=None)
+        choices = None
+        if getattr(args, "constrained", False):
+            # Constrained decoding (serve/constrained.py): the model CANNOT
+            # leave the option-letter set, so no answer is lost to format
+            # drift (the reference string-matches free text and scores
+            # off-format answers wrong, model_videoqa_mc.py:241-253).
+            from videollamb_tpu.serve.batch_cli import _tokenize_choice
+
+            letters = OPTIONS[: len(sample["option"])]
+            choices = [_tokenize_choice(chat.tokenizer, l) for l in letters]
         return Request(uid=uid, batch=batch,
                        max_new_tokens=args.max_new_tokens,
-                       temperature=args.temperature), question
+                       temperature=args.temperature,
+                       choices=choices), question
 
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"{args.output_name}.json")
@@ -229,6 +240,9 @@ def parse_args():
     parser.add_argument("--max_new_tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--names_have_extension", action="store_true")
+    parser.add_argument("--constrained", action="store_true",
+                        help="constrain decoding to the option letters "
+                             "(batched engine path only)")
     parser.add_argument("--batch_slots", type=int, default=0,
                         help=">0: run through the continuous-batching "
                              "engine with this many concurrent questions")

@@ -298,6 +298,7 @@ def llama_forward_with_hidden(
     attention_mask: jax.Array,
     remat: bool = False,
     attn_impl: str = "auto",
+    adapter_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like llama_forward but also returns the final-layer hidden states
     (pre-final-norm), needed by the LM-memory retro variant which reads its

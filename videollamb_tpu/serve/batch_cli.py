@@ -80,14 +80,31 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
             labels=None, videos=videos, images=images, blocks=blocks,
         )
+        # Constrained decoding: "choices": ["A", "B", ...] on a row pins
+        # the output to one of the strings (serve/constrained.py).
+        choice_ids = None
+        if row.get("choices"):
+            choice_ids = [_tokenize_choice(chat.tokenizer, c)
+                          for c in row["choices"]]
         reqs.append(Request(
             uid=row.get("id"),
             batch=batch,
             max_new_tokens=int(row.get("max_new_tokens", 128)),
             temperature=float(row.get("temperature", 0.0)),
             adapter=row.get("adapter"),
+            choices=choice_ids,
         ))
     return reqs
+
+
+def _tokenize_choice(tokenizer, text):
+    ids = list(tokenizer(text).input_ids)
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and ids and ids[0] == bos:
+        ids = ids[1:]
+    if not ids:
+        raise ValueError(f"choice {text!r} tokenizes to nothing")
+    return ids
 
 
 def serve_requests(engine, requests, tokenizer, k: int = 8):

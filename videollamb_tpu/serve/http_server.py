@@ -13,6 +13,8 @@ different connections decode together in one slot batch.
       "adapter" selects a served LoRA fine-tune by name (multi-LoRA
       serving, models/lm/mlora.py; dense engine built with an adapter
       registry). Unknown names are rejected with HTTP 400.
+      "choices": ["yes", "no"] constrains decoding — the output is
+      guaranteed to be one of the strings (serve/constrained.py).
       -> {"id": ..., "text": ..., "tokens": N}
       With "stream": true the response is text/event-stream: one
       ``data: {"token": <piece>}`` event per committed token and a final

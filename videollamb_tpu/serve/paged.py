@@ -327,6 +327,11 @@ class PagedServingEngine(ServingEngine):
                 self.total_pages,
             )
             self.logits = self.logits.at[slot].set(logits[0])
+            if req.choices:
+                from videollamb_tpu.serve.constrained import (
+                    ChoiceConstraint, TokenTrie)
+
+                req._constraint = ChoiceConstraint(TokenTrie(req.choices))
             self.slot_pages[slot] = pages
             self._host_len[slot] = prompt_len
             self.slots[slot] = req
@@ -364,7 +369,10 @@ class PagedServingEngine(ServingEngine):
         self._ensure_pages(max(k, 1))
 
         all_greedy = all((r is None or r.temperature == 0.0) for r in self.slots)
-        if k > 1 and all_greedy:
+        unconstrained = all(
+            getattr(r, "_constraint", None) is None for r in self.slots
+        )
+        if k > 1 and all_greedy and unconstrained:
             toks, self.logits, self.cache = paged_greedy_decode_steps(
                 self.params, self.cfg, self.logits, self.cache, k,
                 self.total_pages, adapter_idx=self.adapter_idx,
@@ -393,9 +401,13 @@ class PagedServingEngine(ServingEngine):
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
+        from videollamb_tpu.serve.constrained import apply_constraint_masks
         from videollamb_tpu.serve.server import sample_slot_tokens
 
-        nxt = sample_slot_tokens(self.logits, sub, self.slots)
+        cmask = apply_constraint_masks(None, self.slots, self.cfg.lm.vocab_size)
+        logits = (self.logits if cmask is None
+                  else self.logits + jnp.asarray(cmask))
+        nxt = sample_slot_tokens(logits, sub, self.slots)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = paged_decode_step(
@@ -418,7 +430,11 @@ class PagedServingEngine(ServingEngine):
             req.tokens.append(tok)
             if req.on_token is not None:
                 req.on_token(req, tok)
-            if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+            con = getattr(req, "_constraint", None)
+            if con is not None:
+                con.advance(tok)
+            if (tok == self.eos or len(req.tokens) >= req.max_new_tokens
+                    or (con is not None and con.finished)):
                 req.done = True
                 finished.append(req)
                 self._release(i)

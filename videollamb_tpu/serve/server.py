@@ -123,6 +123,10 @@ class Request:
     # request decodes with; None = base model. The engine must have been
     # built with the matching adapter registry.
     adapter: Optional[str] = None
+    # Constrained decoding (serve/constrained.py): token-id sequences the
+    # output must be one of (host CLIs tokenize strings into these).
+    # Constrained rows decode one step per host sync (per-step masks).
+    choices: Optional[List[List[int]]] = None
     # Optional host-known prompt length (valid tokens in attention_mask).
     # Used ONLY for text-only batches, where the spliced length equals the
     # mask sum — it saves the one device->host sync per admission that
@@ -239,6 +243,11 @@ class ServingEngine:
             )
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
+            if req.choices:
+                from videollamb_tpu.serve.constrained import (
+                    ChoiceConstraint, TokenTrie)
+
+                req._constraint = ChoiceConstraint(TokenTrie(req.choices))
             self.slots[slot] = req
 
     def _active_mask(self) -> np.ndarray:
@@ -269,7 +278,10 @@ class ServingEngine:
         all_greedy = all(
             (r is None or r.temperature == 0.0) for r in self.slots
         )
-        if k > 1 and all_greedy:
+        unconstrained = all(
+            getattr(r, "_constraint", None) is None for r in self.slots
+        )
+        if k > 1 and all_greedy and unconstrained:
             toks, self.logits, self.cache = greedy_decode_steps(
                 self.params, self.cfg, self.logits, self.cache, k,
                 adapter_idx=self.adapter_idx,
@@ -297,7 +309,12 @@ class ServingEngine:
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        nxt = sample_slot_tokens(self.logits, sub, self.slots)
+        from videollamb_tpu.serve.constrained import apply_constraint_masks
+
+        cmask = apply_constraint_masks(None, self.slots, self.cfg.lm.vocab_size)
+        logits = (self.logits if cmask is None
+                  else self.logits + jnp.asarray(cmask))
+        nxt = sample_slot_tokens(logits, sub, self.slots)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
@@ -319,7 +336,11 @@ class ServingEngine:
             req.tokens.append(tok)
             if req.on_token is not None:
                 req.on_token(req, tok)
-            if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+            con = getattr(req, "_constraint", None)
+            if con is not None:
+                con.advance(tok)
+            if (tok == self.eos or len(req.tokens) >= req.max_new_tokens
+                    or (con is not None and con.finished)):
                 req.done = True
                 finished.append(req)
                 self._release(i)
