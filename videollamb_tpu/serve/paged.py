@@ -110,6 +110,7 @@ class PagedServingEngine(ServingEngine):
             jnp.full((num_slots,), -1, jnp.int32)
             if adapter_registry is not None else None
         )
+        self._adapter_host = np.full((num_slots,), -1, np.int32)
         self.page_size = page_size
         # Default pool: enough for every slot to hold max_length + 512 —
         # dense-parity capacity; real deployments oversubscribe. Rounded up
@@ -313,8 +314,10 @@ class PagedServingEngine(ServingEngine):
             if self.adapter_idx is not None:
                 val = (self.adapter_registry[req.adapter]
                        if req.adapter is not None else -1)
-                aidx1 = jnp.asarray([val], jnp.int32)
+                if val >= 0:
+                    aidx1 = jnp.asarray([val], jnp.int32)
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
+                self._adapter_host[slot] = val
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
@@ -375,7 +378,7 @@ class PagedServingEngine(ServingEngine):
         if k > 1 and all_greedy and unconstrained:
             toks, self.logits, self.cache = paged_greedy_decode_steps(
                 self.params, self.cfg, self.logits, self.cache, k,
-                self.total_pages, adapter_idx=self.adapter_idx,
+                self.total_pages, adapter_idx=self._live_adapter_idx(),
             )
             self._host_len += k
             toks_host = np.asarray(toks)
@@ -412,7 +415,7 @@ class PagedServingEngine(ServingEngine):
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = paged_decode_step(
             self.params["lm"], self.cfg.lm, tok_embeds, self.cache,
-            self.total_pages, adapter_idx=self.adapter_idx,
+            self.total_pages, adapter_idx=self._live_adapter_idx(),
         )
 
         self._host_len += 1

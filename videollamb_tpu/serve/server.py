@@ -169,6 +169,11 @@ class ServingEngine:
             jnp.full((num_slots,), -1, jnp.int32)
             if adapter_registry is not None else None
         )
+        # Host mirror: measured on-chip, the mlora einsums cost ~2.3
+        # ms/step at 7B B=8 even when every row is gated off (-1), so the
+        # engine passes adapter_idx=None — compiling the adapter-free
+        # graph — whenever no ACTIVE slot carries an adapter.
+        self._adapter_host = np.full((num_slots,), -1, np.int32)
         self.max_seq_len = max_seq_len or (cfg.max_length + 512)
         self.eos = eos_token_id
         self.rng = jax.random.PRNGKey(seed)
@@ -233,8 +238,10 @@ class ServingEngine:
             if self.adapter_idx is not None:
                 val = (self.adapter_registry[req.adapter]
                        if req.adapter is not None else -1)
-                aidx1 = jnp.asarray([val], jnp.int32)
+                if val >= 0:
+                    aidx1 = jnp.asarray([val], jnp.int32)
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
+                self._adapter_host[slot] = val
             logits, single = chunked_prefill(
                 self.params["lm"], self.cfg.lm,
                 spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
@@ -249,6 +256,13 @@ class ServingEngine:
 
                 req._constraint = ChoiceConstraint(TokenTrie(req.choices))
             self.slots[slot] = req
+
+    def _live_adapter_idx(self):
+        """The device index vector iff any active slot has an adapter;
+        None otherwise (adapter-free graph — zero mlora cost)."""
+        if self.adapter_idx is None or not (self._adapter_host >= 0).any():
+            return None
+        return self.adapter_idx
 
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.slots])
@@ -265,6 +279,9 @@ class ServingEngine:
     def _release(self, slot: int) -> None:
         """Free a slot (hook: the paged engine also returns its pages)."""
         self.slots[slot] = None
+        if self.adapter_idx is not None and self._adapter_host[slot] >= 0:
+            self._adapter_host[slot] = -1
+            self.adapter_idx = self.adapter_idx.at[slot].set(-1)
 
     def step(self, k: int = 1) -> List[Request]:
         """Admit pending requests, advance every active slot by up to ``k``
@@ -284,7 +301,7 @@ class ServingEngine:
         if k > 1 and all_greedy and unconstrained:
             toks, self.logits, self.cache = greedy_decode_steps(
                 self.params, self.cfg, self.logits, self.cache, k,
-                adapter_idx=self.adapter_idx,
+                adapter_idx=self._live_adapter_idx(),
             )
             toks_host = np.asarray(toks)  # (B, k)
             finished: List[Request] = dropped
@@ -319,7 +336,7 @@ class ServingEngine:
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
             self.params["lm"], self.cfg.lm, tok_embeds, self.cache,
-            adapter_idx=self.adapter_idx,
+            adapter_idx=self._live_adapter_idx(),
         )
 
         nxt_host = np.asarray(nxt)
