@@ -163,6 +163,7 @@ def load_pretrained_model(
     dtype: str = "bfloat16",
     load_8bit: bool = False,
     load_tokenizer: bool = True,
+    device_preprocess: bool = False,
 ) -> Tuple[Any, Dict[str, Any], ModelConfig, Dict[str, Any], int]:
     """Resolve a checkpoint (full / base+projector / LoRA) into params.
 
@@ -252,7 +253,17 @@ def load_pretrained_model(
             model_base or model_path, use_fast=True
         )
 
-    processors = {"VIDEO": VideoProcessor(size=cfg.vision.image_size),
+    if device_preprocess:
+        # TPU-side resize/normalize (data/device_preprocess.py): on a small
+        # host the per-frame cv2 resize bottlenecks ingest two orders of
+        # magnitude below the encoder (benchmarks/ingest_bench.py: 14 vs
+        # 1,942 frames/s preprocessed on the bench host).
+        from videollamb_tpu.data.device_preprocess import DeviceVideoProcessor
+
+        video_proc: Any = DeviceVideoProcessor(size=cfg.vision.image_size)
+    else:
+        video_proc = VideoProcessor(size=cfg.vision.image_size)
+    processors = {"VIDEO": video_proc,
                   "IMAGE": ImageProcessor(size=cfg.vision.image_size)}
     context_len = cfg.max_length
     return tokenizer, params, cfg, processors, context_len

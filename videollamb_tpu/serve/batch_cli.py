@@ -132,6 +132,9 @@ def main(argv=None):
     parser.add_argument("--quantize-kv", action="store_true",
                         help="int8 KV pages (paged engine only)")
     parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="resize/normalize video frames on the TPU "
+                             "(benchmarks/ingest_bench.py)")
     parser.add_argument("--sync-every", type=int, default=8,
                         help="device-side decode steps between host syncs")
     args = parser.parse_args(argv)
@@ -141,6 +144,7 @@ def main(argv=None):
 
     tokenizer, params, cfg, processors, _ = load_pretrained_model(
         args.model_path, model_base=args.model_base, load_8bit=args.load_8bit,
+        device_preprocess=args.device_preprocess,
     )
     chat = Chat(tokenizer, params, cfg, processors)
 

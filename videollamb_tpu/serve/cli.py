@@ -19,6 +19,7 @@ def main(args) -> None:
         video_tower_path=args.video_tower,
         image_tower_path=args.image_tower,
         dtype="bfloat16" if not args.fp32 else "float32",
+        device_preprocess=getattr(args, "device_preprocess", False),
     )
     conv_mode = "mistral_instruct" if "mistral" in args.model_path.lower() else "llava_v1"
     if args.conv_mode and args.conv_mode != conv_mode:
@@ -107,6 +108,8 @@ def parse_args():
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="resize/normalize video frames on the TPU")
     parser.add_argument("--kv-reuse", action="store_true",
                         help="multi-turn KV reuse (greedy video chat): "
                              "later turns extend the cache instead of "

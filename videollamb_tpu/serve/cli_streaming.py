@@ -59,6 +59,8 @@ def parse_args():
     parser.add_argument("--query", type=str, default=None)
     parser.add_argument("--query-time", type=float, default=0.0)
     parser.add_argument("--frame-fps", type=float, default=1.0)
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="resize/normalize video frames on the TPU")
     parser.add_argument("--output", type=str, default="stream_history.json")
     parser.add_argument("--no-sleep", action="store_true",
                         help="don't pace to real time")
@@ -81,6 +83,7 @@ if __name__ == "__main__":
 
     tokenizer, params, cfg, processors, _ = load_pretrained_model(
         args.model_path, args.model_base, video_tower_path=args.video_tower,
+        device_preprocess=getattr(args, "device_preprocess", False),
     )
     chat = Chat(tokenizer, params, cfg, processors)
     if args.reencode_cache:

@@ -418,6 +418,9 @@ def main(argv=None):
     parser.add_argument("--page-size", type=int, default=64)
     parser.add_argument("--quantize-kv", action="store_true")
     parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="resize/normalize video frames on the TPU "
+                             "(benchmarks/ingest_bench.py)")
     parser.add_argument("--sync-every", type=int, default=4)
     args = parser.parse_args(argv)
 
@@ -426,6 +429,7 @@ def main(argv=None):
 
     tokenizer, params, cfg, processors, _ = load_pretrained_model(
         args.model_path, model_base=args.model_base, load_8bit=args.load_8bit,
+        device_preprocess=args.device_preprocess,
     )
     chat = Chat(tokenizer, params, cfg, processors)
     eos = int(tokenizer.eos_token_id or 2)
