@@ -60,16 +60,39 @@ def test_inv_freq_matches_hf(hf_dict):
                                rtol=1e-6, atol=1e-8)
 
 
-def test_dynamic_matches_hf_at_scaled_max():
-    """Our static 'dynamic' table equals HF's recomputed one exactly at
-    the scaled maximum length (the documented deviation point)."""
+def test_dynamic_default_matches_hf_for_standard_lengths():
+    """Default 'dynamic': table computed at max_position_embeddings, where
+    HF's formula reduces to the UNSCALED base — exact agreement for every
+    sequence up to the trained maximum (the common regime; review
+    finding: the old default baked in the fully-scaled base and diverged
+    on all normal prompts)."""
     from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
 
     hf_dict = {"rope_type": "dynamic", "factor": 2.0}
     ref_inv, _ = ROPE_INIT_FUNCTIONS["dynamic"](
-        _hf_cfg(hf_dict), seq_len=int(2.0 * CFG.max_position_embeddings))
+        _hf_cfg(hf_dict), seq_len=CFG.max_position_embeddings // 2)
     ours = scaled_rope_frequencies(
         CFG.head_dim, CFG.rope_theta, RopeScaling.from_hf(hf_dict),
+        CFG.max_position_embeddings,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_inv.numpy(),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_dynamic_explicit_target_matches_hf_at_that_length():
+    """target_length pins the NTK base for extended contexts; HF's
+    recomputed table at that length matches exactly."""
+    import dataclasses as _dc
+
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    hf_dict = {"rope_type": "dynamic", "factor": 2.0}
+    target = int(2.0 * CFG.max_position_embeddings)
+    ref_inv, _ = ROPE_INIT_FUNCTIONS["dynamic"](_hf_cfg(hf_dict),
+                                                seq_len=target)
+    ours = scaled_rope_frequencies(
+        CFG.head_dim, CFG.rope_theta,
+        _dc.replace(RopeScaling.from_hf(hf_dict), target_length=target),
         CFG.max_position_embeddings,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_inv.numpy(),

@@ -177,8 +177,12 @@ class RopeScaling:
     - ``linear``: positions interpolate by 1/factor (inv_freq / factor);
     - ``dynamic``: NTK-aware base rescaling. HF recomputes the table per
       current sequence length; XLA needs a STATIC table, so ours is
-      computed once for the scaled maximum (factor x
-      max_position_embeddings) — the two agree exactly at that length;
+      computed once for ``target_length`` (default: the model's
+      max_position_embeddings, where HF's formula reduces to the UNSCALED
+      base — so default behavior matches HF exactly for every sequence up
+      to the trained maximum, the common regime). Set ``target_length``
+      explicitly when actually running contexts beyond the trained
+      maximum; the two then agree exactly at that length;
     - ``llama3``: frequency-dependent wavelength interpolation (the
       Llama-3.1 scheme: long wavelengths scale by 1/factor, short ones
       keep, mid band blends).
@@ -190,6 +194,9 @@ class RopeScaling:
     low_freq_factor: float = 1.0
     high_freq_factor: float = 4.0
     original_max_position_embeddings: int = 8192
+    # dynamic only: the static sequence length the NTK base is computed
+    # for (None -> the model's max_position_embeddings).
+    target_length: Optional[int] = None
 
     @staticmethod
     def from_hf(d: Optional[dict]) -> Optional["RopeScaling"]:

@@ -172,10 +172,10 @@ def run_inference_batched(args, chat=None, num_slots: int = 4,
             # leave the option-letter set, so no answer is lost to format
             # drift (the reference string-matches free text and scores
             # off-format answers wrong, model_videoqa_mc.py:241-253).
-            from videollamb_tpu.serve.batch_cli import _tokenize_choice
+            from videollamb_tpu.serve.constrained import tokenize_choice
 
             letters = OPTIONS[: len(sample["option"])]
-            choices = [_tokenize_choice(chat.tokenizer, l) for l in letters]
+            choices = [tokenize_choice(chat.tokenizer, l) for l in letters]
         return Request(uid=uid, batch=batch,
                        max_new_tokens=args.max_new_tokens,
                        temperature=args.temperature,

@@ -29,10 +29,13 @@ def scaled_rope_frequencies(
     ``scaling`` is a :class:`videollamb_tpu.config.RopeScaling` (duck-typed:
     any object with its fields). Parity with HF
     ``transformers.modeling_rope_utils.ROPE_INIT_FUNCTIONS`` is tested in
-    tests/test_rope_scaling.py; the one documented deviation is 'dynamic',
-    whose NTK base HF recomputes per sequence length — XLA needs one static
-    table, so ours is fixed at the scaled maximum (factor * max_positions),
-    where the two agree exactly.
+    tests/test_rope_scaling.py; the one caveat is 'dynamic', whose NTK
+    base HF recomputes per sequence length — XLA needs one static table.
+    By default it is computed at max_position_embeddings, where HF's
+    formula reduces to the unscaled base (exact HF agreement for every
+    standard-length sequence); set RopeScaling.target_length to pin the
+    table for contexts beyond the trained maximum (exact agreement at
+    that length).
     """
     inv = rope_frequencies(head_dim, theta)
     if scaling is None:
@@ -42,7 +45,11 @@ def scaled_rope_frequencies(
         return inv / scaling.factor
     if t == "dynamic":
         maxpos = max_position_embeddings or scaling.original_max_position_embeddings
-        seq_len = scaling.factor * maxpos
+        # HF formula with seq_len clamped below at maxpos (HF's own
+        # behavior). Default target = maxpos -> the expression reduces to
+        # the UNSCALED base, matching HF for every standard-length prompt;
+        # an explicit target_length pins the table for extended contexts.
+        seq_len = max(scaling.target_length or maxpos, maxpos)
         base = theta * (
             (scaling.factor * seq_len / maxpos) - (scaling.factor - 1)
         ) ** (head_dim / (head_dim - 2))

@@ -84,7 +84,9 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
         # the output to one of the strings (serve/constrained.py).
         choice_ids = None
         if row.get("choices"):
-            choice_ids = [_tokenize_choice(chat.tokenizer, c)
+            from videollamb_tpu.serve.constrained import tokenize_choice
+
+            choice_ids = [tokenize_choice(chat.tokenizer, c)
                           for c in row["choices"]]
         reqs.append(Request(
             uid=row.get("id"),
@@ -95,16 +97,6 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             choices=choice_ids,
         ))
     return reqs
-
-
-def _tokenize_choice(tokenizer, text):
-    ids = list(tokenizer(text).input_ids)
-    bos = getattr(tokenizer, "bos_token_id", None)
-    if bos is not None and ids and ids[0] == bos:
-        ids = ids[1:]
-    if not ids:
-        raise ValueError(f"choice {text!r} tokenizes to nothing")
-    return ids
 
 
 def serve_requests(engine, requests, tokenizer, k: int = 8):

@@ -14,8 +14,13 @@ Design (host-side, engine-agnostic):
   (allowed continuations), applied additively to the logits before
   argmax/sampling — so greedy AND temperature/top-p sampling both stay
   inside the constraint;
-- a cursor that reaches a leaf terminates its row (the engine treats it
-  like EOS).
+- a cursor that reaches a childless leaf terminates its row (the engine
+  treats it like EOS). At a leaf that still has children (one choice is a
+  strict prefix of another, e.g. "yes" / "yes please"), the EOS token is
+  ALSO allowed so the shorter choice stays reachable — emitting EOS there
+  commits the shorter string;
+- engines extend a constrained request's token budget to the longest
+  choice, so no row is cut off mid-choice with a partial string.
 
 The mask ride-along costs one (B, V) bool host->device transfer per step
 for batches with constrained rows (~256 KB at V=32k B=8); unconstrained
@@ -40,13 +45,14 @@ class TokenTrie:
     def __init__(self, sequences: Sequence[Sequence[int]]):
         if not sequences:
             raise ValueError("no sequences")
-        # node: dict token -> child node index; leaf marked by None entry.
         self.children: List[Dict[int, int]] = [{}]
         self.is_leaf: List[bool] = [False]
+        self.max_len = 0
         for seq in sequences:
             seq = [int(t) for t in seq]
             if not seq:
                 raise ValueError("empty choice sequence")
+            self.max_len = max(self.max_len, len(seq))
             node = 0
             for tok in seq:
                 nxt = self.children[node].get(tok)
@@ -66,24 +72,32 @@ class TokenTrie:
         return self.children[node].get(int(token))
 
     def done(self, node: int) -> bool:
-        """A leaf with no continuations ends the row. (A choice that is a
-        strict prefix of another keeps decoding until a leaf-with-no-child
-        or the engine's budget.)"""
+        """A leaf with no continuations ends the row."""
         return self.is_leaf[node] and not self.children[node]
 
 
 class ChoiceConstraint:
-    """Per-request decode state over a TokenTrie."""
+    """Per-request decode state over a TokenTrie.
 
-    def __init__(self, trie: TokenTrie):
+    ``eos_token_id``: when set (>= 0), EOS is allowed at any LEAF node —
+    the escape hatch that keeps a choice reachable when it is a strict
+    prefix of another choice.
+    """
+
+    def __init__(self, trie: TokenTrie, eos_token_id: Optional[int] = None):
         self.trie = trie
-        self.node: Optional[int] = 0  # None after a dead/finished path
+        self.node: Optional[int] = 0  # None after a finished/dead path
+        self.eos = (eos_token_id
+                    if eos_token_id is not None and eos_token_id >= 0
+                    else None)
 
     def mask(self, vocab_size: int) -> np.ndarray:
         """(V,) bool — True where the next token is allowed."""
         m = np.zeros((vocab_size,), bool)
         if self.node is not None:
             m[self.trie.allowed(self.node)] = True
+            if self.eos is not None and self.trie.is_leaf[self.node]:
+                m[self.eos] = True
         return m
 
     def advance(self, token: int) -> None:
@@ -92,32 +106,38 @@ class ChoiceConstraint:
 
     @property
     def finished(self) -> bool:
-        """True when a full choice has been emitted (or the path died —
-        only possible if the caller ignored the mask)."""
+        """True when a full choice has been emitted (EOS off a leaf lands
+        here too: the trie has no EOS edge, so the cursor dies)."""
         return self.node is None or self.trie.done(self.node)
 
 
-def choices_to_constraint(tokenizer, choices: Sequence[str]) -> ChoiceConstraint:
-    """Tokenize choice strings continuation-style (no BOS) into a
-    constraint. Tokenizers whose __call__ prepends BOS have it stripped."""
-    seqs = []
-    for c in choices:
-        ids = list(tokenizer(c).input_ids)
-        bos = getattr(tokenizer, "bos_token_id", None)
-        if bos is not None and ids and ids[0] == bos:
-            ids = ids[1:]
-        if not ids:
-            raise ValueError(f"choice {c!r} tokenizes to nothing")
-        seqs.append(ids)
-    return ChoiceConstraint(TokenTrie(seqs))
+def tokenize_choice(tokenizer, text: str) -> List[int]:
+    """Tokenize one choice continuation-style: leading BOS stripped, empty
+    results rejected. The single tokenization contract shared by the batch
+    CLI, the HTTP rows, and the MC eval driver."""
+    ids = list(tokenizer(text).input_ids)
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and ids and ids[0] == bos:
+        ids = ids[1:]
+    if not ids:
+        raise ValueError(f"choice {text!r} tokenizes to nothing")
+    return ids
 
 
-def apply_constraint_masks(
-    logits: np.ndarray, slots: Sequence, vocab_size: int
-) -> Optional[np.ndarray]:
-    """Build the (B, V) additive mask for the current slot set, or None
-    when no slot is constrained. ``slots`` holds engine Requests (or None);
-    a request participates iff it has a live ``_constraint``."""
+def choices_to_constraint(
+    tokenizer, choices: Sequence[str], eos_token_id: Optional[int] = None
+) -> ChoiceConstraint:
+    """Tokenize choice strings into a constraint."""
+    return ChoiceConstraint(
+        TokenTrie([tokenize_choice(tokenizer, c) for c in choices]),
+        eos_token_id=eos_token_id,
+    )
+
+
+def build_constraint_masks(slots: Sequence, vocab_size: int) -> Optional[np.ndarray]:
+    """Build the (B, V) additive logit mask for the current slot set, or
+    None when no slot is constrained. ``slots`` holds engine Requests (or
+    None); a request participates iff it has a live ``_constraint``."""
     rows = []
     any_active = False
     for r in slots:

@@ -278,9 +278,14 @@ class Server:
         except GeneratorExit:
             # Client went away mid-stream: free the slot immediately
             # instead of decoding the rest of max_new_tokens into the void.
+            # Still record the end (failed): otherwise disconnects leave
+            # requests_total and the e2e summary counting different
+            # populations.
             self.engine.cancel(req.uid)
+            self.metrics.on_finish(req, failed=True)
             raise
-        self.metrics.on_finish(req, failed=req.error is not None)
+        # Timeouts count as failures here, matching the non-streaming path.
+        self.metrics.on_finish(req, failed=(req.error is not None or timed_out))
         if req.error is not None:
             yield {"done": True, "id": req.uid, "error": req.error}
             return

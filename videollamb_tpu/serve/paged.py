@@ -230,12 +230,17 @@ class PagedServingEngine(ServingEngine):
             self.total_pages, skip_pages=n_full,
         )
         self.logits = self.logits.at[slot].set(logits[0])
+        self._install_constraint(req)  # prefix requests constrain too
         self.slot_pages[slot] = pages
         self._host_len[slot] = total_len
         self.slots[slot] = req
         return True
     def _release(self, slot: int) -> None:
-        self.slots[slot] = None
+        # Base release also clears the slot's multi-LoRA state — without
+        # it a finished adapter request's index leaks into the next
+        # occupant (a prefix-cached base request would decode with the
+        # stale adapter) and _live_adapter_idx never gates off again.
+        super()._release(slot)
         self.allocator.free(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self._host_len[slot] = 0
@@ -330,11 +335,7 @@ class PagedServingEngine(ServingEngine):
                 self.total_pages,
             )
             self.logits = self.logits.at[slot].set(logits[0])
-            if req.choices:
-                from videollamb_tpu.serve.constrained import (
-                    ChoiceConstraint, TokenTrie)
-
-                req._constraint = ChoiceConstraint(TokenTrie(req.choices))
+            self._install_constraint(req)
             self.slot_pages[slot] = pages
             self._host_len[slot] = prompt_len
             self.slots[slot] = req
@@ -404,10 +405,10 @@ class PagedServingEngine(ServingEngine):
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        from videollamb_tpu.serve.constrained import apply_constraint_masks
+        from videollamb_tpu.serve.constrained import build_constraint_masks
         from videollamb_tpu.serve.server import sample_slot_tokens
 
-        cmask = apply_constraint_masks(None, self.slots, self.cfg.lm.vocab_size)
+        cmask = build_constraint_masks(self.slots, self.cfg.lm.vocab_size)
         logits = (self.logits if cmask is None
                   else self.logits + jnp.asarray(cmask))
         nxt = sample_slot_tokens(logits, sub, self.slots)

@@ -250,12 +250,20 @@ class ServingEngine:
             )
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
-            if req.choices:
-                from videollamb_tpu.serve.constrained import (
-                    ChoiceConstraint, TokenTrie)
-
-                req._constraint = ChoiceConstraint(TokenTrie(req.choices))
+            self._install_constraint(req)
             self.slots[slot] = req
+
+    def _install_constraint(self, req: Request) -> None:
+        """Build the choice-set state for a constrained request
+        (serve/constrained.py) and extend its token budget to the longest
+        choice so no row is cut off mid-choice with a partial string."""
+        if not req.choices:
+            return
+        from videollamb_tpu.serve.constrained import ChoiceConstraint, TokenTrie
+
+        trie = TokenTrie(req.choices)
+        req._constraint = ChoiceConstraint(trie, eos_token_id=self.eos)
+        req.max_new_tokens = max(req.max_new_tokens, trie.max_len)
 
     def _live_adapter_idx(self):
         """The device index vector iff any active slot has an adapter;
@@ -326,9 +334,9 @@ class ServingEngine:
             return finished
 
         self.rng, sub = jax.random.split(self.rng)
-        from videollamb_tpu.serve.constrained import apply_constraint_masks
+        from videollamb_tpu.serve.constrained import build_constraint_masks
 
-        cmask = apply_constraint_masks(None, self.slots, self.cfg.lm.vocab_size)
+        cmask = build_constraint_masks(self.slots, self.cfg.lm.vocab_size)
         logits = (self.logits if cmask is None
                   else self.logits + jnp.asarray(cmask))
         nxt = sample_slot_tokens(logits, sub, self.slots)
