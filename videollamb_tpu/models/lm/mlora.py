@@ -19,6 +19,8 @@ load, so the stack needs no per-adapter scale vector at runtime.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any, Dict, List, Mapping, Tuple
 
 import jax.numpy as jnp
@@ -27,6 +29,54 @@ import numpy as np
 from videollamb_tpu.models.lm.lora import LORA_TARGETS
 
 Params = Dict[str, Any]
+
+
+def load_peft_adapter(path: str, num_layers: int) -> Dict[str, Any]:
+    """Load a PEFT-format LoRA adapter dir (adapter_config.json +
+    adapter weights — the format the reference's training writes,
+    llava/train/train.py:1128-1138) into the stacked adapter-dict layout
+    ``{"{proj}_lora_a": (L, d_in, r), ...}`` that add_multi_lora_params
+    consumes. The alpha/r scale is folded into A (models/lm/lora.py
+    convention). Torch lora_A is (r, d_in) and lora_B is (d_out, r);
+    both transpose to our (in, out) kernels."""
+    from videollamb_tpu.models.builder import load_state_dict
+
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    scale = acfg["lora_alpha"] / acfg["r"]
+    sd = load_state_dict(path)
+
+    per_target: Dict[str, Dict[int, Tuple[np.ndarray, np.ndarray]]] = {}
+    for k in [k for k in sd if k.endswith("lora_A.weight")]:
+        # base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight
+        parts = k.split(".")
+        try:
+            li = parts.index("layers")
+        except ValueError:
+            continue  # non-LM module (e.g. projector) — not servable here
+        layer = int(parts[li + 1])
+        target = parts[-3]
+        if target not in LORA_TARGETS:
+            continue
+        a = np.asarray(sd[k], np.float32).T * scale        # (d_in, r)
+        b = np.asarray(sd[k.replace("lora_A", "lora_B")], np.float32).T
+        per_target.setdefault(target, {})[layer] = (a, b)
+
+    if not per_target:
+        raise ValueError(f"{path}: no LM LoRA weights found")
+    out: Dict[str, Any] = {}
+    for target, rows in per_target.items():
+        missing = sorted(set(range(num_layers)) - set(rows))
+        if missing:
+            raise ValueError(
+                f"{path}: target {target!r} missing layers {missing[:4]}... "
+                f"({len(missing)}/{num_layers}) — partial-layer adapters "
+                "are not stackable")
+        out[f"{target}_lora_a"] = np.stack(
+            [rows[i][0] for i in range(num_layers)])
+        out[f"{target}_lora_b"] = np.stack(
+            [rows[i][1] for i in range(num_layers)])
+    return out
 
 
 def extract_lora_layers(params: Params) -> Dict[str, Any]:

@@ -25,6 +25,13 @@ different connections decode together in one slot batch.
   GET  /metrics       -> Prometheus text format: request/token counters,
                           TTFT and end-to-end latency summaries, slot
                           occupancy and queue-depth gauges.
+  GET  /v1/adapters   -> {"adapters": [names...]}
+  POST /v1/adapters   {"name": ..., "path": <PEFT adapter dir>} loads a
+                          LoRA fine-tune at runtime (re-stacks the
+                          adapter params; applied between engine steps;
+                          the next adapter request compiles fresh
+                          graphs). {"name": ..., "unload": true} removes
+                          one. 409 while adapter requests are in flight.
   POST /v1/cancel     {"id": ...} -> {"cancelled": bool}
 
 Threading model: HTTP handler threads (ThreadingHTTPServer) build
@@ -57,6 +64,10 @@ class RequestRejected(Exception):
     """Engine refused the request (policy, not server failure) -> 400."""
 
 
+class AdapterBusy(Exception):
+    """Adapter swap refused: adapter requests in flight -> 409."""
+
+
 class EngineWorker(threading.Thread):
     """Drives the engine; signals each request's completion Event. An
     exception out of step() (OOM, pool exhaustion, compile failure) fails
@@ -70,6 +81,8 @@ class EngineWorker(threading.Thread):
         self.k = k
         self.last_error: Optional[str] = None
         self._stopping = threading.Event()
+        # Admin ops applied between steps on this thread (adapter swaps).
+        self.admin: "queue.Queue" = queue.Queue()
 
     def _fail_inflight(self, message: str) -> None:
         inflight = [r for r in self.engine.slots if r is not None]
@@ -87,8 +100,22 @@ class EngineWorker(threading.Thread):
             if ev is not None:
                 ev.set()
 
+    def _drain_admin(self) -> None:
+        while not self.admin.empty():
+            try:
+                fn, done = self.admin.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                fn()
+                done["ok"] = True
+            except Exception as e:  # noqa: BLE001 — reported to the caller
+                done["error"] = f"{type(e).__name__}: {e}"
+            done["event"].set()
+
     def run(self) -> None:
         while not self._stopping.is_set():
+            self._drain_admin()
             if not self.engine.has_work():
                 time.sleep(0.002)
                 continue
@@ -195,6 +222,17 @@ class Server:
         self._uid_lock = threading.Lock()
         self._next_uid = 0
         self.metrics = Metrics()
+        # Adapter management state: name -> stacked adapter dict; the
+        # engine's base (adapter-free) params for re-stacking.
+        self._adapter_lock = threading.Lock()
+        self._adapter_sources: Dict[str, Any] = {}
+        base = dict(engine.params)
+        if "lm" in base:
+            lm = dict(base["lm"])
+            lm["layers"] = {k: v for k, v in lm["layers"].items()
+                            if "_mlora_" not in k}
+            base["lm"] = lm
+        self._base_params = base
         self.worker = EngineWorker(engine, k=k)
         self.worker.start()
 
@@ -311,6 +349,55 @@ class Server:
     def cancel(self, uid) -> bool:
         return self.engine.cancel(uid)
 
+    # ------------------------------------------------------------------
+    # Runtime adapter management (models/lm/mlora.py). The stack rebuild
+    # happens on the handler thread (host-side numpy); only the cheap
+    # params/registry swap runs on the worker thread between steps.
+    def list_adapters(self) -> Dict[str, Any]:
+        reg = getattr(self.engine, "adapter_registry", None) or {}
+        return {"adapters": sorted(reg)}
+
+    def manage_adapter(self, row: Dict[str, Any]) -> Dict[str, Any]:
+        from videollamb_tpu.models.lm.mlora import (
+            add_multi_lora_params,
+            load_peft_adapter,
+        )
+
+        name = row.get("name")
+        if not name:
+            raise RequestRejected("missing adapter 'name'")
+        with self._adapter_lock:
+            current = dict(self._adapter_sources)
+            if row.get("unload"):
+                if name not in current:
+                    raise RequestRejected(f"unknown adapter {name!r}")
+                del current[name]
+            else:
+                path = row.get("path")
+                if not path:
+                    raise RequestRejected("missing adapter 'path'")
+                current[name] = load_peft_adapter(
+                    path, self.chat.cfg.lm.num_hidden_layers)
+            base = self._base_params
+            if current:
+                params, registry = add_multi_lora_params(base, current)
+            else:
+                params, registry = base, None
+
+            done = {"event": threading.Event()}
+            self.worker.admin.put(
+                (lambda: self.engine.set_adapters(params, registry), done))
+            if not done["event"].wait(30.0):
+                raise RuntimeError("adapter swap timed out")
+            if "error" in done:
+                if "in flight" in done["error"]:
+                    raise AdapterBusy(done["error"])
+                raise RuntimeError(done["error"])
+            self._adapter_sources = current
+            # Keep prompt assembly on the same weights the engine decodes.
+            self.chat.params = params
+        return {"ok": True, "adapters": sorted(current)}
+
     def shutdown(self) -> None:
         self.worker.stop()
         self.worker.join(timeout=5)
@@ -337,6 +424,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:
         if self.path == "/v1/health":
             self._json(200, self.server_obj.health())
+        elif self.path == "/v1/adapters":
+            self._json(200, self.server_obj.list_adapters())
         elif self.path == "/metrics":
             body = self.server_obj.metrics.render(
                 self.server_obj.engine, self.server_obj.worker).encode()
@@ -382,6 +471,16 @@ class Handler(BaseHTTPRequestHandler):
             return
         if self.path == "/v1/cancel":
             self._json(200, {"cancelled": self.server_obj.cancel(row.get("id"))})
+            return
+        if self.path == "/v1/adapters":
+            try:
+                self._json(200, self.server_obj.manage_adapter(row))
+            except RequestRejected as e:
+                self._json(400, {"error": str(e)})
+            except AdapterBusy as e:
+                self._json(409, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return
         if self.path != "/v1/generate":
             self._json(404, {"error": f"unknown path {self.path}"})

@@ -253,6 +253,24 @@ class ServingEngine:
             self._install_constraint(req)
             self.slots[slot] = req
 
+    def set_adapters(self, params: Params, registry) -> None:
+        """Hot-swap the multi-LoRA stack (load/unload at runtime).
+
+        Callers must serialize with step() — the HTTP server applies it
+        on the engine worker thread between steps, and only while no
+        ACTIVE slot carries an adapter (in-flight adapter requests pin
+        the old index space). The next adapter-carrying step compiles
+        fresh graphs for the new K."""
+        if (self._adapter_host >= 0).any():
+            raise RuntimeError("adapter requests in flight; retry when drained")
+        self.params = params
+        self.adapter_registry = registry
+        if registry is not None:
+            if self.adapter_idx is None:
+                self.adapter_idx = jnp.full((self.num_slots,), -1, jnp.int32)
+        else:
+            self.adapter_idx = None
+
     def _install_constraint(self, req: Request) -> None:
         """Build the choice-set state for a constrained request
         (serve/constrained.py) and extend its token budget to the longest
