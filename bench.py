@@ -435,6 +435,14 @@ def main():
                 bench_paged_batch(cfg7b, params7b, 8), 1)
         except Exception as e:  # noqa: BLE001
             extra["paged_batch8_error"] = type(e).__name__
+        try:
+            # The serving sweet spot after the round-3 dispatch remeasure:
+            # pool-int8 attention scales past the old 8-slot config
+            # (24 slots = the measured aggregate peak at 512-token ctx).
+            extra["paged_batch24_int8_tok_s"] = round(
+                bench_paged_batch(cfg7b, params7b, 24), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["paged_batch24_error"] = type(e).__name__
     if params7b is not None:
         try:
             extra["ttft_s_per_min_p50"] = round(

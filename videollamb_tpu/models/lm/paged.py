@@ -243,19 +243,24 @@ def paged_decode_step(
     kp, vp = cache.k_pages, cache.v_pages
     kp_s, vp_s = cache.k_scales, cache.v_scales
     quantized = kp_s is not None
-    # Dispatch (regimes measured on v5e at 7B, round 3): int8 pages route
-    # to the shared-pool int8 MXU path while one slot's pages are a
-    # meaningful fraction of the pool (serving regime — every slot scans
-    # the pool, so compute grows with B * pool size); the stock Pallas
-    # kernel (lane-aligned head_dim only) takes over for big-pool/long
-    #-context configs where its read-only-active-pages advantage wins;
-    # short bf16 contexts prefer the XLA gather. Numbers: pool-int8
-    # ~2.3 ms/step for all layers vs ~21 (kernel) / ~18 (gathered dequant)
-    # — see docs/PERFORMANCE.md.
+    # Dispatch (regimes measured on v5e at 7B; round-3 continuation
+    # remeasured the whole envelope): int8 pages ALWAYS take the
+    # shared-pool int8 MXU path. The original heuristic kept the stock
+    # Pallas kernel for big pools on the theory that reading only active
+    # pages wins there — measured false at every practical shape: the
+    # kernel's (1, B, H_kv) grid overhead grows with BOTH slots and
+    # context (59.8 ms/step at 24x512ctx, 107.6 at 8x3072ctx) while
+    # pool-int8 measures 27.7 and 30.7 ms/step at the same shapes
+    # (aggregate 867 vs 401 and 261 vs 74 tok/s). Pool-int8 compute does
+    # grow with B x total_pages, so extreme pools (many slots x very long
+    # contexts) eventually need a better kernel — docs/PERFORMANCE.md has
+    # the sweep. Short bf16 contexts prefer the XLA gather; long bf16
+    # contexts keep the stock kernel (gather materializes the pool in
+    # float).
     on_tpu = jax.default_backend() == "tpu"
-    use_pool_int8 = quantized and total_pages <= 16 * pps
+    use_pool_int8 = quantized
     use_kernel = (on_tpu and dh % 128 == 0 and not use_pool_int8
-                  and (quantized or pps >= 16))
+                  and pps >= 16)
     block = 8
     while pps % block:
         block //= 2
