@@ -181,7 +181,8 @@ def make_engine(args, cfg=None, params=None):
         jax.block_until_ready(params["video_tower"])
     if args.engine == "paged":
         engine = PagedServingEngine(params, cfg, num_slots=args.slots,
-                                    quantize_kv=True)
+                                    quantize_kv=True,
+                                    total_pages=args.total_pages)
     else:
         engine = ServingEngine(params, cfg, num_slots=args.slots,
                                max_seq_len=cfg.max_length + 128)
@@ -229,6 +230,11 @@ def parse_args(argv=None):
     p.add_argument("--max-new", type=int, default=48)
     p.add_argument("--k", type=int, default=4,
                    help="device-side decode steps per host sync")
+    p.add_argument("--total-pages", type=int, default=None,
+                   help="paged engine pool size (oversubscribe: slots "
+                        "backpressure when the pool is full; default = "
+                        "full per-slot capacity, which exceeds HBM past "
+                        "~12 slots at video contexts)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=600.0)
     return p.parse_args(argv)
