@@ -146,14 +146,18 @@ def test_worker_engine_error_fails_inflight_and_degrades_health(http_srv):
     """An exception out of engine.step must fail waiting clients with
     HTTP 500 (not hang them to the timeout) and flip /v1/health to
     degraded (round-3 code-review finding: the worker died silently)."""
-    # Reach into the live server to make exactly one step raise.
-    from videollamb_tpu.serve import http_server as hs
-    # The fixture keeps one Server per module; find it via the handler.
-    srv = None
+    # Reach into the live server to make exactly one step raise. Other
+    # test modules may hold their own Server instances in the same
+    # process, so match THIS fixture's server by its bound port.
     import gc
+    import http.server
+
+    port = int(http_srv.rsplit(":", 1)[1])
+    srv = None
     for obj in gc.get_objects():
-        if isinstance(obj, hs.Server):
-            srv = obj
+        if (isinstance(obj, http.server.ThreadingHTTPServer)
+                and obj.server_address[1] == port):
+            srv = obj.RequestHandlerClass.server_obj
             break
     assert srv is not None
     real_step = srv.engine.step

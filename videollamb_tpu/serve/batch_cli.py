@@ -22,8 +22,16 @@ from typing import Any, Dict, List
 
 def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     """Host-side preprocessing: conversation template + media -> Requests
-    (one fresh single-turn conversation per request, reference cli.py
-    prompt assembly)."""
+    (one fresh conversation per request, reference cli.py prompt assembly).
+
+    Optional row fields beyond the module docstring's schema:
+      "history": [[user, assistant], ...] — prior turns appended before the
+          prompt (multi-turn chat over the stateless engines; the OpenAI
+          /v1/chat/completions route builds these rows);
+      "system": replaces the conversation template's system prompt;
+      "raw": true — no template at all, the prompt is tokenized verbatim
+          (OpenAI /v1/completions semantics; text-only).
+    """
     import jax.numpy as jnp
     import numpy as np
 
@@ -36,6 +44,36 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     from videollamb_tpu.data.media import load_media_blocks
 
     for row in lines:
+        # Constrained decoding: "choices": ["A", "B", ...] on a row pins
+        # the output to one of the strings (serve/constrained.py).
+        choice_ids = None
+        if row.get("choices"):
+            from videollamb_tpu.serve.constrained import tokenize_choice
+
+            choice_ids = [tokenize_choice(chat.tokenizer, c)
+                          for c in row["choices"]]
+        if row.get("raw"):
+            if any(row.get(k) for k in ("video", "image", "audio")):
+                raise ValueError("'raw' rows are text-only (no template to "
+                                 "place media tags in)")
+            ids_list = chat.tokenizer(row["prompt"]).input_ids
+            t = max(chat.text_bucket,
+                    -(-len(ids_list) // chat.text_bucket) * chat.text_bucket)
+            ids = np.zeros((1, t), np.int32)
+            mask = np.zeros((1, t), np.int32)
+            ids[0, : len(ids_list)] = ids_list
+            mask[0, : len(ids_list)] = 1
+            reqs.append(Request(
+                uid=row.get("id"),
+                batch=MultimodalBatch(
+                    input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+                    labels=None, videos=None, images=None),
+                max_new_tokens=int(row.get("max_new_tokens", 128)),
+                temperature=float(row.get("temperature", 0.0)),
+                adapter=row.get("adapter"),
+                choices=choice_ids,
+            ))
+            continue
         # Load every medium the row names, in (video, image, audio) order —
         # a row with 2+ media becomes ONE mixed-modality request whose k-th
         # prompt tag binds block k (reference multi-X request assembly,
@@ -50,11 +88,20 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
         ]
 
         chat.reset()
+        if row.get("system") is not None:
+            chat.conv.system = row["system"]
+        history = row.get("history") or []
         question = row["prompt"]
-        # Prepend one tag per medium not already placed in the prompt text.
+        # Prepend one tag per medium not already placed in the prompt text
+        # (or in a prior turn — multi-turn rows may have bound the medium
+        # when it was first shown).
+        seen = question + "".join(u + (a or "") for u, a in history)
         for modality, _ in reversed(media):
-            if DEFAULT_X_TOKEN[modality] not in question:
+            if DEFAULT_X_TOKEN[modality] not in seen:
                 question = DEFAULT_X_TOKEN[modality] + "\n" + question
+        for user_msg, assistant_msg in history:
+            chat.conv.append_message(chat.conv.roles[0], user_msg)
+            chat.conv.append_message(chat.conv.roles[1], assistant_msg)
         chat.conv.append_message(chat.conv.roles[0], question)
         chat.conv.append_message(chat.conv.roles[1], None)
 
@@ -80,14 +127,6 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
             labels=None, videos=videos, images=images, blocks=blocks,
         )
-        # Constrained decoding: "choices": ["A", "B", ...] on a row pins
-        # the output to one of the strings (serve/constrained.py).
-        choice_ids = None
-        if row.get("choices"):
-            from videollamb_tpu.serve.constrained import tokenize_choice
-
-            choice_ids = [tokenize_choice(chat.tokenizer, c)
-                          for c in row["choices"]]
         reqs.append(Request(
             uid=row.get("id"),
             batch=batch,

@@ -34,6 +34,15 @@ different connections decode together in one slot batch.
                           one. 409 while adapter requests are in flight.
   POST /v1/cancel     {"id": ...} -> {"cancelled": bool}
 
+OpenAI-compatible surface (serve/openai_api.py — existing OpenAI SDK /
+LangChain clients work unchanged, multimodal content parts included):
+  POST /v1/chat/completions   messages -> chat template; "model" routes
+                              to the base model or a served LoRA adapter;
+                              "stop" sequences cancel the slot on match;
+                              "stream": true -> OpenAI SSE chunks.
+  POST /v1/completions        raw continuation, no template.
+  GET  /v1/models             base model + live adapters.
+
 Threading model: HTTP handler threads (ThreadingHTTPServer) build
 requests — each under a throwaway per-request Chat clone, so media
 decoding never serializes behind another client's — and wait on a
@@ -214,11 +223,13 @@ class Metrics:
 class Server:
     """Engine + worker + prompt assembly shared by all handler threads."""
 
-    def __init__(self, chat, engine, k: int = 4, timeout_s: float = 600.0):
+    def __init__(self, chat, engine, k: int = 4, timeout_s: float = 600.0,
+                 model_name: str = "videollamb"):
         self.chat = chat
         self.engine = engine
         self.tokenizer = chat.tokenizer
         self.timeout_s = timeout_s
+        self.model_name = model_name
         self._uid_lock = threading.Lock()
         self._next_uid = 0
         self.metrics = Metrics()
@@ -283,17 +294,34 @@ class Server:
         self.metrics.on_finish(req, failed=req.error is not None)
         return self._finish(req)
 
-    def generate_stream(self, row: Dict[str, Any]):
-        """Yields per-token event dicts, then a final done event."""
-        req = self.build(row)
+    def generate_stream(self, row: Dict[str, Any], stops=None):
+        """Per-token event dicts, then a final done event. ``stops``:
+        server-side stop sequences — emission is withheld while the tail
+        could still grow into a stop match, and a match cancels the slot
+        immediately (serve/openai_api.StopMatcher)."""
+        return self.stream_request(self.build(row), stops=stops)
+
+    def _prompt_tokens(self, req) -> int:
+        """Text prompt length (media splice expansion is device-side and
+        not synced back; text-only rows report the exact spliced length)."""
+        if req.prompt_len is not None:
+            return int(req.prompt_len)
+        return int(req.batch.attention_mask.sum())
+
+    def stream_request(self, req, stops=None):
+        from videollamb_tpu.serve.openai_api import StopMatcher
+
         events: "queue.Queue[int]" = queue.Queue()
         metrics_hook = req.on_token  # chain: keep the metrics callback
         req.on_token = lambda r, tok: (metrics_hook(r, tok),
                                        events.put(tok))
+        matcher = StopMatcher(stops) if stops else None
         self.engine.submit(req)
         deadline = time.monotonic() + self.timeout_s
         emitted = 0
+        emitted_text: list = []
         timed_out = False
+        stop_matched = False
         try:
             while True:
                 try:
@@ -312,7 +340,16 @@ class Server:
                                               skip_special_tokens=True)
                 prev = self.tokenizer.decode(req.tokens[:emitted - 1],
                                              skip_special_tokens=True)
-                yield {"token": piece[len(prev):]}
+                piece = piece[len(prev):]
+                if matcher is not None:
+                    piece, stop_matched = matcher.feed(piece)
+                if piece:
+                    emitted_text.append(piece)
+                    yield {"token": piece}
+                if stop_matched:
+                    # Free the slot now — decoding past the stop is waste.
+                    self.engine.cancel(req.uid)
+                    break
         except GeneratorExit:
             # Client went away mid-stream: free the slot immediately
             # instead of decoding the rest of max_new_tokens into the void.
@@ -322,17 +359,144 @@ class Server:
             self.engine.cancel(req.uid)
             self.metrics.on_finish(req, failed=True)
             raise
+        if matcher is not None and not stop_matched:
+            tail = matcher.flush()  # held text that never became a stop
+            if tail:
+                emitted_text.append(tail)
+                yield {"token": tail}
         # Timeouts count as failures here, matching the non-streaming path.
         self.metrics.on_finish(req, failed=(req.error is not None or timed_out))
         if req.error is not None:
             yield {"done": True, "id": req.uid, "error": req.error}
             return
-        text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
+        if matcher is not None:
+            text = "".join(emitted_text)
+        else:
+            text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
+        if stop_matched or (not timed_out
+                            and len(req.tokens) < req.max_new_tokens):
+            finish_reason = "stop"
+        else:
+            finish_reason = "length"
         event = {"done": True, "id": req.uid, "text": text.strip(),
-                 "tokens": len(req.tokens)}
+                 "tokens": len(req.tokens), "finish_reason": finish_reason,
+                 "prompt_tokens": self._prompt_tokens(req)}
         if timed_out:
             event["timeout"] = True
         yield event
+
+    # ------------------------------------------------------------------
+    # OpenAI-compatible endpoints (serve/openai_api.py converters).
+    def _adapter_names(self):
+        return sorted(getattr(self.engine, "adapter_registry", None) or {})
+
+    def openai_models(self) -> Dict[str, Any]:
+        from videollamb_tpu.serve import openai_api as oai
+
+        return oai.models_response(self.model_name, self._adapter_names())
+
+    def _openai_row(self, body: Dict[str, Any], chat_mode: bool):
+        from videollamb_tpu.serve import openai_api as oai
+
+        if chat_mode:
+            return oai.row_from_chat_completions(
+                body, self.model_name, self._adapter_names())
+        row, stops = oai.row_from_completions(
+            body, self.model_name, self._adapter_names())
+        return row, stops, []
+
+    def openai_generate(self, body: Dict[str, Any],
+                        chat_mode: bool = True) -> Dict[str, Any]:
+        """Non-streaming chat/completions. Drains the token stream (the
+        same engine path the SSE route uses) so stop sequences cancel the
+        slot mid-decode and a timeout returns the partial text with
+        finish_reason=length instead of HTTP 504."""
+        from videollamb_tpu.serve import openai_api as oai
+
+        row, stops, temp_paths = self._openai_row(body, chat_mode)
+        model = body.get("model") or self.model_name
+        try:
+            final = None
+            for event in self.generate_stream(row, stops=stops):
+                if event.get("done"):
+                    final = event
+            if final.get("error"):
+                err = final["error"]
+                if err.startswith(("rejected", "unknown adapter",
+                                   "engine has no adapter")):
+                    raise RequestRejected(err)
+                raise RuntimeError(err)
+            usage = oai.usage_dict(final["prompt_tokens"], final["tokens"])
+            if chat_mode:
+                return oai.chat_completion_response(
+                    final["id"], model, final["text"],
+                    final["finish_reason"], usage)
+            return oai.completion_response(
+                final["id"], model, final["text"],
+                final["finish_reason"], usage)
+        finally:
+            oai._cleanup(temp_paths)
+
+    def openai_stream(self, body: Dict[str, Any], chat_mode: bool = True):
+        """Validates + builds the request EAGERLY (conversion errors must
+        become 4xx JSON, not SSE), then returns the chunk generator:
+        OpenAI chunk dicts, a final finish_reason chunk (plus a usage
+        chunk under stream_options.include_usage), then "[DONE]"."""
+        from videollamb_tpu.serve import openai_api as oai
+
+        row, stops, temp_paths = self._openai_row(body, chat_mode)
+        model = body.get("model") or self.model_name
+        include_usage = bool(
+            (body.get("stream_options") or {}).get("include_usage"))
+        try:
+            req = self.build(row)
+        except Exception:
+            oai._cleanup(temp_paths)
+            raise
+        rid = req.uid
+
+        def chunks():
+            try:
+                first = True
+                final = None
+                for event in self.stream_request(req, stops=stops):
+                    if event.get("done"):
+                        final = event
+                        continue
+                    if chat_mode:
+                        delta = {"content": event["token"]}
+                        if first:
+                            delta["role"] = "assistant"
+                            first = False
+                        yield oai.chat_completion_chunk(rid, model, delta,
+                                                        None)
+                    else:
+                        yield oai.completion_chunk(rid, model,
+                                                   event["token"], None)
+                if final.get("error"):
+                    yield oai.error_body(final["error"])
+                else:
+                    if chat_mode:
+                        yield oai.chat_completion_chunk(
+                            rid, model, {}, final["finish_reason"])
+                    else:
+                        yield oai.completion_chunk(
+                            rid, model, "", final["finish_reason"])
+                    if include_usage:
+                        usage = oai.usage_dict(final["prompt_tokens"],
+                                               final["tokens"])
+                        chunk = (oai.chat_completion_chunk(rid, model, {},
+                                                           None)
+                                 if chat_mode else
+                                 oai.completion_chunk(rid, model, "", None))
+                        chunk["choices"] = []
+                        chunk["usage"] = usage
+                        yield chunk
+                yield "[DONE]"
+            finally:
+                oai._cleanup(temp_paths)
+
+        return chunks()
 
     def health(self) -> Dict[str, Any]:
         degraded = (self.worker.last_error is not None
@@ -424,6 +588,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:
         if self.path == "/v1/health":
             self._json(200, self.server_obj.health())
+        elif self.path == "/v1/models":
+            self._json(200, self.server_obj.openai_models())
         elif self.path == "/v1/adapters":
             self._json(200, self.server_obj.list_adapters())
         elif self.path == "/metrics":
@@ -463,6 +629,52 @@ class Handler(BaseHTTPRequestHandler):
             except OSError:
                 pass
 
+    def _openai(self, body: Dict[str, Any], chat_mode: bool) -> None:
+        """POST /v1/chat/completions and /v1/completions. Conversion and
+        build errors are 4xx JSON with OpenAI error bodies; once an SSE
+        stream has started, errors become in-band chunks."""
+        from videollamb_tpu.serve import openai_api as oai
+
+        try:
+            if not body.get("stream"):
+                self._json(200, self.server_obj.openai_generate(
+                    body, chat_mode=chat_mode))
+                return
+            chunks = self.server_obj.openai_stream(body, chat_mode=chat_mode)
+        except oai.BadRequest as e:
+            self._json(e.status, oai.error_body(str(e), e.code))
+            return
+        except FileNotFoundError as e:
+            self._json(400, oai.error_body(str(e)))
+            return
+        except RequestRejected as e:
+            self._json(400, oai.error_body(str(e)))
+            return
+        except Exception as e:  # noqa: BLE001 — surface, don't kill the thread
+            self._json(500, {"error": {"message": f"{type(e).__name__}: {e}",
+                                       "type": "server_error"}})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        try:
+            for chunk in chunks:
+                payload = (b"[DONE]" if chunk == "[DONE]"
+                           else json.dumps(chunk).encode())
+                self.wfile.write(b"data: " + payload + b"\n\n")
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            chunks.close()  # GeneratorExit -> engine.cancel + temp cleanup
+        except Exception as e:  # noqa: BLE001 — in-band error chunk
+            try:
+                self.wfile.write(
+                    b"data: " + json.dumps(oai.error_body(
+                        f"{type(e).__name__}: {e}")).encode() + b"\n\n")
+                self.wfile.flush()
+            except OSError:
+                pass
+
     def do_POST(self) -> None:
         try:
             row = self._read_body()
@@ -481,6 +693,9 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(409, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if self.path in ("/v1/chat/completions", "/v1/completions"):
+            self._openai(row, chat_mode=self.path == "/v1/chat/completions")
             return
         if self.path != "/v1/generate":
             self._json(404, {"error": f"unknown path {self.path}"})
@@ -502,10 +717,12 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def make_server(chat, engine, host: str = "127.0.0.1", port: int = 8000,
-                k: int = 4, timeout_s: float = 600.0):
+                k: int = 4, timeout_s: float = 600.0,
+                model_name: str = "videollamb"):
     """Returns (ThreadingHTTPServer, Server). Port 0 picks an ephemeral
     port (tests); read it back from httpd.server_address."""
-    srv = Server(chat, engine, k=k, timeout_s=timeout_s)
+    srv = Server(chat, engine, k=k, timeout_s=timeout_s,
+                 model_name=model_name)
     handler = type("BoundHandler", (Handler,), {"server_obj": srv})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, srv
@@ -526,6 +743,9 @@ def main(argv=None):
                         help="resize/normalize video frames on the TPU "
                              "(benchmarks/ingest_bench.py)")
     parser.add_argument("--sync-every", type=int, default=4)
+    parser.add_argument("--served-model-name", default=None,
+                        help="name under /v1/models and accepted as "
+                             "'model' (default: the model path's basename)")
     args = parser.parse_args(argv)
 
     from videollamb_tpu.models.builder import load_pretrained_model
@@ -548,8 +768,12 @@ def main(argv=None):
 
         engine = ServingEngine(params, cfg, num_slots=args.num_slots,
                                eos_token_id=eos)
+    import os
+
+    name = (args.served_model_name
+            or os.path.basename(args.model_path.rstrip("/")) or "videollamb")
     httpd, srv = make_server(chat, engine, args.host, args.port,
-                             k=args.sync_every)
+                             k=args.sync_every, model_name=name)
     print(f"serving on http://{args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()

@@ -1,0 +1,380 @@
+"""OpenAI-compatible API: request/response converters for the HTTP server.
+
+The reference serves interactively (``llava/serve/cli.py``, gradio); this
+framework's deployment surface is ``serve/http_server.py``. This module
+makes that surface speak the OpenAI protocol so existing OpenAI clients
+(the ``openai`` SDK, LangChain, curl recipes) drive the engines unchanged:
+
+  POST /v1/chat/completions   messages (system/user/assistant turns,
+      multimodal content parts) -> one engine request. ``model`` selects
+      the base model or a served LoRA adapter by name (multi-LoRA routing,
+      the vLLM convention). ``stop`` sequences are enforced server-side
+      with incremental matching: a stream never emits text past (or any
+      prefix of) a stop match, and the request's slot is cancelled the
+      moment the stop hits — no dead decoding.
+  POST /v1/completions        raw continuation (no chat template).
+  GET  /v1/models             base model + live adapters.
+
+Media parts accepted in user-message content lists:
+  {"type": "image_url", "image_url": {"url": <path|file://|data:...>}}
+  {"type": "video_url", "video_url": {"url": ...}}   (vLLM extension)
+  {"type": "audio_url", "audio_url": {"url": ...}}
+  {"type": "input_audio", "input_audio": {"data": <b64>, "format": "wav"}}
+``data:`` URIs / ``input_audio`` are materialized to temp files for the
+media loaders; callers clean up via the returned ``temp_paths``.
+
+This module is pure host-side format plumbing (no jax): converters raise
+``BadRequest`` with an OpenAI-style error payload; the HTTP layer maps it
+to a status code. One medium per modality per request — that is the
+engines' row schema (``serve/batch_cli.build_requests``), which mirrors
+the reference's one-X-per-prompt assembly (llava/serve/cli.py:61-72).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import tempfile
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+from videollamb_tpu.constants import DEFAULT_X_TOKEN
+
+# OpenAI part type -> (modality key, url field) for URL-carrying parts.
+_URL_PARTS = {
+    "image_url": ("IMAGE", "image_url"),
+    "video_url": ("VIDEO", "video_url"),
+    "audio_url": ("AUDIO", "audio_url"),
+}
+
+_DATA_SUFFIX = {"image": ".png", "video": ".mp4", "audio": ".wav"}
+
+
+class BadRequest(Exception):
+    """Client error -> HTTP 4xx with an OpenAI error body."""
+
+    def __init__(self, message: str, code: Optional[str] = None,
+                 status: int = 400):
+        super().__init__(message)
+        self.code = code
+        self.status = status
+
+
+def error_body(message: str, code: Optional[str] = None) -> Dict[str, Any]:
+    return {"error": {"message": message, "type": "invalid_request_error",
+                      "code": code}}
+
+
+def _materialize_url(url: str, kind: str,
+                     temp_paths: List[str]) -> str:
+    """data: URIs become temp files; file:// and plain paths pass through."""
+    if url.startswith("data:"):
+        try:
+            header, payload = url.split(",", 1)
+            raw = base64.b64decode(payload, validate=True)
+        except (ValueError, binascii.Error) as e:
+            raise BadRequest(f"bad data: URI for {kind}: {e}") from e
+        mime = header[len("data:"):].split(";")[0]  # e.g. image/png
+        suffix = ("." + mime.split("/", 1)[1] if "/" in mime
+                  else _DATA_SUFFIX.get(kind, ""))
+        f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        f.write(raw)
+        f.close()
+        temp_paths.append(f.name)
+        return f.name
+    if url.startswith("file://"):
+        return url[len("file://"):]
+    return url
+
+
+def _content_to_text_and_media(
+    content: Any, media: Dict[str, str], temp_paths: List[str],
+) -> str:
+    """One message's content -> text with inline <image>/<video>/<audio>
+    tags where media parts appeared (tag order = splice block order)."""
+    if content is None:
+        return ""
+    if isinstance(content, str):
+        return content
+    if not isinstance(content, list):
+        raise BadRequest("message content must be a string or a list of parts")
+    pieces: List[str] = []
+    for part in content:
+        if not isinstance(part, dict):
+            raise BadRequest("content parts must be objects")
+        ptype = part.get("type")
+        if ptype == "text":
+            pieces.append(part.get("text", ""))
+        elif ptype in _URL_PARTS:
+            modality, field = _URL_PARTS[ptype]
+            spec = part.get(field)
+            url = spec.get("url") if isinstance(spec, dict) else spec
+            if not url:
+                raise BadRequest(f"part {ptype!r} is missing its url")
+            if modality in media:
+                raise BadRequest(
+                    f"more than one {modality.lower()} attached — the model "
+                    "binds one medium per modality per request")
+            media[modality] = _materialize_url(
+                url, modality.lower(), temp_paths)
+            pieces.append(DEFAULT_X_TOKEN[modality])
+        elif ptype == "input_audio":
+            spec = part.get("input_audio") or {}
+            data = spec.get("data")
+            if not data:
+                raise BadRequest("input_audio part is missing 'data'")
+            if "AUDIO" in media:
+                raise BadRequest("more than one audio attached")
+            fmt = spec.get("format", "wav")
+            media["AUDIO"] = _materialize_url(
+                f"data:audio/{fmt};base64,{data}", "audio", temp_paths)
+            pieces.append(DEFAULT_X_TOKEN["AUDIO"])
+        else:
+            raise BadRequest(f"unsupported content part type {ptype!r}")
+    return "\n".join(p for p in pieces if p)
+
+
+def resolve_model(body: Dict[str, Any], served_model: str,
+                  adapters: List[str]) -> Optional[str]:
+    """OpenAI ``model`` -> adapter name (None = base). Unknown -> 404,
+    matching the OpenAI API's model_not_found behavior."""
+    model = body.get("model") or served_model
+    if model == served_model:
+        return None
+    if model in adapters:
+        return model
+    raise BadRequest(f"model {model!r} not found (served: {served_model}"
+                     + (f", adapters: {', '.join(adapters)}" if adapters
+                        else "") + ")",
+                     code="model_not_found", status=404)
+
+
+def _common_params(body: Dict[str, Any], row: Dict[str, Any]) -> List[str]:
+    """Sampling/limit params shared by both endpoints; returns stops."""
+    if body.get("n", 1) != 1:
+        raise BadRequest("only n=1 is supported")
+    if body.get("tools") or body.get("functions"):
+        raise BadRequest("tool calling is not supported")
+    fmt = (body.get("response_format") or {}).get("type", "text")
+    if fmt != "text":
+        raise BadRequest(f"response_format {fmt!r} is not supported")
+    row["max_new_tokens"] = int(
+        body.get("max_completion_tokens") or body.get("max_tokens") or 128)
+    row["temperature"] = float(body.get("temperature", 0.0) or 0.0)
+    row["top_p"] = float(body.get("top_p", 1.0) or 1.0)
+    # ("seed" is accepted but ignored: the engine RNG is per-process, the
+    # OpenAI contract for seed is best-effort anyway.)
+    # Extension: constrained decoding rides through (serve/constrained.py).
+    if body.get("choices") and isinstance(body["choices"], list):
+        row["choices"] = body["choices"]
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    stops = [stop] if isinstance(stop, str) else list(stop)
+    if not all(isinstance(s, str) and s for s in stops):
+        raise BadRequest("'stop' must be a non-empty string or a list of them")
+    return stops
+
+
+def row_from_chat_completions(
+    body: Dict[str, Any], served_model: str, adapters: List[str],
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Chat-completions body -> (engine row, stop sequences, temp paths).
+
+    Conversation mapping: the (optional, leading) system message replaces
+    the template's system prompt; alternating user/assistant turns become
+    the row's ``history``; the final message must be from the user and
+    becomes the prompt. Media may appear in any user turn (tags stay where
+    the parts appeared, so the splice binds blocks in conversation order).
+    """
+    adapter = resolve_model(body, served_model, adapters)
+    messages = body.get("messages")
+    if not messages or not isinstance(messages, list):
+        raise BadRequest("'messages' must be a non-empty list")
+
+    temp_paths: List[str] = []
+    media: Dict[str, str] = {}
+    row: Dict[str, Any] = {}
+    try:
+        turns: List[Tuple[str, str]] = []  # (role, text)
+        for i, msg in enumerate(messages):
+            role = msg.get("role")
+            if role == "system":
+                if i != 0:
+                    raise BadRequest("system message must come first")
+                row["system"] = _content_to_text_and_media(
+                    msg.get("content"), media, temp_paths)
+                continue
+            if role not in ("user", "assistant"):
+                raise BadRequest(f"unsupported role {role!r}")
+            turns.append((role, _content_to_text_and_media(
+                msg.get("content"), media, temp_paths)))
+        if not turns or turns[-1][0] != "user":
+            raise BadRequest("the last message must be from the user")
+        history: List[List[Optional[str]]] = []
+        i = 0
+        while i < len(turns) - 1:
+            if turns[i][0] != "user" or turns[i + 1][0] != "assistant":
+                raise BadRequest(
+                    "messages must alternate user/assistant and end with "
+                    "a user message")
+            history.append([turns[i][1], turns[i + 1][1]])
+            i += 2
+        row["prompt"] = turns[-1][1]
+        if history:
+            row["history"] = history
+        for modality, path in media.items():
+            row[modality.lower()] = path  # VIDEO->"video", IMAGE->"image", ...
+        if adapter is not None:
+            row["adapter"] = adapter
+        stops = _common_params(body, row)
+        return row, stops, temp_paths
+    except BadRequest:
+        _cleanup(temp_paths)
+        raise
+
+
+def row_from_completions(
+    body: Dict[str, Any], served_model: str, adapters: List[str],
+) -> Tuple[Dict[str, Any], List[str]]:
+    """Legacy completions body -> (raw engine row, stop sequences)."""
+    adapter = resolve_model(body, served_model, adapters)
+    prompt = body.get("prompt")
+    if isinstance(prompt, list):
+        if len(prompt) != 1 or not isinstance(prompt[0], str):
+            raise BadRequest("only a single string prompt is supported")
+        prompt = prompt[0]
+    if not isinstance(prompt, str) or not prompt:
+        raise BadRequest("'prompt' must be a non-empty string")
+    row: Dict[str, Any] = {"prompt": prompt, "raw": True}
+    if adapter is not None:
+        row["adapter"] = adapter
+    stops = _common_params(body, row)
+    if body.get("echo"):
+        raise BadRequest("'echo' is not supported")
+    return row, stops
+
+
+def _cleanup(paths: List[str]) -> None:
+    import os
+
+    for p in paths:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+
+class StopMatcher:
+    """Incremental stop-sequence matching for streams.
+
+    ``feed(piece)`` returns (text safe to emit now, matched?). Text that
+    could still grow into a stop match is held back, so a client never
+    sees any prefix of a stop sequence; on a match everything before the
+    match is released and the held remainder is dropped. ``flush()``
+    releases the held tail at end-of-stream (it turned out not to be a
+    stop after all)."""
+
+    def __init__(self, stops: List[str]):
+        self.stops = stops
+        self._held = ""
+        self.matched = False
+
+    def feed(self, piece: str) -> Tuple[str, bool]:
+        if self.matched:
+            return "", True
+        buf = self._held + piece
+        cut = min((buf.find(s) for s in self.stops if s in buf), default=-1)
+        if cut >= 0:
+            self.matched = True
+            self._held = ""
+            return buf[:cut], True
+        # Longest suffix of buf that is a proper prefix of some stop.
+        hold = 0
+        for s in self.stops:
+            for k in range(min(len(s) - 1, len(buf)), hold, -1):
+                if buf.endswith(s[:k]):
+                    hold = k
+                    break
+        self._held = buf[len(buf) - hold:] if hold else ""
+        return buf[: len(buf) - hold] if hold else buf, False
+
+    def flush(self) -> str:
+        out, self._held = self._held, ""
+        return out
+
+
+def usage_dict(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
+    return {"prompt_tokens": prompt_tokens,
+            "completion_tokens": completion_tokens,
+            "total_tokens": prompt_tokens + completion_tokens}
+
+
+def chat_completion_response(
+    rid: str, model: str, text: str, finish_reason: str,
+    usage: Dict[str, int],
+) -> Dict[str, Any]:
+    return {
+        "id": f"chatcmpl-{rid}",
+        "object": "chat.completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [{
+            "index": 0,
+            "message": {"role": "assistant", "content": text},
+            "finish_reason": finish_reason,
+        }],
+        "usage": usage,
+    }
+
+
+def chat_completion_chunk(
+    rid: str, model: str, delta: Dict[str, Any],
+    finish_reason: Optional[str],
+) -> Dict[str, Any]:
+    return {
+        "id": f"chatcmpl-{rid}",
+        "object": "chat.completion.chunk",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [{"index": 0, "delta": delta,
+                     "finish_reason": finish_reason}],
+    }
+
+
+def completion_response(
+    rid: str, model: str, text: str, finish_reason: str,
+    usage: Dict[str, int],
+) -> Dict[str, Any]:
+    return {
+        "id": f"cmpl-{rid}",
+        "object": "text_completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [{"index": 0, "text": text, "logprobs": None,
+                     "finish_reason": finish_reason}],
+        "usage": usage,
+    }
+
+
+def completion_chunk(
+    rid: str, model: str, text: str, finish_reason: Optional[str],
+) -> Dict[str, Any]:
+    return {
+        "id": f"cmpl-{rid}",
+        "object": "text_completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [{"index": 0, "text": text, "logprobs": None,
+                     "finish_reason": finish_reason}],
+    }
+
+
+def models_response(served_model: str, adapters: List[str]) -> Dict[str, Any]:
+    now = int(time.time())
+    data = [{"id": served_model, "object": "model", "created": now,
+             "owned_by": "videollamb-tpu"}]
+    data += [{"id": a, "object": "model", "created": now,
+              "owned_by": "videollamb-tpu", "parent": served_model}
+             for a in adapters]
+    return {"object": "list", "data": data}
