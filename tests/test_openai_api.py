@@ -381,3 +381,63 @@ def test_chat_completion_with_video_part(oai_srv, tmp_path):
     })
     assert status == 200
     assert out["usage"]["completion_tokens"] > 0
+
+
+def test_chat_completion_logprobs(oai_srv):
+    body = {"messages": [{"role": "user", "content": "describe the scene"}],
+            "max_tokens": 5, "logprobs": True, "top_logprobs": 3}
+    out = _post(oai_srv, "/v1/chat/completions", body)[1]
+    choice = out["choices"][0]
+    lp = choice["logprobs"]
+    assert lp is not None and len(lp["content"]) == out["usage"]["completion_tokens"]
+    for entry in lp["content"]:
+        assert entry["logprob"] <= 1e-5
+        assert isinstance(entry["token"], str)
+        assert entry["bytes"] == list(entry["token"].encode())
+        assert len(entry["top_logprobs"]) == 3
+        # Greedy: the chosen token is the argmax alternative.
+        assert entry["top_logprobs"][0]["token"] == entry["token"]
+        vals = [t["logprob"] for t in entry["top_logprobs"]]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_chat_completion_stream_logprobs(oai_srv):
+    body = {"messages": [{"role": "user", "content": "describe the scene"}],
+            "max_tokens": 4, "logprobs": True, "top_logprobs": 2,
+            "stream": True}
+    events = _sse(oai_srv, "/v1/chat/completions", body)
+    token_chunks = [c for c in events[:-1]
+                    if c["choices"] and c["choices"][0]["delta"].get("content")]
+    assert token_chunks
+    for c in token_chunks:
+        lp = c["choices"][0]["logprobs"]
+        assert lp and len(lp["content"]) == 1
+        assert lp["content"][0]["logprob"] <= 1e-5
+        assert len(lp["content"][0]["top_logprobs"]) == 2
+
+
+def test_completions_legacy_logprobs(oai_srv):
+    out = _post(oai_srv, "/v1/completions",
+                {"prompt": "describe the scene", "max_tokens": 4,
+                 "logprobs": 2})[1]
+    lp = out["choices"][0]["logprobs"]
+    n = out["usage"]["completion_tokens"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) == n
+    assert len(lp["top_logprobs"]) == len(lp["text_offset"]) == n
+    assert lp["text_offset"] == sorted(lp["text_offset"])
+    for tok, tlp, top in zip(lp["tokens"], lp["token_logprobs"],
+                             lp["top_logprobs"]):
+        assert tlp <= 1e-5 and len(top) == 2
+        # Greedy: chosen token's logprob equals its entry in the top map.
+        assert abs(top[tok] - tlp) < 1e-5
+
+
+def test_top_logprobs_without_logprobs_is_400(oai_srv):
+    try:
+        _post(oai_srv, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "top_logprobs": 3})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "top_logprobs" in json.loads(e.read())["error"]["message"]

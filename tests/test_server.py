@@ -241,3 +241,102 @@ def test_paged_rejection_signals_with_error(tiny):
     assert [r.uid for r in finished] == ["big"]
     assert req.done and req.error and "rejected" in req.error
     assert req.tokens == []
+
+
+def _lp_request(cfg, uid, seed, max_new=6, top=3, temperature=0.0):
+    r = _request(cfg, uid, seed, max_new=max_new)
+    r.temperature = temperature
+    r.logprobs = True
+    r.top_logprobs = top
+    return r
+
+
+def test_logprobs_greedy_k_step(tiny):
+    """k>1 greedy scan path: per-token logprobs committed, top list sorted,
+    and (greedy) the chosen token IS the top-1 alternative. A slot that
+    did not ask for logprobs stays untouched, and decode output is
+    unchanged by the extraction graph."""
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    lp = _lp_request(cfg, "lp", seed=1)
+    plain = _request(cfg, "plain", seed=2)
+    engine.submit(lp)
+    engine.submit(plain)
+    engine.run_until_drained(k=4)
+
+    assert plain.token_logprobs == [] and plain.top_tokens == []
+    assert len(lp.token_logprobs) == len(lp.tokens) == 6
+    assert len(lp.top_tokens) == 6
+    for t, (tok, chosen, tops) in enumerate(
+            zip(lp.tokens, lp.token_logprobs, lp.top_tokens)):
+        assert chosen <= 1e-5, f"pos {t}: logprob must be <= 0"
+        assert len(tops) == 3
+        vals = [v for _, v in tops]
+        assert vals == sorted(vals, reverse=True)
+        assert tops[0][0] == tok and abs(tops[0][1] - chosen) < 1e-5
+
+    # Extraction must not perturb decoding: same tokens as a plain run.
+    ref = _request(cfg, "ref", seed=1)
+    engine2 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    engine2.submit(ref)
+    engine2.run_until_drained(k=4)
+    assert ref.tokens == lp.tokens
+
+
+def test_logprobs_per_step_path_matches_scan_path(tiny):
+    """k=1 routes through the per-step (sampling) branch even for greedy
+    rows — its logprobs_of extraction must agree with the k>1 scan's."""
+    cfg, params = tiny
+    a = _lp_request(cfg, "a", seed=3)
+    b = _lp_request(cfg, "b", seed=3)
+
+    e1 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    e1.submit(a)
+    e1.run_until_drained(k=1)
+    e2 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    e2.submit(b)
+    e2.run_until_drained(k=4)
+
+    assert a.tokens == b.tokens
+    np.testing.assert_allclose(a.token_logprobs, b.token_logprobs,
+                               rtol=1e-4, atol=1e-5)
+    for ta, tb in zip(a.top_tokens, b.top_tokens):
+        assert [i for i, _ in ta] == [i for i, _ in tb]
+        np.testing.assert_allclose([v for _, v in ta], [v for _, v in tb],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_logprobs_sampling_temperature(tiny):
+    """temperature>0 rows report the BASE distribution's logprob of the
+    sampled token (finite, <= 0, never above the top-1)."""
+    cfg, params = tiny
+    r = _lp_request(cfg, "s", seed=4, temperature=0.8, top=2)
+    engine = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1, seed=7)
+    engine.submit(r)
+    engine.run_until_drained()
+    assert len(r.token_logprobs) == len(r.tokens) == 6
+    for chosen, tops in zip(r.token_logprobs, r.top_tokens):
+        assert np.isfinite(chosen) and chosen <= 1e-5
+        assert chosen <= tops[0][1] + 1e-5
+
+
+def test_logprobs_paged_engine_matches_dense(tiny):
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    cfg, params = tiny
+    rd = _lp_request(cfg, "d", seed=5)
+    rp = _lp_request(cfg, "p", seed=5)
+
+    dense = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    dense.submit(rd)
+    dense.run_until_drained(k=4)
+    paged = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                               eos_token_id=-1)
+    paged.submit(rp)
+    paged.run_until_drained(k=4)
+
+    assert rd.tokens == rp.tokens
+    np.testing.assert_allclose(rd.token_logprobs, rp.token_logprobs,
+                               rtol=2e-3, atol=1e-4)
+    assert [[i for i, _ in t] for t in rd.top_tokens] == \
+           [[i for i, _ in t] for t in rp.top_tokens]

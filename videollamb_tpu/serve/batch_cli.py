@@ -72,6 +72,8 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
                 temperature=float(row.get("temperature", 0.0)),
                 adapter=row.get("adapter"),
                 choices=choice_ids,
+                logprobs=bool(row.get("logprobs")),
+                top_logprobs=int(row.get("top_logprobs", 0)),
             ))
             continue
         # Load every medium the row names, in (video, image, audio) order —
@@ -134,6 +136,8 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             temperature=float(row.get("temperature", 0.0)),
             adapter=row.get("adapter"),
             choices=choice_ids,
+            logprobs=bool(row.get("logprobs")),
+            top_logprobs=int(row.get("top_logprobs", 0)),
         ))
     return reqs
 

@@ -15,6 +15,9 @@ different connections decode together in one slot batch.
       registry). Unknown names are rejected with HTTP 400.
       "choices": ["yes", "no"] constrains decoding — the output is
       guaranteed to be one of the strings (serve/constrained.py).
+      "logprobs": true records each committed token's logprob
+      ("top_logprobs": N adds the top-N alternatives, N <= 20); the
+      engines extract them on-device alongside the token sync.
       -> {"id": ..., "text": ..., "tokens": N}
       With "stream": true the response is text/event-stream: one
       ``data: {"token": <piece>}`` event per committed token and a final
@@ -282,7 +285,13 @@ class Server:
                 raise RequestRejected(req.error)
             raise RuntimeError(req.error)
         text = self.tokenizer.decode(req.tokens, skip_special_tokens=True)
-        return {"id": req.uid, "text": text.strip(), "tokens": len(req.tokens)}
+        out = {"id": req.uid, "text": text.strip(), "tokens": len(req.tokens)}
+        if req.logprobs:
+            out["token_logprobs"] = list(req.token_logprobs)
+            if req.top_logprobs > 0:
+                out["top_tokens"] = [[[int(i), lp] for i, lp in tt]
+                                     for tt in req.top_tokens]
+        return out
 
     def generate(self, row: Dict[str, Any]) -> Dict[str, Any]:
         req = self.build(row)
@@ -345,7 +354,15 @@ class Server:
                     piece, stop_matched = matcher.feed(piece)
                 if piece:
                     emitted_text.append(piece)
-                    yield {"token": piece}
+                    event = {"token": piece}
+                    if req.logprobs and emitted <= len(req.token_logprobs):
+                        # The engine commits logprobs before on_token fires,
+                        # so index emitted-1 is always populated here.
+                        event["token_id"] = int(req.tokens[emitted - 1])
+                        event["logprob"] = req.token_logprobs[emitted - 1]
+                        if req.top_logprobs > 0:
+                            event["top_logprobs"] = req.top_tokens[emitted - 1]
+                    yield event
                 if stop_matched:
                     # Free the slot now — decoding past the stop is waste.
                     self.engine.cancel(req.uid)
@@ -381,6 +398,11 @@ class Server:
         event = {"done": True, "id": req.uid, "text": text.strip(),
                  "tokens": len(req.tokens), "finish_reason": finish_reason,
                  "prompt_tokens": self._prompt_tokens(req)}
+        if req.logprobs:
+            event["logprobs_data"] = {
+                "ids": list(req.tokens), "lps": list(req.token_logprobs),
+                "tops": list(req.top_tokens), "top_n": req.top_logprobs,
+            }
         if timed_out:
             event["timeout"] = True
         yield event
@@ -427,13 +449,20 @@ class Server:
                     raise RequestRejected(err)
                 raise RuntimeError(err)
             usage = oai.usage_dict(final["prompt_tokens"], final["tokens"])
+            lp_obj = None
+            lpd = final.get("logprobs_data")
+            if lpd is not None:
+                build = (oai.chat_logprobs if chat_mode
+                         else oai.completion_logprobs)
+                lp_obj = build(self.tokenizer, lpd["ids"], lpd["lps"],
+                               lpd["tops"], lpd["top_n"])
             if chat_mode:
                 return oai.chat_completion_response(
                     final["id"], model, final["text"],
-                    final["finish_reason"], usage)
+                    final["finish_reason"], usage, logprobs=lp_obj)
             return oai.completion_response(
                 final["id"], model, final["text"],
-                final["finish_reason"], usage)
+                final["finish_reason"], usage, logprobs=lp_obj)
         finally:
             oai._cleanup(temp_paths)
 
@@ -455,6 +484,20 @@ class Server:
             raise
         rid = req.uid
 
+        top_n = int(row.get("top_logprobs", 0))
+
+        def chunk_logprobs(event):
+            """Per-chunk logprobs for the one token this delta carries."""
+            if "logprob" not in event:
+                return None
+            if chat_mode:
+                return {"content": [oai.chat_logprob_entry(
+                    self.tokenizer, event["token_id"], event["logprob"],
+                    event.get("top_logprobs"), top_n)]}
+            return oai.completion_logprobs(
+                self.tokenizer, [event["token_id"]], [event["logprob"]],
+                [event.get("top_logprobs")], top_n)
+
         def chunks():
             try:
                 first = True
@@ -468,11 +511,13 @@ class Server:
                         if first:
                             delta["role"] = "assistant"
                             first = False
-                        yield oai.chat_completion_chunk(rid, model, delta,
-                                                        None)
+                        yield oai.chat_completion_chunk(
+                            rid, model, delta, None,
+                            logprobs=chunk_logprobs(event))
                     else:
-                        yield oai.completion_chunk(rid, model,
-                                                   event["token"], None)
+                        yield oai.completion_chunk(
+                            rid, model, event["token"], None,
+                            logprobs=chunk_logprobs(event))
                 if final.get("error"):
                     yield oai.error_body(final["error"])
                 else:

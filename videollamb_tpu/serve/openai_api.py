@@ -15,6 +15,14 @@ makes that surface speak the OpenAI protocol so existing OpenAI clients
   POST /v1/completions        raw continuation (no chat template).
   GET  /v1/models             base model + live adapters.
 
+Logprobs: chat takes ``logprobs: true`` (+ ``top_logprobs: 0-20``),
+completions the legacy ``logprobs: N``. Values are the BASE model
+distribution (f32 log-softmax of raw logits — temperature/top_p/stop
+masks don't change what is reported), extracted on-device alongside the
+engines' token sync (serve/server.logprobs_of). With server-side stop
+sequences the logprob list covers all committed tokens, which can run a
+token or two past the stop-truncated text.
+
 Media parts accepted in user-message content lists:
   {"type": "image_url", "image_url": {"url": <path|file://|data:...>}}
   {"type": "video_url", "video_url": {"url": ...}}   (vLLM extension)
@@ -162,6 +170,9 @@ def _common_params(body: Dict[str, Any], row: Dict[str, Any]) -> List[str]:
         body.get("max_completion_tokens") or body.get("max_tokens") or 128)
     row["temperature"] = float(body.get("temperature", 0.0) or 0.0)
     row["top_p"] = float(body.get("top_p", 1.0) or 1.0)
+    # Logprob extraction (per-endpoint semantics resolved by the caller
+    # into row["logprobs"] bool + row["top_logprobs"] int; the engines cap
+    # alternatives at serve/server.TOP_LOGPROBS_K = 20, the OpenAI max).
     # ("seed" is accepted but ignored: the engine RNG is per-process, the
     # OpenAI contract for seed is best-effort anyway.)
     # Extension: constrained decoding rides through (serve/constrained.py).
@@ -223,6 +234,14 @@ def row_from_chat_completions(
         row["prompt"] = turns[-1][1]
         if history:
             row["history"] = history
+        if body.get("top_logprobs") is not None and not body.get("logprobs"):
+            raise BadRequest("'top_logprobs' requires 'logprobs': true")
+        if body.get("logprobs"):
+            row["logprobs"] = True
+            n = int(body.get("top_logprobs") or 0)
+            if not 0 <= n <= 20:
+                raise BadRequest("'top_logprobs' must be between 0 and 20")
+            row["top_logprobs"] = n
         for modality, path in media.items():
             row[modality.lower()] = path  # VIDEO->"video", IMAGE->"image", ...
         if adapter is not None:
@@ -252,6 +271,14 @@ def row_from_completions(
     stops = _common_params(body, row)
     if body.get("echo"):
         raise BadRequest("'echo' is not supported")
+    # Legacy completions semantics: "logprobs": N means return the chosen
+    # token's logprob plus the top-N alternatives per position.
+    if body.get("logprobs") is not None:
+        n = int(body["logprobs"])
+        if not 0 <= n <= 20:
+            raise BadRequest("'logprobs' must be between 0 and 20")
+        row["logprobs"] = True
+        row["top_logprobs"] = n
     return row, stops
 
 
@@ -304,6 +331,51 @@ class StopMatcher:
         return out
 
 
+def _tok_entry(tokenizer, token_id: int, logprob: float) -> Dict[str, Any]:
+    s = tokenizer.decode([token_id])
+    return {"token": s, "logprob": logprob, "bytes": list(s.encode())}
+
+
+def chat_logprob_entry(tokenizer, token_id: int, logprob: float,
+                       top_pairs, top_n: int) -> Dict[str, Any]:
+    """One position of the chat-completions logprobs.content list."""
+    entry = _tok_entry(tokenizer, token_id, logprob)
+    entry["top_logprobs"] = [_tok_entry(tokenizer, i, lp)
+                             for i, lp in (top_pairs or [])[:top_n]]
+    return entry
+
+
+def chat_logprobs(tokenizer, token_ids, token_logprobs, top_tokens,
+                  top_n: int) -> Dict[str, Any]:
+    """Chat-completions response logprobs object. With server-side stop
+    sequences the list covers all committed tokens, which can extend a
+    token or two past the stop-truncated text."""
+    return {"content": [
+        chat_logprob_entry(tokenizer, tid, lp,
+                           top_tokens[i] if i < len(top_tokens) else None,
+                           top_n)
+        for i, (tid, lp) in enumerate(zip(token_ids, token_logprobs))]}
+
+
+def completion_logprobs(tokenizer, token_ids, token_logprobs,
+                        top_tokens, top_n: int) -> Dict[str, Any]:
+    """Legacy completions logprobs object (tokens / token_logprobs /
+    top_logprobs / text_offset, offsets relative to the completion)."""
+    tokens, offsets, off = [], [], 0
+    for tid in token_ids:
+        s = tokenizer.decode([tid])
+        tokens.append(s)
+        offsets.append(off)
+        off += len(s)
+    top = None
+    if top_n > 0:
+        top = [{tokenizer.decode([i]): lp for i, lp in (tt or [])[:top_n]}
+               for tt in top_tokens]
+        top += [{}] * (len(tokens) - len(top))
+    return {"tokens": tokens, "token_logprobs": list(token_logprobs),
+            "top_logprobs": top, "text_offset": offsets}
+
+
 def usage_dict(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
     return {"prompt_tokens": prompt_tokens,
             "completion_tokens": completion_tokens,
@@ -312,7 +384,7 @@ def usage_dict(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
 
 def chat_completion_response(
     rid: str, model: str, text: str, finish_reason: str,
-    usage: Dict[str, int],
+    usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     return {
         "id": f"chatcmpl-{rid}",
@@ -322,6 +394,7 @@ def chat_completion_response(
         "choices": [{
             "index": 0,
             "message": {"role": "assistant", "content": text},
+            "logprobs": logprobs,
             "finish_reason": finish_reason,
         }],
         "usage": usage,
@@ -331,27 +404,28 @@ def chat_completion_response(
 def chat_completion_chunk(
     rid: str, model: str, delta: Dict[str, Any],
     finish_reason: Optional[str],
+    logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     return {
         "id": f"chatcmpl-{rid}",
         "object": "chat.completion.chunk",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "delta": delta,
+        "choices": [{"index": 0, "delta": delta, "logprobs": logprobs,
                      "finish_reason": finish_reason}],
     }
 
 
 def completion_response(
     rid: str, model: str, text: str, finish_reason: str,
-    usage: Dict[str, int],
+    usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     return {
         "id": f"cmpl-{rid}",
         "object": "text_completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "text": text, "logprobs": None,
+        "choices": [{"index": 0, "text": text, "logprobs": logprobs,
                      "finish_reason": finish_reason}],
         "usage": usage,
     }
@@ -359,13 +433,14 @@ def completion_response(
 
 def completion_chunk(
     rid: str, model: str, text: str, finish_reason: Optional[str],
+    logprobs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     return {
         "id": f"cmpl-{rid}",
         "object": "text_completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "text": text, "logprobs": None,
+        "choices": [{"index": 0, "text": text, "logprobs": logprobs,
                      "finish_reason": finish_reason}],
     }
 

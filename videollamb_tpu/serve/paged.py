@@ -53,20 +53,24 @@ from videollamb_tpu.models.lm.paged import (
     paged_insert,
     scatter_prefix_pages,
 )
-from videollamb_tpu.serve.server import Request, ServingEngine
+from videollamb_tpu.serve.server import Request, ServingEngine, logprobs_of
 
 
-@partial(jax.jit, static_argnames=("cfg", "k", "total_pages"), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "k", "total_pages", "top_k"),
+         donate_argnames=("cache",))
 def paged_greedy_decode_steps(
     params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
-    total_pages: int, adapter_idx=None,
+    total_pages: int, adapter_idx=None, top_k: int = 0,
 ):
     """k greedy steps fully on device (pages for positions len..len+k-1 must
-    already be allocated). Returns (tokens (B, k), logits, cache)."""
+    already be allocated). Returns (tokens (B, k), logits, cache); with
+    ``top_k`` > 0 also per-step logprob data, as in
+    serve/server.greedy_decode_steps."""
 
     def body(carry, _):
         logits, cache = carry
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
         # The embedding table keeps the model's COMPUTE dtype (it is never
         # int8-quantized — gathers need the full-precision table), so its
         # output needs no cast. Never cast to the page dtype: with
@@ -79,10 +83,14 @@ def paged_greedy_decode_steps(
             params["lm"], cfg.lm, tok_embeds, cache, total_pages,
             adapter_idx=adapter_idx,
         )
-        return (logits, cache), nxt
+        return (logits, cache), out
 
-    (logits, cache), toks = jax.lax.scan(body, (logits, cache), None, length=k)
-    return toks.T, logits, cache
+    (logits, cache), out = jax.lax.scan(body, (logits, cache), None, length=k)
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache
+    return out.T, logits, cache
 
 
 class PagedServingEngine(ServingEngine):
@@ -377,10 +385,21 @@ class PagedServingEngine(ServingEngine):
             getattr(r, "_constraint", None) is None for r in self.slots
         )
         if k > 1 and all_greedy and unconstrained:
-            toks, self.logits, self.cache = paged_greedy_decode_steps(
-                self.params, self.cfg, self.logits, self.cache, k,
-                self.total_pages, adapter_idx=self._live_adapter_idx(),
-            )
+            lp_host = None
+            if self._wants_logprobs():
+                from videollamb_tpu.serve.server import TOP_LOGPROBS_K
+
+                toks, lp, self.logits, self.cache = paged_greedy_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    self.total_pages, adapter_idx=self._live_adapter_idx(),
+                    top_k=TOP_LOGPROBS_K,
+                )
+                lp_host = tuple(np.asarray(a) for a in lp)
+            else:
+                toks, self.logits, self.cache = paged_greedy_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    self.total_pages, adapter_idx=self._live_adapter_idx(),
+                )
             self._host_len += k
             toks_host = np.asarray(toks)
             finished: List[Request] = dropped
@@ -395,6 +414,9 @@ class PagedServingEngine(ServingEngine):
                 for t in range(k):
                     tok = int(toks_host[i, t])
                     req.tokens.append(tok)
+                    if lp_host is not None and req.logprobs:
+                        self._commit_logprob(req, lp_host[0][i, t],
+                                             lp_host[1][i, t], lp_host[2][i, t])
                     if req.on_token is not None:
                         req.on_token(req, tok)
                     if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
@@ -412,6 +434,9 @@ class PagedServingEngine(ServingEngine):
         logits = (self.logits if cmask is None
                   else self.logits + jnp.asarray(cmask))
         nxt = sample_slot_tokens(logits, sub, self.slots)
+        # Raw pre-mask logits: logprobs report the base distribution.
+        lp = (logprobs_of(self.logits, nxt) if self._wants_logprobs()
+              else None)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = paged_decode_step(
@@ -419,6 +444,8 @@ class PagedServingEngine(ServingEngine):
             self.total_pages, adapter_idx=self._live_adapter_idx(),
         )
 
+        lp_host = (tuple(np.asarray(a) for a in lp) if lp is not None
+                   else None)
         self._host_len += 1
         nxt_host = np.asarray(nxt)
         finished: List[Request] = dropped
@@ -432,6 +459,9 @@ class PagedServingEngine(ServingEngine):
                 continue
             tok = int(nxt_host[i])
             req.tokens.append(tok)
+            if lp_host is not None and req.logprobs:
+                self._commit_logprob(req, lp_host[0][i], lp_host[1][i],
+                                     lp_host[2][i])
             if req.on_token is not None:
                 req.on_token(req, tok)
             con = getattr(req, "_constraint", None)

@@ -86,26 +86,58 @@ def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
     return jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+# One static top-k bucket for logprob extraction (the OpenAI API caps
+# top_logprobs at 20) — a single bucket means at most one extra compiled
+# graph per engine regardless of what mix of k values clients ask for.
+TOP_LOGPROBS_K = 20
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def logprobs_of(logits: jax.Array, nxt: jax.Array, top_k: int = TOP_LOGPROBS_K):
+    """Per-row logprob of the chosen token + the top-k alternatives under
+    the BASE model distribution (f32 log-softmax of the raw logits —
+    temperature/top_p/constraint masks do not change what is reported,
+    matching the OpenAI semantics of logprobs)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(logp, top_k)
+    return chosen, top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "top_k"),
+         donate_argnames=("cache",))
 def greedy_decode_steps(
     params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
-    adapter_idx=None,
+    adapter_idx=None, top_k: int = 0,
 ):
     """Run k greedy decode steps fully on device -> (tokens (B, k), logits,
     cache). Lets the engine sync with the host every k tokens instead of
     every token (EOS rows decode garbage that is discarded host-side; slot
-    reuse overwrites their cache rows, and attention is length-masked)."""
+    reuse overwrites their cache rows, and attention is length-masked).
+
+    With ``top_k`` > 0 (static: one extra graph) each step also extracts
+    chosen-token logprobs and the top-k alternatives, and the return is
+    (tokens, (chosen (B,k), top_vals (B,k,top_k), top_ids), logits, cache).
+    """
 
     def body(carry, _):
         logits, cache = carry
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        if top_k:
+            out = (nxt,) + logprobs_of(logits, nxt, top_k)
+        else:
+            out = nxt
         tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k.dtype)
         logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds, cache,
                                           adapter_idx=adapter_idx)
-        return (logits, cache), nxt
+        return (logits, cache), out
 
-    (logits, cache), toks = jax.lax.scan(body, (logits, cache), None, length=k)
-    return toks.T, logits, cache  # (B, k)
+    (logits, cache), out = jax.lax.scan(body, (logits, cache), None, length=k)
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache
+    return out.T, logits, cache  # (B, k)
 
 
 @dataclasses.dataclass
@@ -133,8 +165,18 @@ class Request:
     # chunked prefill otherwise needs to size its chunk loop. Ignored for
     # rows with visual content (their spliced length is device-computed).
     prompt_len: Optional[int] = None
+    # Per-token logprob extraction (OpenAI "logprobs"). When ``logprobs``
+    # is set the engine records the chosen token's logprob per committed
+    # token; ``top_logprobs`` (<= TOP_LOGPROBS_K) additionally records the
+    # top alternatives. Logprobs are always reported under the BASE model
+    # distribution (raw f32 log-softmax; see logprobs_of).
+    logprobs: bool = False
+    top_logprobs: int = 0
     # filled by the engine
     tokens: List[int] = dataclasses.field(default_factory=list)
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
+    # Per position: list of (token_id, logprob), length = top_logprobs.
+    top_tokens: List[List[tuple]] = dataclasses.field(default_factory=list)
     done: bool = False
     # Set when the engine drops the request without decoding (e.g. the
     # paged engine rejects a prompt exceeding its per-sequence page
@@ -293,6 +335,22 @@ class ServingEngine:
     def _active_mask(self) -> np.ndarray:
         return np.asarray([r is not None for r in self.slots])
 
+    def _wants_logprobs(self) -> bool:
+        """True iff any active slot asked for logprob extraction — the
+        hot path compiles the logprob-free graphs otherwise (same gating
+        discipline as the multi-LoRA adapter_idx)."""
+        return any(r is not None and r.logprobs for r in self.slots)
+
+    @staticmethod
+    def _commit_logprob(req, chosen, top_vals, top_ids) -> None:
+        """Record one committed token's logprob data on the request.
+        ``chosen`` scalar; ``top_vals``/``top_ids``: (TOP_LOGPROBS_K,)."""
+        req.token_logprobs.append(float(chosen))
+        if req.top_logprobs > 0:
+            n = min(req.top_logprobs, len(top_ids))
+            req.top_tokens.append(
+                [(int(top_ids[j]), float(top_vals[j])) for j in range(n)])
+
     def has_work(self) -> bool:
         """True iff a step() could make progress (shared by the HTTP
         worker loop and the load generator)."""
@@ -325,10 +383,18 @@ class ServingEngine:
             getattr(r, "_constraint", None) is None for r in self.slots
         )
         if k > 1 and all_greedy and unconstrained:
-            toks, self.logits, self.cache = greedy_decode_steps(
-                self.params, self.cfg, self.logits, self.cache, k,
-                adapter_idx=self._live_adapter_idx(),
-            )
+            lp_host = None
+            if self._wants_logprobs():
+                toks, lp, self.logits, self.cache = greedy_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    adapter_idx=self._live_adapter_idx(), top_k=TOP_LOGPROBS_K,
+                )
+                lp_host = tuple(np.asarray(a) for a in lp)
+            else:
+                toks, self.logits, self.cache = greedy_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    adapter_idx=self._live_adapter_idx(),
+                )
             toks_host = np.asarray(toks)  # (B, k)
             finished: List[Request] = dropped
             for i, req in enumerate(self.slots):
@@ -342,6 +408,9 @@ class ServingEngine:
                 for t in range(k):
                     tok = int(toks_host[i, t])
                     req.tokens.append(tok)
+                    if lp_host is not None and req.logprobs:
+                        self._commit_logprob(req, lp_host[0][i, t],
+                                             lp_host[1][i, t], lp_host[2][i, t])
                     if req.on_token is not None:
                         req.on_token(req, tok)
                     if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
@@ -358,6 +427,10 @@ class ServingEngine:
         logits = (self.logits if cmask is None
                   else self.logits + jnp.asarray(cmask))
         nxt = sample_slot_tokens(logits, sub, self.slots)
+        # Logprobs come from the RAW pre-mask logits (base distribution),
+        # extracted before self.logits is overwritten by the next step.
+        lp = (logprobs_of(self.logits, nxt) if self._wants_logprobs()
+              else None)
 
         tok_embeds = embed_tokens(self.params["lm"], nxt[:, None]).astype(self._dtype)
         self.logits, self.cache = llama_decode_step(
@@ -365,6 +438,8 @@ class ServingEngine:
             adapter_idx=self._live_adapter_idx(),
         )
 
+        lp_host = (tuple(np.asarray(a) for a in lp) if lp is not None
+                   else None)
         nxt_host = np.asarray(nxt)
         finished: List[Request] = dropped
         for i, req in enumerate(self.slots):
@@ -377,6 +452,9 @@ class ServingEngine:
                 continue
             tok = int(nxt_host[i])
             req.tokens.append(tok)
+            if lp_host is not None and req.logprobs:
+                self._commit_logprob(req, lp_host[0][i], lp_host[1][i],
+                                     lp_host[2][i])
             if req.on_token is not None:
                 req.on_token(req, tok)
             con = getattr(req, "_constraint", None)
