@@ -215,3 +215,12 @@ def test_metrics_endpoint(http_srv):
     assert vals["videollamb_slots_total"] == 2
     # Summary ordering: TTFT never exceeds end-to-end.
     assert vals["videollamb_ttft_seconds_sum"] <= vals["videollamb_e2e_seconds_sum"] + 1e-6
+
+
+def test_embeddings_without_embedder_is_503(http_srv):
+    """This fixture's server has no EmbeddingService configured."""
+    try:
+        _post(http_srv, "/v1/embeddings", {"input": "hi"})
+        raise AssertionError("expected HTTP 503")
+    except urllib.error.HTTPError as e:
+        assert e.code == 503

@@ -115,38 +115,9 @@ def test_text_encoder_matches_hf_clip():
     cfg = TextConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
                      num_attention_heads=4, vocab_size=120,
                      max_position_embeddings=16)
-    sd = hf.state_dict()
+    from videollamb_tpu.models.binding import convert_text_state_dict
 
-    def t(name):
-        return jnp.asarray(sd[name].numpy())
-
-    layers = []
-    for i in range(2):
-        pre = f"text_model.encoder.layers.{i}."
-        layers.append({
-            "layer_norm1": {"scale": t(pre + "layer_norm1.weight"),
-                            "bias": t(pre + "layer_norm1.bias")},
-            "self_attn": {
-                p: {"kernel": t(pre + f"self_attn.{p}.weight").T,
-                    "bias": t(pre + f"self_attn.{p}.bias")}
-                for p in ("q_proj", "k_proj", "v_proj", "out_proj")
-            },
-            "layer_norm2": {"scale": t(pre + "layer_norm2.weight"),
-                            "bias": t(pre + "layer_norm2.bias")},
-            "mlp": {
-                "fc1": {"kernel": t(pre + "mlp.fc1.weight").T,
-                        "bias": t(pre + "mlp.fc1.bias")},
-                "fc2": {"kernel": t(pre + "mlp.fc2.weight").T,
-                        "bias": t(pre + "mlp.fc2.bias")},
-            },
-        })
-    params = {
-        "token_embedding": t("text_model.embeddings.token_embedding.weight"),
-        "position_embedding": t("text_model.embeddings.position_embedding.weight"),
-        "layers": layers,
-        "final_layer_norm": {"scale": t("text_model.final_layer_norm.weight"),
-                             "bias": t("text_model.final_layer_norm.bias")},
-    }
+    params = convert_text_state_dict(hf.state_dict())
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, 110, size=(3, 12)).astype(np.int64)

@@ -196,8 +196,28 @@ def oai_srv():
         "IMAGE": ImageProcessor(size=cfg.vision.image_size),
     }, text_bucket=32)
     engine = ServingEngine(params, cfg, num_slots=2)
+
+    # Embeddings side-car: tiny binding model (serve/embeddings.py).
+    from test_embeddings import ClipTokenizer
+    from videollamb_tpu.config import VisionConfig
+    from videollamb_tpu.models.binding import TextConfig, init_binding_params
+    from videollamb_tpu.serve.embeddings import EmbeddingService
+
+    vcfgs = {"image": VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        add_time_attn=False)}
+    tcfg = TextConfig(hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      vocab_size=100, max_position_embeddings=16)
+    embedder = EmbeddingService(
+        init_binding_params(jax.random.PRNGKey(1), vcfgs, tcfg,
+                            projection_dim=24),
+        vcfgs, ClipTokenizer(), {"image": ImageProcessor(size=32)},
+        text_cfg=tcfg, model_name="bind-tiny")
+
     httpd, srv = make_server(chat, engine, port=0, k=2, timeout_s=120,
-                             model_name="videollamb-tiny")
+                             model_name="videollamb-tiny", embedder=embedder)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -441,3 +461,32 @@ def test_top_logprobs_without_logprobs_is_400(oai_srv):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "top_logprobs" in json.loads(e.read())["error"]["message"]
+
+
+def test_embeddings_endpoint(oai_srv):
+    status, out = _post(oai_srv, "/v1/embeddings",
+                        {"input": ["hello world", "goodbye"]})
+    assert status == 200
+    assert out["object"] == "list" and out["model"] == "bind-tiny"
+    assert len(out["data"]) == 2
+    import numpy as np
+
+    emb = np.asarray(out["data"][0]["embedding"], np.float32)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-3)
+    assert out["usage"]["prompt_tokens"] > 0
+
+
+def test_embeddings_model_listed(oai_srv):
+    with urllib.request.urlopen(oai_srv + "/v1/models", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert {m["id"] for m in payload["data"]} >= {"videollamb-tiny",
+                                                  "bind-tiny"}
+
+
+def test_embeddings_bad_request_is_4xx(oai_srv):
+    try:
+        _post(oai_srv, "/v1/embeddings", {"input": []})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"]["type"] == "invalid_request_error"

@@ -128,6 +128,48 @@ def text_encode(params: Params, input_ids: jax.Array, cfg: TextConfig) -> jax.Ar
 # ---------------------------------------------------------------------------
 
 
+def convert_text_state_dict(sd) -> Params:
+    """HF ``CLIPTextModel`` state dict -> text-branch params (the text
+    encoders inside LanguageBind checkpoints are stock CLIP text models;
+    reference loads them via transformers). Accepts torch tensors or
+    numpy arrays; keys use the ``text_model.`` prefix."""
+    import numpy as np
+
+    def t(name):
+        v = sd[name]
+        return jnp.asarray(v if isinstance(v, np.ndarray) else v.numpy())
+
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers."))
+    layers = []
+    for i in range(n_layers):
+        pre = f"text_model.encoder.layers.{i}."
+        layers.append({
+            "layer_norm1": {"scale": t(pre + "layer_norm1.weight"),
+                            "bias": t(pre + "layer_norm1.bias")},
+            "self_attn": {
+                p: {"kernel": t(pre + f"self_attn.{p}.weight").T,
+                    "bias": t(pre + f"self_attn.{p}.bias")}
+                for p in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm2": {"scale": t(pre + "layer_norm2.weight"),
+                            "bias": t(pre + "layer_norm2.bias")},
+            "mlp": {
+                "fc1": {"kernel": t(pre + "mlp.fc1.weight").T,
+                        "bias": t(pre + "mlp.fc1.bias")},
+                "fc2": {"kernel": t(pre + "mlp.fc2.weight").T,
+                        "bias": t(pre + "mlp.fc2.bias")},
+            },
+        })
+    return {
+        "token_embedding": t("text_model.embeddings.token_embedding.weight"),
+        "position_embedding": t("text_model.embeddings.position_embedding.weight"),
+        "layers": layers,
+        "final_layer_norm": {"scale": t("text_model.final_layer_norm.weight"),
+                             "bias": t("text_model.final_layer_norm.bias")},
+    }
+
+
 def init_binding_params(
     rng: jax.Array,
     vision_cfgs: Dict[str, VisionConfig],

@@ -44,7 +44,12 @@ LangChain clients work unchanged, multimodal content parts included):
                               "stop" sequences cancel the slot on match;
                               "stream": true -> OpenAI SSE chunks.
   POST /v1/completions        raw continuation, no template.
-  GET  /v1/models             base model + live adapters.
+  GET  /v1/models             base model + live adapters (+ embedder).
+  POST /v1/embeddings         multimodal joint-space embeddings over the
+                              LanguageBind binding model — text, image,
+                              video, audio in one space (requires a
+                              server built with an EmbeddingService;
+                              serve/embeddings.py). 503 when absent.
 
 Threading model: HTTP handler threads (ThreadingHTTPServer) build
 requests — each under a throwaway per-request Chat clone, so media
@@ -227,12 +232,15 @@ class Server:
     """Engine + worker + prompt assembly shared by all handler threads."""
 
     def __init__(self, chat, engine, k: int = 4, timeout_s: float = 600.0,
-                 model_name: str = "videollamb"):
+                 model_name: str = "videollamb", embedder=None):
         self.chat = chat
         self.engine = engine
         self.tokenizer = chat.tokenizer
         self.timeout_s = timeout_s
         self.model_name = model_name
+        # Optional serve/embeddings.EmbeddingService: enables
+        # POST /v1/embeddings (multimodal joint-space embeddings).
+        self.embedder = embedder
         self._uid_lock = threading.Lock()
         self._next_uid = 0
         self.metrics = Metrics()
@@ -415,7 +423,13 @@ class Server:
     def openai_models(self) -> Dict[str, Any]:
         from videollamb_tpu.serve import openai_api as oai
 
-        return oai.models_response(self.model_name, self._adapter_names())
+        out = oai.models_response(self.model_name, self._adapter_names())
+        if self.embedder is not None:
+            out["data"].append({
+                "id": self.embedder.model_name, "object": "model",
+                "created": out["data"][0]["created"],
+                "owned_by": "videollamb-tpu"})
+        return out
 
     def _openai_row(self, body: Dict[str, Any], chat_mode: bool):
         from videollamb_tpu.serve import openai_api as oai
@@ -742,6 +756,24 @@ class Handler(BaseHTTPRequestHandler):
         if self.path in ("/v1/chat/completions", "/v1/completions"):
             self._openai(row, chat_mode=self.path == "/v1/chat/completions")
             return
+        if self.path == "/v1/embeddings":
+            from videollamb_tpu.serve import openai_api as oai
+
+            if self.server_obj.embedder is None:
+                self._json(503, oai.error_body(
+                    "no embedding model is loaded on this server"))
+                return
+            try:
+                self._json(200, self.server_obj.embedder.openai_embeddings(row))
+            except oai.BadRequest as e:
+                self._json(e.status, oai.error_body(str(e), e.code))
+            except FileNotFoundError as e:
+                self._json(400, oai.error_body(str(e)))
+            except Exception as e:  # noqa: BLE001 — surface, don't kill
+                self._json(500, {"error": {
+                    "message": f"{type(e).__name__}: {e}",
+                    "type": "server_error"}})
+            return
         if self.path != "/v1/generate":
             self._json(404, {"error": f"unknown path {self.path}"})
             return
@@ -763,11 +795,11 @@ class Handler(BaseHTTPRequestHandler):
 
 def make_server(chat, engine, host: str = "127.0.0.1", port: int = 8000,
                 k: int = 4, timeout_s: float = 600.0,
-                model_name: str = "videollamb"):
+                model_name: str = "videollamb", embedder=None):
     """Returns (ThreadingHTTPServer, Server). Port 0 picks an ephemeral
     port (tests); read it back from httpd.server_address."""
     srv = Server(chat, engine, k=k, timeout_s=timeout_s,
-                 model_name=model_name)
+                 model_name=model_name, embedder=embedder)
     handler = type("BoundHandler", (Handler,), {"server_obj": srv})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, srv
