@@ -158,3 +158,111 @@ def test_errors(service):
     with pytest.raises(BadRequest, match="no 'audio' tower"):
         service.openai_embeddings(
             {"input": [{"type": "audio_url", "audio_url": {"url": "x.wav"}}]})
+
+
+def test_load_binding_checkpoints_matches_hf_clip(tmp_path):
+    """Checkpoint loader oracle: a HF CLIPModel dual encoder saved to
+    disk loads into the binding layout, and text/image embeddings + the
+    contrastive logits match transformers exactly."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPConfig, CLIPModel
+
+    hf_cfg = CLIPConfig(
+        text_config={"vocab_size": 120, "hidden_size": 32,
+                     "intermediate_size": 64, "num_hidden_layers": 2,
+                     "num_attention_heads": 4,
+                     "max_position_embeddings": 16,
+                     "eos_token_id": 119, "bos_token_id": 118},
+        vision_config={"hidden_size": 32, "intermediate_size": 64,
+                       "num_hidden_layers": 2, "num_attention_heads": 4,
+                       "image_size": 32, "patch_size": 8},
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    hf = CLIPModel(hf_cfg).eval()
+    ckpt = tmp_path / "clip"
+    hf.save_pretrained(str(ckpt))
+
+    from videollamb_tpu.models.binding import (
+        binding_encode_modality,
+        binding_encode_text,
+        load_binding_checkpoints,
+    )
+
+    params, vcfgs, tcfg = load_binding_checkpoints({"image": str(ckpt)})
+    assert vcfgs["image"].add_time_attn is False
+    assert tcfg.vocab_size == 120 and tcfg.max_position_embeddings == 16
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 110, size=(2, 12)).astype(np.int64)
+    ids[:, -1] = 119  # EOT = max id (CLIP pooling)
+    pixels = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        hf_t = hf.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+        hf_i = hf.get_image_features(
+            pixel_values=torch.from_numpy(pixels)).numpy()
+        hf_logits = hf(input_ids=torch.from_numpy(ids),
+                       pixel_values=torch.from_numpy(pixels),
+                       ).logits_per_text.numpy()
+
+    import jax.numpy as jnp
+
+    ours_t = np.asarray(binding_encode_text(
+        params, jnp.asarray(ids.astype(np.int32)), tcfg))
+    ours_i = np.asarray(binding_encode_modality(
+        params, "image", jnp.asarray(pixels)[:, None], vcfgs["image"],
+        use_temp=False))
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    np.testing.assert_allclose(ours_t, norm(hf_t), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(ours_i, norm(hf_i), rtol=2e-4, atol=2e-4)
+    scale = np.exp(np.asarray(
+        params["modalities"]["image"]["logit_scale"], np.float32))
+    ours_logits = scale * ours_t @ ours_i.T
+    np.testing.assert_allclose(ours_logits, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_build_embedder_from_checkpoint_dir(tmp_path):
+    """The server CLI path: --binding-towers image=DIR builds a working
+    EmbeddingService from a saved dual-encoder checkpoint (weights +
+    config + tokenizer files all come from the dir)."""
+    torch = pytest.importorskip("torch")
+    import json
+
+    from transformers import CLIPConfig, CLIPModel
+
+    hf_cfg = CLIPConfig(
+        text_config={"vocab_size": 120, "hidden_size": 32,
+                     "intermediate_size": 64, "num_hidden_layers": 2,
+                     "num_attention_heads": 4,
+                     "max_position_embeddings": 16,
+                     "eos_token_id": 119, "bos_token_id": 118},
+        vision_config={"hidden_size": 32, "intermediate_size": 64,
+                       "num_hidden_layers": 2, "num_attention_heads": 4,
+                       "image_size": 32, "patch_size": 8},
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    ckpt = tmp_path / "clip"
+    CLIPModel(hf_cfg).eval().save_pretrained(str(ckpt))
+    vocab = {"<|startoftext|>": 118, "<|endoftext|>": 119}
+    for i, w in enumerate(["a</w>", "dog</w>", "runs</w>"]):
+        vocab[w] = 2 + i
+    json.dump(vocab, open(ckpt / "vocab.json", "w"))
+    (ckpt / "merges.txt").write_text("#version: 0.2\n")
+    json.dump({"tokenizer_class": "CLIPTokenizer", "model_max_length": 16},
+              open(ckpt / "tokenizer_config.json", "w"))
+
+    from videollamb_tpu.serve.http_server import build_embedder
+
+    service = build_embedder(f"image={ckpt}")
+    out = service.openai_embeddings({"input": ["a dog runs", "a"]})
+    embs = np.asarray([d["embedding"] for d in out["data"]], np.float32)
+    assert embs.shape == (2, 24)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, rtol=1e-3)
+
+    with pytest.raises(ValueError, match="modality=dir"):
+        build_embedder("just-a-path")

@@ -170,6 +170,94 @@ def convert_text_state_dict(sd) -> Params:
     }
 
 
+def text_config_from_json(model_dir: str) -> TextConfig:
+    """config.json ``text_config`` sub-dict -> TextConfig (LanguageBind /
+    CLIP checkpoints are dual encoders with both sub-configs)."""
+    import json
+    import os
+
+    path = os.path.join(model_dir, "config.json")
+    if not os.path.exists(path):
+        return TextConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    tc = raw.get("text_config", raw)
+    return TextConfig(
+        hidden_size=tc.get("hidden_size", 768),
+        intermediate_size=tc.get("intermediate_size", 3072),
+        num_hidden_layers=tc.get("num_hidden_layers", 12),
+        num_attention_heads=tc.get("num_attention_heads", 12),
+        vocab_size=tc.get("vocab_size", 49408),
+        max_position_embeddings=tc.get("max_position_embeddings", 77),
+        layer_norm_eps=tc.get("layer_norm_eps", 1e-5),
+        hidden_act=tc.get("hidden_act", "quick_gelu"),
+    )
+
+
+def load_binding_checkpoints(paths: Dict[str, str], dtype=jnp.float32):
+    """Modality name -> HF LanguageBind/CLIP dual-encoder checkpoint dir
+    (e.g. {"video": ".../LanguageBind_Video_merge"}) -> (binding params,
+    vision_cfgs, text_cfg) ready for language_bind_forward / the
+    embeddings service. Each dir carries ``vision_model.*`` +
+    ``visual_projection.weight`` (+ ``logit_scale``); the shared language
+    branch (``text_model.*`` + ``text_projection.weight``) is taken from
+    the first sorted dir that has one — the reference's LanguageBind
+    builds exactly this layout (languagebind/__init__.py:57-77)."""
+    from videollamb_tpu.models.builder import (
+        load_state_dict,
+        vision_config_from_tower_json,
+    )
+    from videollamb_tpu.models.vision.convert import convert_vision_state_dict
+
+    def arr(v):
+        import numpy as np
+
+        return jnp.asarray(
+            (v if isinstance(v, np.ndarray) else v.numpy()), dtype)
+
+    params: Params = {"modalities": {}, "text": {}}
+    vision_cfgs: Dict[str, VisionConfig] = {}
+    text_cfg = TextConfig()
+    import dataclasses
+
+    for name in sorted(paths):
+        sd = load_state_dict(paths[name])
+        tower = convert_vision_state_dict(sd, prefix="vision_model.")
+        vcfg = (vision_config_from_tower_json(paths[name]) or VisionConfig())
+        # Trust the weights over the config default: plain CLIP encoders
+        # (image / LanguageBind image towers) have no temporal layers.
+        has_t = bool(tower["layers"]) and "temporal_attn" in tower["layers"][0]
+        if vcfg.add_time_attn != has_t:
+            vcfg = dataclasses.replace(vcfg, add_time_attn=has_t)
+        vision_cfgs[name] = vcfg
+        scale = sd.get("logit_scale")
+        params["modalities"][name] = {
+            "tower": tower,
+            # HF nn.Linear stores (out, in); our einsum reads (in, out).
+            "projection": arr(sd["visual_projection.weight"]).T,
+            "logit_scale": (jnp.asarray(float(scale), jnp.float32)
+                            if scale is not None
+                            else jnp.asarray(math.log(1 / 0.07), jnp.float32)),
+        }
+        if not params["text"] and any(
+                k.startswith("text_model.") for k in sd):
+            params["text"] = {
+                "encoder": convert_text_state_dict(sd),
+                "projection": arr(sd["text_projection.weight"]).T,
+            }
+            text_cfg = text_config_from_json(paths[name])
+    if not params["text"]:
+        raise ValueError(
+            "no checkpoint dir carried a text branch (text_model.* keys) — "
+            "LanguageBind embeddings need the shared language encoder")
+    # One compute dtype for the whole tree (logit scales stay f32).
+    cast = lambda tree: jax.tree.map(lambda v: jnp.asarray(v, dtype), tree)  # noqa: E731
+    for m in params["modalities"].values():
+        m["tower"] = cast(m["tower"])
+    params["text"]["encoder"] = cast(params["text"]["encoder"])
+    return params, vision_cfgs, text_cfg
+
+
 def init_binding_params(
     rng: jax.Array,
     vision_cfgs: Dict[str, VisionConfig],

@@ -805,6 +805,45 @@ def make_server(chat, engine, host: str = "127.0.0.1", port: int = 8000,
     return httpd, srv
 
 
+def build_embedder(spec: str):
+    """--binding-towers "video=DIR,image=DIR" -> EmbeddingService.
+    Tokenizer and per-modality processors come from the checkpoints'
+    configs (LanguageBind dirs ship CLIP tokenizer files)."""
+    from videollamb_tpu.models.binding import load_binding_checkpoints
+    from videollamb_tpu.serve.embeddings import EmbeddingService
+
+    paths = {}
+    for part in spec.split(","):
+        modality, _, path = part.partition("=")
+        if not path:
+            raise ValueError(f"--binding-towers entry {part!r} must be "
+                             "modality=dir")
+        paths[modality.strip()] = path.strip()
+    params, vcfgs, tcfg = load_binding_checkpoints(paths)
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(paths[sorted(paths)[0]])
+    processors = {}
+    for name, vcfg in vcfgs.items():
+        if name == "audio":
+            from videollamb_tpu.models.vision.modalities import AudioProcessor
+
+            processors[name] = AudioProcessor()
+        elif name == "video":
+            from videollamb_tpu.data.processing import VideoProcessor
+
+            processors[name] = VideoProcessor(size=vcfg.image_size)
+        else:
+            from videollamb_tpu.data.processing import ImageProcessor
+
+            processors[name] = ImageProcessor(size=vcfg.image_size)
+    return EmbeddingService(params, vcfgs, tokenizer, processors,
+                            text_cfg=tcfg,
+                            num_frames=max(v.num_frames for v in
+                                           vcfgs.values()))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", required=True)
@@ -823,6 +862,11 @@ def main(argv=None):
     parser.add_argument("--served-model-name", default=None,
                         help="name under /v1/models and accepted as "
                              "'model' (default: the model path's basename)")
+    parser.add_argument("--binding-towers", default=None,
+                        help="enable /v1/embeddings: comma list of "
+                             "modality=dir LanguageBind checkpoint dirs, "
+                             "e.g. video=ckpts/LanguageBind_Video_merge,"
+                             "image=ckpts/LanguageBind_Image")
     args = parser.parse_args(argv)
 
     from videollamb_tpu.models.builder import load_pretrained_model
@@ -847,10 +891,14 @@ def main(argv=None):
                                eos_token_id=eos)
     import os
 
+    embedder = None
+    if args.binding_towers:
+        embedder = build_embedder(args.binding_towers)
     name = (args.served_model_name
             or os.path.basename(args.model_path.rstrip("/")) or "videollamb")
     httpd, srv = make_server(chat, engine, args.host, args.port,
-                             k=args.sync_every, model_name=name)
+                             k=args.sync_every, model_name=name,
+                             embedder=embedder)
     print(f"serving on http://{args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()
