@@ -136,7 +136,7 @@ def test_unsupported_params_rejected():
     base = {"messages": [{"role": "user", "content": "hi"}]}
     for extra, msg in (({"n": 2}, "n=1"),
                        ({"tools": [{"type": "function"}]}, "tool"),
-                       ({"response_format": {"type": "json_object"}},
+                       ({"response_format": {"type": "json_schema"}},
                         "response_format"),
                        ({"stop": [""]}, "stop")):
         with pytest.raises(oai.BadRequest, match=msg):

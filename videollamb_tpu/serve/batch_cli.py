@@ -52,6 +52,15 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
 
             choice_ids = [tokenize_choice(chat.tokenizer, c)
                           for c in row["choices"]]
+        # Grammar-constrained decoding: "response_format": "json_object"
+        # guarantees the output parses as a JSON object (serve/grammar.py;
+        # the OpenAI response_format contract).
+        grammar = None
+        if row.get("response_format"):
+            from videollamb_tpu.serve.grammar import json_constraint
+
+            grammar = json_constraint(chat.tokenizer,
+                                      mode=row["response_format"])
         if row.get("raw"):
             if any(row.get(k) for k in ("video", "image", "audio")):
                 raise ValueError("'raw' rows are text-only (no template to "
@@ -72,6 +81,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
                 temperature=float(row.get("temperature", 0.0)),
                 adapter=row.get("adapter"),
                 choices=choice_ids,
+                grammar=grammar,
                 logprobs=bool(row.get("logprobs")),
                 top_logprobs=int(row.get("top_logprobs", 0)),
             ))
@@ -136,6 +146,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             temperature=float(row.get("temperature", 0.0)),
             adapter=row.get("adapter"),
             choices=choice_ids,
+            grammar=grammar,
             logprobs=bool(row.get("logprobs")),
             top_logprobs=int(row.get("top_logprobs", 0)),
         ))

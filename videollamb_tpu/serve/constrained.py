@@ -145,6 +145,10 @@ def build_constraint_masks(slots: Sequence, vocab_size: int) -> Optional[np.ndar
         if c is None or c.node is None:
             rows.append(None)
         else:
+            if getattr(c, "budget_aware", False):
+                # Grammar constraints (serve/grammar.py) force-close within
+                # the remaining budget (incl. the token chosen this step).
+                c.set_remaining(r.max_new_tokens - len(r.tokens))
             rows.append(c.mask(vocab_size))
             any_active = True
     if not any_active:

@@ -164,7 +164,11 @@ def _common_params(body: Dict[str, Any], row: Dict[str, Any]) -> List[str]:
     if body.get("tools") or body.get("functions"):
         raise BadRequest("tool calling is not supported")
     fmt = (body.get("response_format") or {}).get("type", "text")
-    if fmt != "text":
+    if fmt == "json_object":
+        # Grammar-constrained decoding (serve/grammar.py): the output is
+        # guaranteed to parse as a JSON object, budget-closed.
+        row["response_format"] = "json_object"
+    elif fmt != "text":
         raise BadRequest(f"response_format {fmt!r} is not supported")
     row["max_new_tokens"] = int(
         body.get("max_completion_tokens") or body.get("max_tokens") or 128)

@@ -159,6 +159,11 @@ class Request:
     # output must be one of (host CLIs tokenize strings into these).
     # Constrained rows decode one step per host sync (per-step masks).
     choices: Optional[List[List[int]]] = None
+    # Grammar-constrained decoding (serve/grammar.py): a pre-built
+    # GrammarConstraint (the tokenizer lives host-side, so CLIs/HTTP build
+    # it — e.g. json_constraint(tokenizer) for OpenAI response_format
+    # json_object). Mutually exclusive with ``choices``.
+    grammar: Any = None
     # Optional host-known prompt length (valid tokens in attention_mask).
     # Used ONLY for text-only batches, where the spliced length equals the
     # mask sum — it saves the one device->host sync per admission that
@@ -186,6 +191,10 @@ class Request:
     # is committed host-side (after every k-step sync at most).
     on_token: Any = None
     cancelled: bool = False
+
+    def __post_init__(self):
+        if self.grammar is not None and self.choices:
+            raise ValueError("'choices' and 'grammar' are mutually exclusive")
 
 
 class ServingEngine:
@@ -314,9 +323,16 @@ class ServingEngine:
             self.adapter_idx = None
 
     def _install_constraint(self, req: Request) -> None:
-        """Build the choice-set state for a constrained request
-        (serve/constrained.py) and extend its token budget to the longest
-        choice so no row is cut off mid-choice with a partial string."""
+        """Install the decode constraint, if any: a pre-built grammar
+        cursor (serve/grammar.py — budget extended to its minimal
+        completion so forced closing always has room), or the choice-set
+        trie (serve/constrained.py — budget extended to the longest
+        choice so no row is cut off mid-choice with a partial string)."""
+        if req.grammar is not None:
+            req._constraint = req.grammar
+            req.max_new_tokens = max(
+                req.max_new_tokens, getattr(req.grammar, "min_tokens", 1))
+            return
         if not req.choices:
             return
         from videollamb_tpu.serve.constrained import ChoiceConstraint, TokenTrie
