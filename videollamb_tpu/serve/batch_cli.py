@@ -53,14 +53,19 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             choice_ids = [tokenize_choice(chat.tokenizer, c)
                           for c in row["choices"]]
         # Grammar-constrained decoding: "response_format": "json_object"
-        # guarantees the output parses as a JSON object (serve/grammar.py;
-        # the OpenAI response_format contract).
+        # guarantees the output parses as a JSON object (serve/grammar.py);
+        # {"type": "json_schema", "schema": {...}} additionally enforces
+        # the schema (serve/schema.py — OpenAI structured outputs).
         grammar = None
-        if row.get("response_format"):
+        fmt = row.get("response_format")
+        if isinstance(fmt, dict):
+            from videollamb_tpu.serve.schema import schema_constraint
+
+            grammar = schema_constraint(chat.tokenizer, fmt["schema"])
+        elif fmt:
             from videollamb_tpu.serve.grammar import json_constraint
 
-            grammar = json_constraint(chat.tokenizer,
-                                      mode=row["response_format"])
+            grammar = json_constraint(chat.tokenizer, mode=fmt)
         if row.get("raw"):
             if any(row.get(k) for k in ("video", "image", "audio")):
                 raise ValueError("'raw' rows are text-only (no template to "

@@ -13,7 +13,8 @@ Design (host-side, engine-agnostic, same interface as ChoiceConstraint):
   RFC-8259 JSON with a bounded container depth (the bound makes the
   machine finite and every state's distance-to-accept computable).
   States are small tuples ``(kind, stack, ...)`` where ``stack`` is the
-  open-container string ('o'/'a' per level).
+  open-container frame tuple ('o'/'a' per generic level;
+  schema machines push richer frames — serve/schema.py).
 - :class:`GrammarTable` — token-level transitions over the machine,
   computed lazily per state and cached: each vocab token's string is
   walked char-by-char; tokens that survive yield (allowed id, end state,
@@ -44,11 +45,7 @@ import numpy as np
 _WS = " \t\n\r"
 _HEX = "0123456789abcdefABCDEF"
 _DIGITS = "0123456789"
-_END = ("end", "")
-
-
-def _after_value(stack: str):
-    return ("after", stack) if stack else _END
+_END = ("end", ())
 
 
 class JsonMachine:
@@ -56,19 +53,43 @@ class JsonMachine:
 
     ``top_object=True`` (the OpenAI json_object contract) requires the
     top-level value to be an object; False accepts any JSON value.
+
+    State is ``(kind, stack, ...)`` where ``stack`` is a tuple of open
+    container frames. Generic frames are the chars 'o'/'a'; subclasses
+    (serve/schema.py) push richer frame tuples and hook
+    ``_frame_close_cost`` / ``_after_value`` / extra state kinds.
     """
 
     def __init__(self, top_object: bool = True, max_depth: int = 16):
         self.top_object = top_object
         self.max_depth = max_depth
-        self.start = ("val", "")
+        self.start = ("val", ())
+
+    # -- frame hooks (overridden by schema machines) --------------------
+    def _after_value(self, stack: tuple):
+        """State after a complete value whose container frames = stack."""
+        if not stack:
+            return _END
+        return ("after", stack)
+
+    def _frame_close_cost(self, frame) -> int:
+        """Min chars to close ``frame`` once its in-flight value is done."""
+        return 1  # generic 'o'/'a': the one closer char
+
+    def _closers_cost(self, stack: tuple) -> int:
+        return sum(self._frame_close_cost(f) for f in stack)
+
+    def _frame_close_char(self, frame) -> str:
+        """First char of the minimal closing of ``frame`` once its
+        in-flight value is done."""
+        return "}" if frame == "o" else "]"
 
     # ------------------------------------------------------------------
-    def _value_start(self, stack: str, ch: str):
+    def _value_start(self, stack: tuple, ch: str):
         if ch == "{":
-            return ("obj_open", stack + "o") if len(stack) < self.max_depth else None
+            return ("obj_open", stack + ("o",)) if len(stack) < self.max_depth else None
         if ch == "[":
-            return ("arr_open", stack + "a") if len(stack) < self.max_depth else None
+            return ("arr_open", stack + ("a",)) if len(stack) < self.max_depth else None
         if ch == '"':
             return ("str", stack, "v")
         if ch == "-":
@@ -85,10 +106,10 @@ class JsonMachine:
             return ("lit", stack, "null", 1)
         return None
 
-    def _num_delim(self, stack: str, ch: str):
+    def _num_delim(self, stack: tuple, ch: str):
         """A complete number ends at a delimiter: close the value, then
         let the after-state consume the delimiter char."""
-        return self.step(_after_value(stack), ch)
+        return self.step(self._after_value(stack), ch)
 
     def step(self, st, ch: str):
         """One character transition; None = illegal."""
@@ -99,8 +120,8 @@ class JsonMachine:
             stack = st[1]
             if ch in _WS:
                 return st
-            if self.top_object and stack == "":
-                return ("obj_open", "o") if ch == "{" else None
+            if self.top_object and not stack:
+                return ("obj_open", ("o",)) if ch == "{" else None
             return self._value_start(stack, ch)
         if kind == "obj_open":  # just after '{': first key or empty object
             stack = st[1]
@@ -109,7 +130,7 @@ class JsonMachine:
             if ch == '"':
                 return ("str", stack, "k")
             if ch == "}":
-                return _after_value(stack[:-1])
+                return self._after_value(stack[:-1])
             return None
         if kind == "key":  # after ',' in an object: a key is mandatory
             stack = st[1]
@@ -129,21 +150,21 @@ class JsonMachine:
             if ch == ",":
                 return ("key", stack) if top == "o" else ("val", stack)
             if ch == "}" and top == "o":
-                return _after_value(stack[:-1])
+                return self._after_value(stack[:-1])
             if ch == "]" and top == "a":
-                return _after_value(stack[:-1])
+                return self._after_value(stack[:-1])
             return None
         if kind == "arr_open":  # just after '[': first element or ']'
             stack = st[1]
             if ch in _WS:
                 return st
             if ch == "]":
-                return _after_value(stack[:-1])
+                return self._after_value(stack[:-1])
             return self._value_start(stack, ch)
         if kind == "str":
             _, stack, k = st
             if ch == '"':
-                return ("colon", stack) if k == "k" else _after_value(stack)
+                return ("colon", stack) if k == "k" else self._after_value(stack)
             if ch == "\\":
                 return ("esc", stack, k)
             return st if ord(ch) >= 0x20 else None
@@ -199,7 +220,7 @@ class JsonMachine:
         _, stack, word, pos = st
         if ch != word[pos]:
             return None
-        return _after_value(stack) if pos + 1 == len(word) else (
+        return self._after_value(stack) if pos + 1 == len(word) else (
             "lit", stack, word, pos + 1)
 
     # ------------------------------------------------------------------
@@ -212,11 +233,11 @@ class JsonMachine:
         if kind == "end":
             return 0
         stack = st[1]
-        closers = len(stack)
+        closers = self._closers_cost(stack)
         if kind == "after":
             return closers
         if kind == "val":
-            if self.top_object and stack == "":
+            if self.top_object and not stack:
                 return 2  # "{}"
             return 1 + closers  # "0"
         if kind in ("obj_open", "arr_open"):
@@ -244,9 +265,9 @@ class JsonMachine:
             return None
         stack = st[1]
         if kind == "after":
-            return "}" if stack[-1] == "o" else "]"
+            return self._frame_close_char(stack[-1])
         if kind == "val":
-            return "{" if (self.top_object and stack == "") else "0"
+            return "{" if (self.top_object and not stack) else "0"
         if kind == "obj_open":
             return "}"
         if kind == "arr_open":
@@ -261,14 +282,20 @@ class JsonMachine:
             return "0"
         if kind == "num":
             if st[2] in self._NUM_COMPLETE:
-                return ("}" if stack[-1] == "o" else "]") if stack else None
+                return self._frame_close_char(stack[-1]) if stack else None
             return "0"
         return st[2][st[3]]  # next literal char
 
 
 # The characters any minimal completion can need — each must exist as a
-# single-token string for the budget guarantee to hold.
+# single-token string for the budget guarantee to hold. Schema machines
+# extend this with their key/enum characters (closing_alphabet()).
 _CLOSING_ALPHABET = set('{}]":0n') | set("truefalsnull")
+
+
+def _machine_closing_alphabet(machine) -> set:
+    extra = getattr(machine, "closing_alphabet", None)
+    return _CLOSING_ALPHABET | (extra() if extra is not None else set())
 
 
 class GrammarTable:
@@ -298,7 +325,9 @@ class GrammarTable:
         # Budget guarantee precondition: every closing char is emittable
         # as its own token.
         single = {s: i for i, s in self.tokens if len(s) == 1}
-        missing = sorted(c for c in _CLOSING_ALPHABET if c not in single)
+        missing = sorted(
+            c for c in _machine_closing_alphabet(self.machine)
+            if c not in single)
         if missing:
             raise ValueError(
                 "tokenizer lacks single-char tokens needed for forced JSON "

@@ -168,6 +168,21 @@ def _common_params(body: Dict[str, Any], row: Dict[str, Any]) -> List[str]:
         # Grammar-constrained decoding (serve/grammar.py): the output is
         # guaranteed to parse as a JSON object, budget-closed.
         row["response_format"] = "json_object"
+    elif fmt == "json_schema":
+        # Structured outputs (serve/schema.py): schema-enforced decode.
+        # Compile here (cheap, tokenizer-free) so unsupported schema
+        # features 400 instead of erroring at admission.
+        spec = (body["response_format"].get("json_schema") or {})
+        schema = spec.get("schema")
+        if not isinstance(schema, (dict, bool)):
+            raise BadRequest("response_format.json_schema.schema is required")
+        from videollamb_tpu.serve.schema import SchemaError, compile_schema
+
+        try:
+            compile_schema(schema)
+        except SchemaError as e:
+            raise BadRequest(f"unsupported json_schema: {e}")
+        row["response_format"] = {"type": "json_schema", "schema": schema}
     elif fmt != "text":
         raise BadRequest(f"response_format {fmt!r} is not supported")
     row["max_new_tokens"] = int(
