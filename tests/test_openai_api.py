@@ -103,9 +103,9 @@ def test_row_from_chat_completions_data_uri_and_input_audio():
     ([], "'messages'"),
     ([{"role": "user", "content": "hi"},
       {"role": "assistant", "content": "yo"}], "last message"),
-    ([{"role": "tool", "content": "x"},
+    ([{"role": "owl", "content": "x"},
       {"role": "user", "content": "hi"}], "unsupported role"),
-    ([{"role": "user", "content": "a"},
+    ([{"role": "assistant", "content": "a"},
       {"role": "user", "content": "b"}], "alternate"),
     ([{"role": "user", "content": "hi"},
       {"role": "system", "content": "late"},

@@ -59,9 +59,17 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
         grammar = None
         fmt = row.get("response_format")
         if isinstance(fmt, dict):
-            from videollamb_tpu.serve.schema import schema_constraint
+            if fmt.get("type") == "tool_call":
+                # Forced tool calling (serve/tools.py): the alternation of
+                # the tools' call schemas.
+                from videollamb_tpu.serve.schema import alternation_constraint
 
-            grammar = schema_constraint(chat.tokenizer, fmt["schema"])
+                grammar = alternation_constraint(chat.tokenizer,
+                                                 fmt["schemas"])
+            else:
+                from videollamb_tpu.serve.schema import schema_constraint
+
+                grammar = schema_constraint(chat.tokenizer, fmt["schema"])
         elif fmt:
             from videollamb_tpu.serve.grammar import json_constraint
 
@@ -107,6 +115,10 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
         chat.reset()
         if row.get("system") is not None:
             chat.conv.system = row["system"]
+        if row.get("system_suffix"):
+            # Tool definitions etc. append to whatever system prompt is in
+            # effect (template default or the row's override).
+            chat.conv.system = (chat.conv.system or "") + row["system_suffix"]
         history = row.get("history") or []
         question = row["prompt"]
         # Prepend one tag per medium not already placed in the prompt text

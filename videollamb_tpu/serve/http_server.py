@@ -471,9 +471,20 @@ class Server:
                 lp_obj = build(self.tokenizer, lpd["ids"], lpd["lps"],
                                lpd["tops"], lpd["top_n"])
             if chat_mode:
+                tool_calls = None
+                tinfo = row.get("_tools")
+                if tinfo:
+                    from videollamb_tpu.serve import tools as toolmod
+
+                    parsed = toolmod.parse_tool_call(final["text"],
+                                                     tinfo["names"])
+                    if parsed is not None:
+                        tool_calls = toolmod.tool_calls_payload(
+                            parsed[0], parsed[1], final["id"])
                 return oai.chat_completion_response(
                     final["id"], model, final["text"],
-                    final["finish_reason"], usage, logprobs=lp_obj)
+                    final["finish_reason"], usage, logprobs=lp_obj,
+                    tool_calls=tool_calls)
             return oai.completion_response(
                 final["id"], model, final["text"],
                 final["finish_reason"], usage, logprobs=lp_obj)
@@ -487,6 +498,9 @@ class Server:
         chunk under stream_options.include_usage), then "[DONE]"."""
         from videollamb_tpu.serve import openai_api as oai
 
+        if body.get("tools"):
+            raise oai.BadRequest("streaming with tools is not supported — "
+                                 "set stream=false for tool calls")
         row, stops, temp_paths = self._openai_row(body, chat_mode)
         model = body.get("model") or self.model_name
         include_usage = bool(

@@ -157,12 +157,15 @@ def resolve_model(body: Dict[str, Any], served_model: str,
                      code="model_not_found", status=404)
 
 
-def _common_params(body: Dict[str, Any], row: Dict[str, Any]) -> List[str]:
+def _common_params(body: Dict[str, Any], row: Dict[str, Any],
+                   tools_ok: bool = False) -> List[str]:
     """Sampling/limit params shared by both endpoints; returns stops."""
     if body.get("n", 1) != 1:
         raise BadRequest("only n=1 is supported")
-    if body.get("tools") or body.get("functions"):
-        raise BadRequest("tool calling is not supported")
+    if body.get("functions"):
+        raise BadRequest("legacy 'functions' is not supported — use 'tools'")
+    if body.get("tools") and not tools_ok:
+        raise BadRequest("tools are only supported on /v1/chat/completions")
     fmt = (body.get("response_format") or {}).get("type", "text")
     if fmt == "json_object":
         # Grammar-constrained decoding (serve/grammar.py): the output is
@@ -235,10 +238,33 @@ def row_from_chat_completions(
                 row["system"] = _content_to_text_and_media(
                     msg.get("content"), media, temp_paths)
                 continue
+            if role == "assistant" and msg.get("tool_calls"):
+                from videollamb_tpu.serve import tools as toolmod
+
+                turns.append(
+                    ("assistant", toolmod.render_assistant_tool_calls(msg)))
+                continue
+            if role == "tool":
+                from videollamb_tpu.serve import tools as toolmod
+
+                # A tool result is (part of) the next user-side turn — it
+                # may itself be the final message (the standard second
+                # round of a tool-calling loop).
+                turns.append(("user", toolmod.render_tool_result(msg)))
+                continue
             if role not in ("user", "assistant"):
                 raise BadRequest(f"unsupported role {role!r}")
             turns.append((role, _content_to_text_and_media(
                 msg.get("content"), media, temp_paths)))
+        # Merge consecutive same-role turns (tool results + follow-up user
+        # text form one user turn).
+        merged: List[Tuple[str, str]] = []
+        for role, text in turns:
+            if merged and merged[-1][0] == role:
+                merged = merged[:-1] + [(role, merged[-1][1] + "\n" + text)]
+            else:
+                merged.append((role, text))
+        turns = merged
         if not turns or turns[-1][0] != "user":
             raise BadRequest("the last message must be from the user")
         history: List[List[Optional[str]]] = []
@@ -265,11 +291,57 @@ def row_from_chat_completions(
             row[modality.lower()] = path  # VIDEO->"video", IMAGE->"image", ...
         if adapter is not None:
             row["adapter"] = adapter
-        stops = _common_params(body, row)
+        stops = _common_params(body, row, tools_ok=True)
+        _apply_tools(body, row)
         return row, stops, temp_paths
     except BadRequest:
         _cleanup(temp_paths)
         raise
+
+
+def _apply_tools(body: Dict[str, Any], row: Dict[str, Any]) -> None:
+    """OpenAI ``tools`` / ``tool_choice`` -> system-prompt injection +
+    (for forced modes) a grammar-constrained call format (serve/tools.py).
+    Adds ``row["_tools"]`` metadata the HTTP layer uses to parse the
+    completion into ``message.tool_calls``."""
+    tools = body.get("tools")
+    if not tools:
+        if body.get("tool_choice") not in (None, "auto", "none"):
+            raise BadRequest("tool_choice given without tools")
+        return
+    from videollamb_tpu.serve import tools as toolmod
+
+    try:
+        specs = toolmod.validate_tools(tools)
+    except ValueError as e:
+        raise BadRequest(str(e))
+    choice = body.get("tool_choice", "auto")
+    forced_name = None
+    if isinstance(choice, dict):
+        forced_name = (choice.get("function") or {}).get("name")
+        if choice.get("type") != "function" or not forced_name:
+            raise BadRequest(
+                "tool_choice object must be "
+                "{'type': 'function', 'function': {'name': ...}}")
+        mode = "forced"
+    elif choice in ("auto", "none", "required"):
+        mode = choice
+    else:
+        raise BadRequest(f"unsupported tool_choice {choice!r}")
+    row["system_suffix"] = toolmod.render_tools_system(specs)
+    if mode in ("required", "forced"):
+        if row.get("response_format"):
+            raise BadRequest(
+                "response_format cannot be combined with a forced "
+                "tool_choice (the call format IS the response format)")
+        try:
+            schemas = toolmod.call_schemas(specs, forced_name)
+        except ValueError as e:
+            raise BadRequest(str(e))
+        row["response_format"] = {"type": "tool_call", "schemas": schemas}
+    if mode != "none":
+        row["_tools"] = {"names": [s["name"] for s in specs],
+                         "forced": mode in ("required", "forced")}
 
 
 def row_from_completions(
@@ -404,7 +476,13 @@ def usage_dict(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
 def chat_completion_response(
     rid: str, model: str, text: str, finish_reason: str,
     usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
+    tool_calls: Optional[List[Dict[str, Any]]] = None,
 ) -> Dict[str, Any]:
+    message: Dict[str, Any] = {"role": "assistant", "content": text}
+    if tool_calls is not None:
+        message = {"role": "assistant", "content": None,
+                   "tool_calls": tool_calls}
+        finish_reason = "tool_calls"
     return {
         "id": f"chatcmpl-{rid}",
         "object": "chat.completion",
@@ -412,7 +490,7 @@ def chat_completion_response(
         "model": model,
         "choices": [{
             "index": 0,
-            "message": {"role": "assistant", "content": text},
+            "message": message,
             "logprobs": logprobs,
             "finish_reason": finish_reason,
         }],

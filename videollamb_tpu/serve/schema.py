@@ -621,6 +621,87 @@ class SchemaMachine(JsonMachine):
         return chars
 
 
+class AltMachine:
+    """Alternation over K machines: legal iff legal for ANY branch.
+
+    Used for multi-tool forced calling (serve/tools.py), where each tool
+    is its own schema — the branches all open with '{"name": ...' so a
+    first-char-disjoint union node cannot express it. The state is the
+    tuple of live (branch, state) pairs; dead branches drop out as chars
+    commit. The closing-cost invariant survives alternation because one
+    char can lower any machine's cost by at most 1 (from the new state
+    the old one completes in cost+1), so min-over-branches also steps
+    down by exactly 1 along the cheapest branch's closing char.
+    """
+
+    def __init__(self, machines: Sequence):
+        self.machines = tuple(machines)
+        self.start = tuple((i, m.start) for i, m in enumerate(self.machines))
+
+    def step(self, st, ch: str):
+        if st == _END:
+            return _END if ch in _WS else None
+        live = []
+        for i, s in st:
+            s2 = self.machines[i].step(s, ch)
+            if s2 is not None:
+                live.append((i, s2))
+        if not live:
+            return None
+        if all(s == _END for _, s in live):
+            return _END  # collapse: GrammarConstraint.finished fires
+        return tuple(live)
+
+    def cost(self, st) -> int:
+        if st == _END:
+            return 0
+        return min(self.machines[i].cost(s) for i, s in st)
+
+    def closing_char(self, st) -> Optional[str]:
+        if st == _END:
+            return None
+        i, s = min(st, key=lambda p: self.machines[p[0]].cost(p[1]))
+        return self.machines[i].closing_char(s)
+
+    def closing_alphabet(self) -> set:
+        out: set = set()
+        for m in self.machines:
+            extra = getattr(m, "closing_alphabet", None)
+            if extra is not None:
+                out |= extra()
+        return out
+
+
+def alternation_constraint(
+    tokenizer,
+    schemas: Sequence,
+    *,
+    max_depth: int = 24,
+    token_strs: Optional[Sequence[Optional[str]]] = None,
+) -> GrammarConstraint:
+    """Constraint matching ANY of the given schemas (tables cached on the
+    tokenizer by the canonical dump of the schema list)."""
+    key = ("alt_schema", json.dumps(list(schemas), sort_keys=True), max_depth)
+    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
+    if cache is None:
+        cache = {}
+        try:
+            tokenizer._videollamb_grammar_tables = cache
+        except (AttributeError, TypeError):
+            pass
+    table = cache.get(key)
+    if table is None:
+        machines = [SchemaMachine(compile_schema(s), max_depth=max_depth)
+                    for s in schemas]
+        machine = machines[0] if len(machines) == 1 else AltMachine(machines)
+        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
+        strs = list(token_strs) if token_strs is not None else token_strings(
+            tokenizer)
+        table = GrammarTable(strs, eos, machine)
+        cache[key] = table
+    return GrammarConstraint(table)
+
+
 def schema_constraint(
     tokenizer,
     schema,
