@@ -224,24 +224,38 @@ def test_budget_filter_forces_adversarial_closure():
         assert len(toks) <= budget
 
 
-def test_token_strings_piece_mapping():
+def _fake_tok(table):
     class FakeTok:
-        vocab_size = 8
+        vocab_size = len(table)
         eos_token_id = 2
         all_special_ids = [0, 1, 2]
 
         def convert_ids_to_tokens(self, ids):
-            table = ["<pad>", "<s>", "</s>", "▁the", "<0x41>",
-                     "<0xC3>", "Ġword", "Ċ"]
             return [table[i] for i in ids]
 
-    strs = token_strings(FakeTok())
+    return FakeTok()
+
+
+def test_token_strings_sentencepiece_pieces():
+    strs = token_strings(_fake_tok(
+        ["<pad>", "<s>", "</s>", "▁the", "<0x41>", "<0xC3>", "é"]))
     assert strs[0] is None and strs[1] is None and strs[2] is None
     assert strs[3] == " the"
     assert strs[4] == "A"
     assert strs[5] is None  # non-ASCII byte fragment
-    assert strs[6] == " word"
-    assert strs[7] == "\n"
+    assert strs[6] == "é"   # direct non-ASCII piece is fine
+
+
+def test_token_strings_byte_level_pieces():
+    # 'Ġ'/'Ċ' mark a byte-level vocab: decode through the GPT-2
+    # bytes_to_unicode inverse, drop partial UTF-8 fragments.
+    strs = token_strings(_fake_tok(
+        ["<pad>", "<s>", "</s>", "Ġword", "Ċ", "Ã©", "Ã", "▁added"]))
+    assert strs[3] == " word"
+    assert strs[4] == "\n"
+    assert strs[5] == "é"    # 0xC3 0xA9 -> valid UTF-8
+    assert strs[6] is None   # lone 0xC3: partial multi-byte
+    assert strs[7] is None   # '▁' is outside the byte-level alphabet
 
 
 def test_json_constraint_caches_table():

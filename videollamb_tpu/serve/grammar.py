@@ -441,12 +441,43 @@ class GrammarConstraint:
 # Tokenizer plumbing
 
 
-def _piece_to_text(piece: str) -> Optional[str]:
-    """Vocab piece -> surface string (SentencePiece '▁', GPT-2 'Ġ'/'Ċ',
-    byte-fallback '<0xNN>'). None = not independently decodable (special
-    tokens, non-ASCII byte fragments) -> disallowed under the grammar."""
+def _byte_decoder() -> Dict[str, int]:
+    """Inverse of GPT-2's bytes_to_unicode: printable stand-in char ->
+    raw byte. Byte-level BPE vocabs (GPT-2/Llama-3/Qwen style) spell
+    tokens in this alphabet ('Ġ' = space, 'Ċ' = newline, ...)."""
+    bs = (list(range(33, 127)) + list(range(161, 173))
+          + list(range(174, 256)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+_BYTE_DECODER = _byte_decoder()
+
+
+def _piece_to_text(piece: str, byte_level: bool) -> Optional[str]:
+    """Vocab piece -> surface string. None = not independently decodable
+    (special tokens, partial UTF-8 byte fragments) -> disallowed under
+    the grammar. Handles SentencePiece ('▁' word boundary, '<0xNN>'
+    byte fallback) and byte-level BPE (full bytes_to_unicode inverse)."""
     if not piece:
         return None
+    if byte_level:
+        raw = bytearray()
+        for ch in piece:
+            b = _BYTE_DECODER.get(ch)
+            if b is None:
+                return None  # added/special token outside the byte alphabet
+            raw.append(b)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # partial multi-byte sequence
     if piece.startswith("<0x") and piece.endswith(">") and len(piece) == 6:
         try:
             b = int(piece[3:5], 16)
@@ -455,25 +486,29 @@ def _piece_to_text(piece: str) -> Optional[str]:
         return chr(b) if b < 0x80 else None
     if piece.startswith("<") and piece.endswith(">"):
         return None  # control/special pieces (<s>, <unk>, <pad>, ...)
-    return piece.replace("▁", " ").replace("Ġ", " ").replace(
-        "Ċ", "\n")
+    return piece.replace("▁", " ")
 
 
 def token_strings(tokenizer) -> List[Optional[str]]:
-    """Surface string per vocab id (None = disallowed)."""
+    """Surface string per vocab id (None = disallowed). The property the
+    whole grammar approach rests on — verified for real tokenizers in
+    test_grammar_real_tokenizer.py — is that concatenating these strings
+    along any token path equals what ``tokenizer.decode`` produces."""
     size = int(getattr(tokenizer, "vocab_size", 0) or len(tokenizer))
     special = set(getattr(tokenizer, "all_special_ids", None) or [])
-    strs: List[Optional[str]] = [None] * size
     convert = getattr(tokenizer, "convert_ids_to_tokens", None)
     if convert is None:
         raise ValueError(
             "tokenizer has no convert_ids_to_tokens; pass token_strs "
             "explicitly to GrammarTable")
     pieces = convert(list(range(size)))
+    # Byte-level BPE spells space as 'Ġ'; SentencePiece as '▁'.
+    byte_level = any(isinstance(p, str) and "Ġ" in p for p in pieces)
+    strs: List[Optional[str]] = [None] * size
     for i, p in enumerate(pieces):
         if i in special or not isinstance(p, str):
             continue
-        strs[i] = _piece_to_text(p)
+        strs[i] = _piece_to_text(p, byte_level)
     return strs
 
 
