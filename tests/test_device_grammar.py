@@ -1,0 +1,169 @@
+"""Device-side constrained decoding (serve/device_grammar.py +
+server.greedy_decode_steps_grammar): the HBM-pool path must be
+token-identical to the per-step host-mask path, including freeze/rewind
+on first-visit states and mixed constrained/free batches."""
+
+import json
+
+import numpy as np
+import pytest
+
+import conftest as _c  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from videollamb_tpu.serve.device_grammar import DeviceTable, device_table_for
+from videollamb_tpu.serve.grammar import GrammarTable, json_constraint
+from test_grammar import EOS, PIECES, _decode, _token_strs
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    cfg = ModelConfig.tiny(max_length=64)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "video_tower": init_vision_params(k1, cfg.vision),
+        "mm_projector": init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size),
+        "lm": init_llama_params(k3, cfg.lm),
+    }
+    return cfg, params
+
+
+class _Tok:
+    eos_token_id = EOS
+
+
+def test_device_table_rows():
+    table = GrammarTable(_token_strs(64), EOS)
+    dt = DeviceTable(table, 64, cap=16)
+    s = dt.slot(table.start)
+    assert s == 1  # slot 0 is reserved FREE
+    assert dt.slot(table.start) == 1  # cached
+    costs = np.asarray(dt.costs)
+    # FREE slot: everything allowed at cost 0, next all DEAD.
+    assert (costs[0] == 0).all()
+    assert (np.asarray(dt.next_sid)[0] == -2).all()
+    # Start state (json_object): '{' (id 3) allowed, '[' (id 5) not.
+    assert costs[1, 3] < 1 << 20
+    assert costs[1, 5] == 1 << 20
+    assert np.asarray(dt.sid2slot)[table.start] == 1
+
+
+def test_device_table_shared_via_cache():
+    table = GrammarTable(_token_strs(64), EOS)
+    assert device_table_for(table, 64) is device_table_for(table, 64)
+
+
+def _req(cfg, uid, grammar, seed=0, budget=12):
+    from videollamb_tpu.models.assembly import MultimodalBatch
+    from videollamb_tpu.serve.server import Request
+
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 6)).astype(np.int32)
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((1, 6), jnp.int32),
+        labels=None, videos=None, images=None,
+    )
+    return Request(uid=uid, batch=batch, max_new_tokens=budget,
+                   temperature=0.0, grammar=grammar)
+
+
+def _run(cfg, params, k, seeds, budget=12, mix_free=False):
+    """Drive the engine at sync width k; returns per-uid token lists."""
+    from videollamb_tpu.serve.server import ServingEngine
+
+    strs = _token_strs(cfg.lm.vocab_size)
+    engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS)
+    reqs = []
+    for j, seed in enumerate(seeds):
+        g = json_constraint(_Tok(), token_strs=strs)
+        reqs.append(_req(cfg, j, g, seed=seed, budget=budget))
+    if mix_free:
+        reqs.append(_req(cfg, len(seeds), None, seed=99, budget=8))
+    for r in reqs:
+        engine.submit(r)
+    engine.run_until_drained(k=k)
+    return {r.uid: list(r.tokens) for r in reqs}
+
+
+def test_device_path_matches_host_path(tiny):
+    """k=4 routes grammar rows through the device scan (fresh table:
+    every state is a first visit, so freeze/rewind is exercised hard);
+    k=1 is the host-mask reference. Token-identical output proves the
+    scan, the transitions, the budget filter, and the cache rewind."""
+    cfg, params = tiny
+    got_dev = _run(cfg, params, k=4, seeds=[0, 1, 2])
+    got_host = _run(cfg, params, k=1, seeds=[0, 1, 2])
+    assert got_dev == got_host
+    for toks in got_dev.values():
+        obj = json.loads(_decode(toks))
+        assert isinstance(obj, dict)
+
+
+def test_device_path_mixed_free_rows(tiny):
+    cfg, params = tiny
+    got_dev = _run(cfg, params, k=4, seeds=[3, 4], mix_free=True)
+    got_host = _run(cfg, params, k=1, seeds=[3, 4], mix_free=True)
+    assert got_dev == got_host
+
+
+def test_device_path_tight_budget(tiny):
+    """Budget forced closing on device: tiny budgets still land complete
+    JSON, identically to the host path."""
+    cfg, params = tiny
+    for budget in (2, 3, 5):
+        got_dev = _run(cfg, params, k=4, seeds=[7], budget=budget)
+        got_host = _run(cfg, params, k=1, seeds=[7], budget=budget)
+        assert got_dev == got_host, budget
+        toks = got_dev[0]
+        assert len(toks) <= budget
+        assert isinstance(json.loads(_decode(toks)), dict)
+
+
+def test_warm_table_shares_uploads(tiny):
+    """A second engine on the same tokenizer reuses the uploaded rows
+    (the DeviceTable is cached on the GrammarTable)."""
+    cfg, params = tiny
+    tok = _Tok()
+    strs = _token_strs(cfg.lm.vocab_size)
+    c1 = json_constraint(tok, token_strs=strs)
+    dt1 = device_table_for(c1.table, cfg.lm.vocab_size)
+    n_before = dt1._n
+    from videollamb_tpu.serve.server import ServingEngine
+
+    engine = ServingEngine(params, cfg, num_slots=2, eos_token_id=EOS)
+    engine.submit(_req(cfg, 0, c1, seed=5))
+    engine.run_until_drained(k=4)
+    assert device_table_for(c1.table, cfg.lm.vocab_size) is dt1
+    assert dt1._n > n_before  # states uploaded during the run
+    n_after = dt1._n
+    # Same grammar again: the visited-states set barely grows.
+    c2 = json_constraint(tok, token_strs=strs)
+    engine2 = ServingEngine(params, cfg, num_slots=2, eos_token_id=EOS)
+    engine2.submit(_req(cfg, 0, c2, seed=5))
+    engine2.run_until_drained(k=4)
+    assert dt1._n == n_after  # identical decode: zero new uploads
+
+
+def test_pool_exhaustion_falls_back_to_host(tiny):
+    """A full pool must not break correctness — the engine silently uses
+    the per-step host path."""
+    cfg, params = tiny
+    strs = _token_strs(cfg.lm.vocab_size)
+    con = json_constraint(_Tok(), token_strs=strs)
+    # Pre-install a tiny-capacity device table on this (fresh) table.
+    con.table._device_table = DeviceTable(con.table, cfg.lm.vocab_size, cap=2)
+    from videollamb_tpu.serve.server import ServingEngine
+
+    engine = ServingEngine(params, cfg, num_slots=2, eos_token_id=EOS)
+    req = _req(cfg, 0, con, seed=1)
+    engine.submit(req)
+    engine.run_until_drained(k=4)
+    obj = json.loads(_decode(req.tokens))
+    assert isinstance(obj, dict)

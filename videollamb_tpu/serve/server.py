@@ -140,6 +140,69 @@ def greedy_decode_steps(
     return out.T, logits, cache  # (B, k)
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+def greedy_decode_steps_grammar(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    pool_costs: jax.Array, pool_next: jax.Array, sid2slot: jax.Array,
+    slots0: jax.Array, remaining0: jax.Array, adapter_idx=None,
+):
+    """k greedy decode steps with grammar constraints enforced ON DEVICE
+    (serve/device_grammar.py): per step, each row gathers its state's
+    closing-cost row from the HBM pool, masks by remaining budget, takes
+    the argmax, and transitions via the pool's next-sid row — no per-token
+    host sync or (B, V) mask transfer.
+
+    Returns (tokens (B, k), logits, cache, invalid_at (B,), frozen_logits
+    (B, V)). ``invalid_at[i] == t < k`` means row i transitioned into a
+    not-yet-uploaded state after emitting the (valid) token at step t:
+    tokens (t, k) are garbage, ``frozen_logits[i]`` holds the logits
+    right after token t, and the engine must rewind the row's cache
+    length by k - 1 - t (the garbage writes get overwritten).
+    """
+    sid_cap = sid2slot.shape[0]
+
+    def body(carry, step):
+        logits, cache, slot, remaining, invalid_at, frozen_logits = carry
+        costs_rows = pool_costs[slot]  # (B, V) gather
+        mask = costs_rows <= (remaining - 1)[:, None]
+        nxt = jnp.argmax(jnp.where(mask, logits, -jnp.inf), -1).astype(jnp.int32)
+        nsid = jnp.take_along_axis(pool_next[slot], nxt[:, None], 1)[:, 0]
+        mapped = sid2slot[jnp.clip(nsid, 0, sid_cap - 1)]
+        unknown = ((nsid >= 0) & ((nsid >= sid_cap) | (mapped == -1))
+                   | (nsid == -1))
+        froze_now = unknown & (invalid_at == k)
+        invalid_at = jnp.where(froze_now, step, invalid_at)
+        new_slot = jnp.where(nsid >= 0, jnp.maximum(mapped, 0), 0)
+        # Frozen rows decode unconstrained garbage (discarded host-side).
+        new_slot = jnp.where(invalid_at <= step, 0, new_slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
+            cache.k.dtype)
+        logits2, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds,
+                                           cache, adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        carry = (logits2, cache, new_slot, remaining - 1, invalid_at,
+                 frozen_logits)
+        return carry, nxt
+
+    b = logits.shape[0]
+    init = (logits, cache, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+        body, init, jnp.arange(k, dtype=jnp.int32))
+    return toks.T, logits, cache, invalid_at, frozen_logits
+
+
+@jax.jit
+def _fix_frozen_rows(logits, cache, frozen_mask, frozen_logits, garbage):
+    """Restore frozen rows after a grammar scan: logits from the last
+    valid step, cache length rewound over the garbage tokens (dense cache
+    writes land at ``length``, so the next steps overwrite them)."""
+    logits = jnp.where(frozen_mask[:, None], frozen_logits, logits)
+    length = cache.length - jnp.where(frozen_mask, garbage, 0)
+    return logits, KVCache(k=cache.k, v=cache.v, length=length)
+
+
 @dataclasses.dataclass
 class Request:
     uid: Any
@@ -436,6 +499,14 @@ class ServingEngine:
                         break
             return finished
 
+        if k > 1 and all_greedy and not self._wants_logprobs():
+            # Grammar-constrained rows can stay in the device loop: state
+            # tables live in HBM (serve/device_grammar.py) and the scan
+            # masks/transitions by state slot — no per-token host sync.
+            setup = self._grammar_device_setup()
+            if setup is not None:
+                return self._step_device_grammar(k, setup, dropped)
+
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks
 
@@ -481,6 +552,94 @@ class ServingEngine:
                 req.done = True
                 finished.append(req)
                 self._release(i)
+        return finished
+
+    def _grammar_device_setup(self):
+        """(DeviceTable, slots0, remaining0) when every constrained slot
+        is a GrammarConstraint on ONE shared table and the HBM pool has
+        room; None -> the per-step host-mask path. Unconstrained rows ride
+        the reserved FREE slot 0."""
+        from videollamb_tpu.serve.device_grammar import (
+            FREE_REMAINING,
+            device_table_for,
+        )
+        from videollamb_tpu.serve.grammar import GrammarConstraint
+
+        table = None
+        for r in self.slots:
+            c = getattr(r, "_constraint", None) if r is not None else None
+            if c is None:
+                continue
+            if not isinstance(c, GrammarConstraint) or c.node is None:
+                return None
+            if table is None:
+                table = c.table
+            elif c.table is not table:
+                return None  # mixed grammars in one batch: host path
+        if table is None:
+            return None
+        dt = device_table_for(table, self.cfg.lm.vocab_size)
+        slots0 = np.zeros((self.num_slots,), np.int32)
+        remaining0 = np.full((self.num_slots,), FREE_REMAINING, np.int32)
+        for i, r in enumerate(self.slots):
+            c = getattr(r, "_constraint", None) if r is not None else None
+            if c is None:
+                continue
+            s = dt.slot(c.node)
+            if s is None:
+                return None  # pool capacity exhausted
+            slots0[i] = s
+            remaining0[i] = max(1, r.max_new_tokens - len(r.tokens))
+        return dt, slots0, remaining0
+
+    def _step_device_grammar(self, k: int, setup, dropped) -> List[Request]:
+        """k-step decode with on-device grammar enforcement; commits the
+        valid prefixes, then repairs rows that froze on a first-visit
+        state (logits restore + cache-length rewind — see
+        greedy_decode_steps_grammar)."""
+        dt, slots0, remaining0 = setup
+        toks, self.logits, self.cache, invalid_at, frozen_logits = (
+            greedy_decode_steps_grammar(
+                self.params, self.cfg, self.logits, self.cache, k,
+                dt.costs, dt.next_sid, dt.sid2slot,
+                jnp.asarray(slots0), jnp.asarray(remaining0),
+                adapter_idx=self._live_adapter_idx()))
+        toks_host = np.asarray(toks)
+        invalid_host = np.asarray(invalid_at)
+        finished: List[Request] = dropped
+        frozen = np.zeros((self.num_slots,), bool)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            if req.cancelled:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+                continue
+            con = getattr(req, "_constraint", None)
+            valid = k if con is None else min(k, int(invalid_host[i]) + 1)
+            done_row = False
+            for t in range(valid):
+                tok = int(toks_host[i, t])
+                req.tokens.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req, tok)
+                if con is not None:
+                    con.advance(tok)  # interns the next state for upload
+                if (tok == self.eos or len(req.tokens) >= req.max_new_tokens
+                        or (con is not None and con.finished)):
+                    req.done = True
+                    finished.append(req)
+                    self._release(i)
+                    done_row = True
+                    break
+            if not done_row and con is not None and invalid_host[i] < k:
+                frozen[i] = True
+        if frozen.any():
+            garbage = np.where(frozen, k - 1 - invalid_host, 0).astype(np.int32)
+            self.logits, self.cache = _fix_frozen_rows(
+                self.logits, self.cache, jnp.asarray(frozen), frozen_logits,
+                jnp.asarray(garbage))
         return finished
 
     def cancel(self, uid) -> bool:
