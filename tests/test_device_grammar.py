@@ -151,6 +151,41 @@ def test_warm_table_shares_uploads(tiny):
     assert dt1._n == n_after  # identical decode: zero new uploads
 
 
+def _run_paged(cfg, params, k, seeds, budget=12, mix_free=False):
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    strs = _token_strs(cfg.lm.vocab_size)
+    engine = PagedServingEngine(params, cfg, num_slots=4, page_size=16,
+                                eos_token_id=EOS)
+    reqs = []
+    for j, seed in enumerate(seeds):
+        g = json_constraint(_Tok(), token_strs=strs)
+        reqs.append(_req(cfg, j, g, seed=seed, budget=budget))
+    if mix_free:
+        reqs.append(_req(cfg, len(seeds), None, seed=99, budget=8))
+    for r in reqs:
+        engine.submit(r)
+    engine.run_until_drained(k=k)
+    return {r.uid: list(r.tokens) for r in reqs}
+
+
+def test_paged_device_path_matches_host_path(tiny):
+    """Same parity bar over the paged pool: device k-scan (fresh table —
+    freeze/lengths-rewind exercised) == per-step host masks."""
+    cfg, params = tiny
+    got_dev = _run_paged(cfg, params, k=4, seeds=[0, 1], mix_free=True)
+    got_host = _run_paged(cfg, params, k=1, seeds=[0, 1], mix_free=True)
+    assert got_dev == got_host
+    for uid in (0, 1):
+        assert isinstance(json.loads(_decode(got_dev[uid])), dict)
+
+
+def test_paged_and_dense_device_paths_agree(tiny):
+    cfg, params = tiny
+    assert (_run_paged(cfg, params, k=4, seeds=[5, 6])
+            == _run(cfg, params, k=4, seeds=[5, 6]))
+
+
 def test_pool_exhaustion_falls_back_to_host(tiny):
     """A full pool must not break correctness — the engine silently uses
     the per-step host path."""

@@ -93,6 +93,58 @@ def paged_greedy_decode_steps(
     return out.T, logits, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "k", "total_pages"),
+         donate_argnames=("cache",))
+def paged_greedy_decode_steps_grammar(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int, pool_costs: jax.Array, pool_next: jax.Array,
+    sid2slot: jax.Array, slots0: jax.Array, remaining0: jax.Array,
+    adapter_idx=None,
+):
+    """Paged twin of server.greedy_decode_steps_grammar: on-device
+    grammar masks/transitions from the HBM state pool inside the paged
+    k-step scan. Same freeze semantics (see that docstring); garbage
+    steps write into already-allocated pages and get overwritten after
+    the lengths rewind."""
+    sid_cap = sid2slot.shape[0]
+
+    def body(carry, step):
+        logits, cache, slot, remaining, invalid_at, frozen_logits = carry
+        mask = pool_costs[slot] <= (remaining - 1)[:, None]
+        nxt = jnp.argmax(jnp.where(mask, logits, -jnp.inf), -1).astype(jnp.int32)
+        nsid = jnp.take_along_axis(pool_next[slot], nxt[:, None], 1)[:, 0]
+        mapped = sid2slot[jnp.clip(nsid, 0, sid_cap - 1)]
+        unknown = ((nsid >= 0) & ((nsid >= sid_cap) | (mapped == -1))
+                   | (nsid == -1))
+        froze_now = unknown & (invalid_at == k)
+        invalid_at = jnp.where(froze_now, step, invalid_at)
+        new_slot = jnp.where(nsid >= 0, jnp.maximum(mapped, 0), 0)
+        new_slot = jnp.where(invalid_at <= step, 0, new_slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
+        logits2, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        return (logits2, cache, new_slot, remaining - 1, invalid_at,
+                frozen_logits), nxt
+
+    b = logits.shape[0]
+    init = (logits, cache, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+        body, init, jnp.arange(k, dtype=jnp.int32))
+    return toks.T, logits, cache, invalid_at, frozen_logits
+
+
+@jax.jit
+def _paged_fix_frozen(logits, cache: PagedKVCache, frozen_mask,
+                      frozen_logits, garbage):
+    logits = jnp.where(frozen_mask[:, None], frozen_logits, logits)
+    lengths = cache.lengths - jnp.where(frozen_mask, garbage, 0)
+    return logits, cache._replace(lengths=lengths)
+
+
 class PagedServingEngine(ServingEngine):
     def __init__(
         self,
@@ -348,6 +400,22 @@ class PagedServingEngine(ServingEngine):
             self._host_len[slot] = prompt_len
             self.slots[slot] = req
 
+    def _grammar_scan(self, k: int, dt, slots0, remaining0):
+        toks, self.logits, self.cache, invalid_at, frozen_logits = (
+            paged_greedy_decode_steps_grammar(
+                self.params, self.cfg, self.logits, self.cache, k,
+                self.total_pages, dt.costs, dt.next_sid, dt.sid2slot,
+                jnp.asarray(slots0), jnp.asarray(remaining0),
+                adapter_idx=self._live_adapter_idx()))
+        self._host_len += k  # mirrors lengths+k; frozen rows rewound below
+        return toks, invalid_at, frozen_logits
+
+    def _grammar_fix(self, frozen, frozen_logits, garbage) -> None:
+        self._host_len -= garbage  # garbage already zeroed on healthy rows
+        self.logits, self.cache = _paged_fix_frozen(
+            self.logits, self.cache, jnp.asarray(frozen), frozen_logits,
+            jnp.asarray(garbage))
+
     def _ensure_pages(self, k: int) -> None:
         """Allocate pages so every active slot can write k more tokens."""
         updates = []
@@ -425,6 +493,14 @@ class PagedServingEngine(ServingEngine):
                         self._release(i)
                         break
             return finished
+
+        if k > 1 and all_greedy and not self._wants_logprobs():
+            # Device-side grammar enforcement over the paged pool — the
+            # production serving config keeps guaranteed-valid JSON in
+            # the k-step device loop (serve/device_grammar.py).
+            setup = self._grammar_device_setup()
+            if setup is not None:
+                return self._step_device_grammar(k, setup, dropped)
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks

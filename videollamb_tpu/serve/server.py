@@ -592,18 +592,32 @@ class ServingEngine:
             remaining0[i] = max(1, r.max_new_tokens - len(r.tokens))
         return dt, slots0, remaining0
 
-    def _step_device_grammar(self, k: int, setup, dropped) -> List[Request]:
-        """k-step decode with on-device grammar enforcement; commits the
-        valid prefixes, then repairs rows that froze on a first-visit
-        state (logits restore + cache-length rewind — see
-        greedy_decode_steps_grammar)."""
-        dt, slots0, remaining0 = setup
+    def _grammar_scan(self, k: int, dt, slots0, remaining0):
+        """Run the on-device constrained scan, updating logits/cache.
+        Overridden by the paged engine (paged cache + host_len mirror)."""
         toks, self.logits, self.cache, invalid_at, frozen_logits = (
             greedy_decode_steps_grammar(
                 self.params, self.cfg, self.logits, self.cache, k,
                 dt.costs, dt.next_sid, dt.sid2slot,
                 jnp.asarray(slots0), jnp.asarray(remaining0),
                 adapter_idx=self._live_adapter_idx()))
+        return toks, invalid_at, frozen_logits
+
+    def _grammar_fix(self, frozen: np.ndarray, frozen_logits,
+                     garbage: np.ndarray) -> None:
+        """Repair frozen rows post-scan (logits restore + length rewind)."""
+        self.logits, self.cache = _fix_frozen_rows(
+            self.logits, self.cache, jnp.asarray(frozen), frozen_logits,
+            jnp.asarray(garbage))
+
+    def _step_device_grammar(self, k: int, setup, dropped) -> List[Request]:
+        """k-step decode with on-device grammar enforcement; commits the
+        valid prefixes, then repairs rows that froze on a first-visit
+        state (logits restore + cache-length rewind — see
+        greedy_decode_steps_grammar)."""
+        dt, slots0, remaining0 = setup
+        toks, invalid_at, frozen_logits = self._grammar_scan(
+            k, dt, slots0, remaining0)
         toks_host = np.asarray(toks)
         invalid_host = np.asarray(invalid_at)
         finished: List[Request] = dropped
@@ -637,9 +651,7 @@ class ServingEngine:
                 frozen[i] = True
         if frozen.any():
             garbage = np.where(frozen, k - 1 - invalid_host, 0).astype(np.int32)
-            self.logits, self.cache = _fix_frozen_rows(
-                self.logits, self.cache, jnp.asarray(frozen), frozen_logits,
-                jnp.asarray(garbage))
+            self._grammar_fix(frozen, frozen_logits, garbage)
         return finished
 
     def cancel(self, uid) -> bool:
