@@ -20,6 +20,22 @@ import json
 from typing import Any, Dict, List
 
 
+def _sampling_controls(row: Dict[str, Any]) -> Dict[str, Any]:
+    """Optional sampling-control row fields -> Request kwargs
+    (logit_bias / presence_penalty / frequency_penalty / min_tokens /
+    top_k; see serve/server.Request)."""
+    out: Dict[str, Any] = {}
+    if row.get("logit_bias"):
+        out["logit_bias"] = {int(t): float(b)
+                             for t, b in row["logit_bias"].items()}
+    for key, cast in (("presence_penalty", float),
+                      ("frequency_penalty", float),
+                      ("min_tokens", int), ("top_k", int)):
+        if row.get(key):
+            out[key] = cast(row[key])
+    return out
+
+
 def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
     """Host-side preprocessing: conversation template + media -> Requests
     (one fresh conversation per request, reference cli.py prompt assembly).
@@ -97,6 +113,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
                 grammar=grammar,
                 logprobs=bool(row.get("logprobs")),
                 top_logprobs=int(row.get("top_logprobs", 0)),
+                **_sampling_controls(row),
             ))
             continue
         # Load every medium the row names, in (video, image, audio) order —
@@ -166,6 +183,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             grammar=grammar,
             logprobs=bool(row.get("logprobs")),
             top_logprobs=int(row.get("top_logprobs", 0)),
+            **_sampling_controls(row),
         ))
     return reqs
 

@@ -192,6 +192,28 @@ def _common_params(body: Dict[str, Any], row: Dict[str, Any],
         body.get("max_completion_tokens") or body.get("max_tokens") or 128)
     row["temperature"] = float(body.get("temperature", 0.0) or 0.0)
     row["top_p"] = float(body.get("top_p", 1.0) or 1.0)
+    # Sampling controls (per-step path in the engines; see Request docs).
+    for pen in ("presence_penalty", "frequency_penalty"):
+        if body.get(pen):
+            val = float(body[pen])
+            if not -2.0 <= val <= 2.0:
+                raise BadRequest(f"'{pen}' must be between -2.0 and 2.0")
+            row[pen] = val
+    if body.get("logit_bias"):
+        lb = body["logit_bias"]
+        if not isinstance(lb, dict):
+            raise BadRequest("'logit_bias' must map token ids to biases")
+        try:
+            row["logit_bias"] = {
+                int(t): max(-100.0, min(100.0, float(b)))
+                for t, b in lb.items()}
+        except (TypeError, ValueError):
+            raise BadRequest("'logit_bias' keys must be token ids")
+    # Extensions (vLLM convention): min_tokens, top_k.
+    if body.get("min_tokens"):
+        row["min_tokens"] = int(body["min_tokens"])
+    if body.get("top_k"):
+        row["top_k"] = int(body["top_k"])
     # Logprob extraction (per-endpoint semantics resolved by the caller
     # into row["logprobs"] bool + row["top_logprobs"] int; the engines cap
     # alternatives at serve/server.TOP_LOGPROBS_K = 20, the OpenAI max).

@@ -452,7 +452,10 @@ class PagedServingEngine(ServingEngine):
         unconstrained = all(
             getattr(r, "_constraint", None) is None for r in self.slots
         )
-        if k > 1 and all_greedy and unconstrained:
+        no_controls = all(
+            (r is None or not r.has_sampling_controls) for r in self.slots
+        )
+        if k > 1 and all_greedy and unconstrained and no_controls:
             lp_host = None
             if self._wants_logprobs():
                 from videollamb_tpu.serve.server import TOP_LOGPROBS_K
@@ -494,7 +497,8 @@ class PagedServingEngine(ServingEngine):
                         break
             return finished
 
-        if k > 1 and all_greedy and not self._wants_logprobs():
+        if (k > 1 and all_greedy and no_controls
+                and not self._wants_logprobs()):
             # Device-side grammar enforcement over the paged pool — the
             # production serving config keeps guaranteed-valid JSON in
             # the k-step device loop (serve/device_grammar.py).
@@ -504,11 +508,19 @@ class PagedServingEngine(ServingEngine):
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks
-        from videollamb_tpu.serve.server import sample_slot_tokens
+        from videollamb_tpu.serve.server import (
+            build_control_adjustments,
+            sample_slot_tokens,
+        )
 
         cmask = build_constraint_masks(self.slots, self.cfg.lm.vocab_size)
-        logits = (self.logits if cmask is None
-                  else self.logits + jnp.asarray(cmask))
+        adj = build_control_adjustments(self.slots, self.cfg.lm.vocab_size,
+                                        self.eos)
+        logits = self.logits
+        if cmask is not None:
+            logits = logits + jnp.asarray(cmask)
+        if adj is not None:
+            logits = logits + jnp.asarray(adj)
         nxt = sample_slot_tokens(logits, sub, self.slots)
         # Raw pre-mask logits: logprobs report the base distribution.
         lp = (logprobs_of(self.logits, nxt) if self._wants_logprobs()

@@ -60,19 +60,58 @@ def insert_into_cache(
     )
 
 
+def build_control_adjustments(slots, vocab_size: int,
+                              eos: int) -> Optional[np.ndarray]:
+    """(B, V) additive logit adjustments for slots carrying sampling
+    controls (logit_bias / presence / frequency / min_tokens), or None
+    when no slot does. min_tokens suppresses EOS SOFTLY (-1e9, not the
+    constraint mask's -1e30) so grammar forced closing still wins when
+    the grammar leaves only EOS legal."""
+    rows: Optional[np.ndarray] = None
+    for i, r in enumerate(slots):
+        if r is None or not r.has_sampling_controls:
+            continue
+        if rows is None:
+            rows = np.zeros((len(slots), vocab_size), np.float32)
+        if r.logit_bias:
+            for t, b in r.logit_bias.items():
+                t = int(t)
+                if 0 <= t < vocab_size:
+                    rows[i, t] += float(b)
+        if (r.presence_penalty or r.frequency_penalty) and r.tokens:
+            counts = np.bincount(np.asarray(r.tokens, np.int64),
+                                 minlength=vocab_size)[:vocab_size]
+            rows[i] -= np.float32(r.frequency_penalty) * counts
+            rows[i] -= np.float32(r.presence_penalty) * (counts > 0)
+        if len(r.tokens) < r.min_tokens and 0 <= eos < vocab_size:
+            rows[i, eos] -= 1e9
+    return rows
+
+
 def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
-    """Per-slot sampling honoring each Request's temperature AND top_p
-    (HF nucleus semantics, vectorized with row-specific p): scale each
-    row's logits by its own temperature, mask below its nucleus threshold,
-    sample once, then override greedy rows with argmax."""
+    """Per-slot sampling honoring each Request's temperature, top_k, AND
+    top_p (HF nucleus semantics, vectorized with row-specific k/p): scale
+    each row's logits by its own temperature, keep its top-k, mask below
+    its nucleus threshold, sample once, then override greedy rows with
+    argmax."""
     temps = np.asarray([(r.temperature if r is not None else 0.0)
                         for r in slots], np.float32)
     top_ps = np.asarray([(r.top_p if r is not None else 1.0)
                          for r in slots], np.float32)
+    top_ks = np.asarray([(getattr(r, "top_k", 0) if r is not None else 0)
+                         for r in slots], np.int32)
     nxt_greedy = jnp.argmax(logits, -1).astype(jnp.int32)
     if not (temps > 0).any():
         return nxt_greedy
     scaled = logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
+    if (top_ks > 0).any():
+        v = scaled.shape[-1]
+        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        kth_idx = jnp.asarray(np.where(top_ks > 0,
+                                       np.minimum(top_ks, v) - 1, v - 1))
+        kth = jnp.take_along_axis(sorted_desc, kth_idx[:, None], 1)
+        keep = (scaled >= kth) | jnp.asarray(top_ks == 0)[:, None]
+        scaled = jnp.where(keep, scaled, -jnp.inf)
     if (top_ps < 1.0).any():
         sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -210,6 +249,21 @@ class Request:
     max_new_tokens: int = 128
     temperature: float = 0.0
     top_p: float = 1.0
+    # Sampling controls (OpenAI surface + common extensions). Requests
+    # carrying any of these decode on the per-step path (the adjustments
+    # depend on the generated counts); control-free batches keep the
+    # device k-step loop. Semantics (vLLM-convention, documented in
+    # docs/SERVING.md): adjusted = logits + logit_bias
+    #   - presence_penalty * 1[count > 0] - frequency_penalty * count,
+    # counts over GENERATED tokens only; EOS is suppressed (softly, so
+    # grammar forced-closing still wins) while len(tokens) < min_tokens.
+    logit_bias: Optional[Dict[int, float]] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    min_tokens: int = 0
+    # 0 = disabled; otherwise sample only among the top_k logits (applied
+    # before top_p, both per-slot).
+    top_k: int = 0
     # Paged engine only: id from PagedServingEngine.register_prefix. When
     # set, ``batch`` holds ONLY the suffix (e.g. the user question) — the
     # prompt prefix (system + media) comes from the shared cached pages.
@@ -258,6 +312,12 @@ class Request:
     def __post_init__(self):
         if self.grammar is not None and self.choices:
             raise ValueError("'choices' and 'grammar' are mutually exclusive")
+
+    @property
+    def has_sampling_controls(self) -> bool:
+        return bool(self.logit_bias or self.presence_penalty
+                    or self.frequency_penalty
+                    or len(self.tokens) < self.min_tokens)
 
 
 class ServingEngine:
@@ -461,7 +521,13 @@ class ServingEngine:
         unconstrained = all(
             getattr(r, "_constraint", None) is None for r in self.slots
         )
-        if k > 1 and all_greedy and unconstrained:
+        # Sampling controls depend on per-token generated counts -> the
+        # per-step path (same gating discipline as logprobs/adapters: the
+        # control-free hot path compiles no extra graphs).
+        no_controls = all(
+            (r is None or not r.has_sampling_controls) for r in self.slots
+        )
+        if k > 1 and all_greedy and unconstrained and no_controls:
             lp_host = None
             if self._wants_logprobs():
                 toks, lp, self.logits, self.cache = greedy_decode_steps(
@@ -499,7 +565,8 @@ class ServingEngine:
                         break
             return finished
 
-        if k > 1 and all_greedy and not self._wants_logprobs():
+        if (k > 1 and all_greedy and no_controls
+                and not self._wants_logprobs()):
             # Grammar-constrained rows can stay in the device loop: state
             # tables live in HBM (serve/device_grammar.py) and the scan
             # masks/transitions by state slot — no per-token host sync.
@@ -511,8 +578,13 @@ class ServingEngine:
         from videollamb_tpu.serve.constrained import build_constraint_masks
 
         cmask = build_constraint_masks(self.slots, self.cfg.lm.vocab_size)
-        logits = (self.logits if cmask is None
-                  else self.logits + jnp.asarray(cmask))
+        adj = build_control_adjustments(self.slots, self.cfg.lm.vocab_size,
+                                        self.eos)
+        logits = self.logits
+        if cmask is not None:
+            logits = logits + jnp.asarray(cmask)
+        if adj is not None:
+            logits = logits + jnp.asarray(adj)
         nxt = sample_slot_tokens(logits, sub, self.slots)
         # Logprobs come from the RAW pre-mask logits (base distribution),
         # extracted before self.logits is overwritten by the next step.
