@@ -186,6 +186,33 @@ def test_paged_and_dense_device_paths_agree(tiny):
             == _run(cfg, params, k=4, seeds=[5, 6]))
 
 
+def test_device_grammar_under_sharded_params(tiny):
+    """The device grammar scan composes with TP+FSDP-sharded weights
+    (GSPMD inserts collectives; the replicated HBM state pool gathers are
+    local) — token-identical to the single-device run."""
+    from videollamb_tpu.parallel.mesh import create_mesh
+    from videollamb_tpu.parallel.sharding import shard_params
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+    strs = _token_strs(cfg.lm.vocab_size)
+
+    def run(p):
+        engine = ServingEngine(p, cfg, num_slots=2, eos_token_id=EOS)
+        reqs = [_req(cfg, j, json_constraint(_Tok(), token_strs=strs),
+                     seed=j + 20) for j in range(2)]
+        for r in reqs:
+            engine.submit(r)
+        engine.run_until_drained(k=4)
+        return {r.uid: list(r.tokens) for r in reqs}
+
+    ref = run(params)
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    assert run(shard_params(mesh, params)) == ref
+    for toks in ref.values():
+        assert isinstance(json.loads(_decode(toks)), dict)
+
+
 def test_pool_exhaustion_falls_back_to_host(tiny):
     """A full pool must not break correctness — the engine silently uses
     the per-step host path."""
