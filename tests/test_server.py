@@ -320,6 +320,111 @@ def test_logprobs_sampling_temperature(tiny):
         assert chosen <= tops[0][1] + 1e-5
 
 
+def _sampled_request(cfg, uid, seed, temperature, top_p=1.0, top_k=0,
+                     max_new=6):
+    r = _request(cfg, uid, seed, max_new=max_new)
+    r.temperature = temperature
+    r.top_p = top_p
+    r.top_k = top_k
+    return r
+
+
+def test_sampled_device_scan_matches_host_path(tiny):
+    """k>1 sampled batches ride the on-device scan (sampled_decode_steps);
+    tokens must be BIT-identical to the per-step host path from the same
+    engine seed — the scan carries the rng through the same split chain
+    and draws with the same sample_rows core. Mixed batch: hot sampling,
+    nucleus+top_k row, and a greedy row."""
+    cfg, params = tiny
+
+    def run(k):
+        reqs = [
+            _sampled_request(cfg, "hot", seed=31, temperature=1.2),
+            _sampled_request(cfg, "nuc", seed=32, temperature=0.9,
+                             top_p=0.85, top_k=7),
+            _sampled_request(cfg, "greedy", seed=33, temperature=0.0),
+        ]
+        eng = ServingEngine(params, cfg, num_slots=3, eos_token_id=-1, seed=5)
+        for r in reqs:
+            eng.submit(r)
+        eng.run_until_drained(k=k)
+        return reqs
+
+    host = run(1)
+    dev = run(4)
+    for a, b in zip(host, dev):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+    # The sampled rows actually sampled (diverge from a greedy run).
+    greedy = ServingEngine(params, cfg, num_slots=3, eos_token_id=-1)
+    g = [_request(cfg, u, seed=s) for u, s in (("hot", 31), ("nuc", 32))]
+    for r in g:
+        greedy.submit(r)
+    greedy.run_until_drained(k=4)
+    assert any(a.tokens != b.tokens for a, b in zip(host, g))
+
+
+def test_sampled_device_scan_paged_matches_dense(tiny):
+    """The paged engine's sampled k-step scan draws the same tokens as the
+    dense engine's (same rng chain; logits agree within float tolerance)."""
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    cfg, params = tiny
+    rd = _sampled_request(cfg, "d", seed=41, temperature=0.8, top_p=0.9)
+    rp = _sampled_request(cfg, "p", seed=41, temperature=0.8, top_p=0.9)
+
+    dense = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1, seed=9)
+    dense.submit(rd)
+    dense.run_until_drained(k=4)
+    paged = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                               eos_token_id=-1, seed=9)
+    paged.submit(rp)
+    paged.run_until_drained(k=4)
+    assert rd.tokens == rp.tokens
+
+
+def test_sampled_device_scan_with_logprobs(tiny):
+    """Logprob extraction composes with the sampled scan: per committed
+    token, the BASE-distribution logprob of the sampled token (finite,
+    <= 0, never above the top-1 alternative), same as the host path."""
+    cfg, params = tiny
+    r = _lp_request(cfg, "slp", seed=43, temperature=0.8, top=2)
+    h = _lp_request(cfg, "hlp", seed=43, temperature=0.8, top=2)
+
+    eng = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1, seed=7)
+    eng.submit(r)
+    eng.run_until_drained(k=4)
+    host = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1, seed=7)
+    host.submit(h)
+    host.run_until_drained(k=1)
+
+    assert r.tokens == h.tokens
+    np.testing.assert_allclose(r.token_logprobs, h.token_logprobs,
+                               rtol=1e-4, atol=1e-5)
+    for chosen, tops in zip(r.token_logprobs, r.top_tokens):
+        assert np.isfinite(chosen) and chosen <= 1e-5
+        assert chosen <= tops[0][1] + 1e-5
+
+
+def test_sampled_scan_rng_interchangeable_mid_stream(tiny):
+    """A stream that switches between host steps and device scans draws
+    from ONE rng chain: k=1 then k=4 steps must reproduce an all-k=1 run
+    (the scan returns the carried rng to the engine)."""
+    cfg, params = tiny
+    a = _sampled_request(cfg, "a", seed=51, temperature=1.0, max_new=8)
+    b = _sampled_request(cfg, "b", seed=51, temperature=1.0, max_new=8)
+
+    mixed = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1, seed=3)
+    mixed.submit(a)
+    mixed.step(k=1)  # admit + 1 host-path token
+    mixed.step(k=4)  # device scan continues the same chain
+    mixed.run_until_drained(k=1)
+
+    ref = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1, seed=3)
+    ref.submit(b)
+    ref.run_until_drained(k=1)
+    assert a.tokens == b.tokens
+
+
 def test_logprobs_paged_engine_matches_dense(tiny):
     from videollamb_tpu.serve.paged import PagedServingEngine
 

@@ -53,7 +53,12 @@ from videollamb_tpu.models.lm.paged import (
     paged_insert,
     scatter_prefix_pages,
 )
-from videollamb_tpu.serve.server import Request, ServingEngine, logprobs_of
+from videollamb_tpu.serve.server import (
+    Request,
+    ServingEngine,
+    logprobs_of,
+    sample_rows,
+)
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "total_pages", "top_k"),
@@ -91,6 +96,42 @@ def paged_greedy_decode_steps(
         lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
         return toks.T, lp, logits, cache
     return out.T, logits, cache
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "total_pages", "top_k", "filter_topkp"),
+         donate_argnames=("cache",))
+def paged_sampled_decode_steps(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int, rng: jax.Array, temps: jax.Array, top_ks: jax.Array,
+    top_ps: jax.Array, adapter_idx=None, top_k: int = 0,
+    filter_topkp: bool = True,
+):
+    """Paged twin of serve/server.sampled_decode_steps: k sampled steps
+    fully on device over the page pool, rng carried through the scan and
+    returned so the engines' host-path rng mirror stays in sync."""
+
+    def body(carry, _):
+        logits, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(logits, sub, temps, top_ks, top_ps,
+                          filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
+        # Embeddings keep the compute dtype — see paged_greedy_decode_steps.
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
+        logits, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx,
+        )
+        return (logits, cache, rng), out
+
+    (logits, cache, rng), out = jax.lax.scan(
+        body, (logits, cache, rng), None, length=k)
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache, rng
+    return out.T, logits, cache, rng
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "total_pages"),
@@ -400,6 +441,26 @@ class PagedServingEngine(ServingEngine):
             self._host_len[slot] = prompt_len
             self.slots[slot] = req
 
+    def _sampled_scan(self, k: int, vecs, top_k: int):
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        fil = self._needs_filter(vecs)
+        if top_k:
+            toks, lp, self.logits, self.cache, self.rng = (
+                paged_sampled_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    self.total_pages, self.rng, temps, top_ks, top_ps,
+                    adapter_idx=self._live_adapter_idx(), top_k=top_k,
+                    filter_topkp=fil))
+        else:
+            toks, self.logits, self.cache, self.rng = (
+                paged_sampled_decode_steps(
+                    self.params, self.cfg, self.logits, self.cache, k,
+                    self.total_pages, self.rng, temps, top_ks, top_ps,
+                    adapter_idx=self._live_adapter_idx(), filter_topkp=fil))
+            lp = None
+        self._host_len += k  # finished rows zeroed by _release at commit
+        return toks, lp
+
     def _grammar_scan(self, k: int, dt, slots0, remaining0):
         toks, self.logits, self.cache, invalid_at, frozen_logits = (
             paged_greedy_decode_steps_grammar(
@@ -472,30 +533,7 @@ class PagedServingEngine(ServingEngine):
                     self.total_pages, adapter_idx=self._live_adapter_idx(),
                 )
             self._host_len += k
-            toks_host = np.asarray(toks)
-            finished: List[Request] = dropped
-            for i, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                if req.cancelled:
-                    req.done = True
-                    finished.append(req)
-                    self._release(i)
-                    continue
-                for t in range(k):
-                    tok = int(toks_host[i, t])
-                    req.tokens.append(tok)
-                    if lp_host is not None and req.logprobs:
-                        self._commit_logprob(req, lp_host[0][i, t],
-                                             lp_host[1][i, t], lp_host[2][i, t])
-                    if req.on_token is not None:
-                        req.on_token(req, tok)
-                    if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
-                        req.done = True
-                        finished.append(req)
-                        self._release(i)
-                        break
-            return finished
+            return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
         if (k > 1 and all_greedy and no_controls
                 and not self._wants_logprobs()):
@@ -505,6 +543,11 @@ class PagedServingEngine(ServingEngine):
             setup = self._grammar_device_setup()
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped)
+
+        if k > 1 and unconstrained and no_controls:
+            # Sampled batches ride the paged k-step device scan (see
+            # serve/server.step — bit-identical to the host path).
+            return self._step_device_sampled(k, dropped)
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks

@@ -88,41 +88,75 @@ def build_control_adjustments(slots, vocab_size: int,
     return rows
 
 
-def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
-    """Per-slot sampling honoring each Request's temperature, top_k, AND
-    top_p (HF nucleus semantics, vectorized with row-specific k/p): scale
-    each row's logits by its own temperature, keep its top-k, mask below
-    its nucleus threshold, sample once, then override greedy rows with
-    argmax."""
+def sample_rows(logits: jax.Array, rng: jax.Array, temps: jax.Array,
+                top_ks: jax.Array, top_ps: jax.Array,
+                filter_topkp: bool = True) -> jax.Array:
+    """Pure-jnp per-row sampling core shared by the host per-step path
+    (sample_slot_tokens) and the device k-step scan (sampled_decode_steps):
+    scale each row's logits by its own temperature, keep its top-k, mask
+    below its nucleus threshold (HF semantics), sample once, then override
+    greedy (temp==0) rows with argmax. Every block applies unconditionally
+    — disabled rows (top_k==0 / top_p==1) pass through unchanged by
+    construction, so the two call sites produce bit-identical tokens for
+    the same inputs and rng.
+
+    ``filter_topkp`` is a STATIC fast-path switch: when the caller knows
+    every row has top_k==0 and top_p==1 (pure temperature sampling — the
+    common serving mix), False skips the full-vocab sort/cumsum, which
+    costs ~2 ms/step at (8, 32k). The filtered and unfiltered graphs
+    agree bit-for-bit on filter-free rows only when the WHOLE batch is
+    filter-free (the sort path's -inf masking never fires then), which is
+    exactly the condition under which callers may pass False."""
+    nxt_greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if not filter_topkp:
+        nxt_sampled = jax.random.categorical(rng, scaled, axis=-1).astype(
+            jnp.int32)
+        return jnp.where(temps > 0, nxt_sampled, nxt_greedy)
+    v = scaled.shape[-1]
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    kth_idx = jnp.where(top_ks > 0, jnp.minimum(top_ks, v) - 1, v - 1)
+    kth = jnp.take_along_axis(sorted_desc, kth_idx[:, None], 1)
+    keep = (scaled >= kth) | (top_ks == 0)[:, None]
+    scaled = jnp.where(keep, scaled, -jnp.inf)
+    # The top-k mask is purely value-based (scaled >= kth), so the masked
+    # row sorts to the same descending prefix with -inf after it — derive
+    # the second sorted array instead of paying a second full-vocab sort.
+    sorted_logits = jnp.where(
+        (sorted_desc >= kth) | (top_ks == 0)[:, None], sorted_desc, -jnp.inf)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < top_ps[:, None]
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+        keepdims=True)
+    scaled = jnp.where(scaled >= threshold, scaled, -jnp.inf)
+    nxt_sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0, nxt_sampled, nxt_greedy)
+
+
+def slot_sampling_vectors(slots):
+    """(temps, top_ks, top_ps) numpy vectors from the slot list."""
     temps = np.asarray([(r.temperature if r is not None else 0.0)
                         for r in slots], np.float32)
     top_ps = np.asarray([(r.top_p if r is not None else 1.0)
                          for r in slots], np.float32)
     top_ks = np.asarray([(getattr(r, "top_k", 0) if r is not None else 0)
                          for r in slots], np.int32)
-    nxt_greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    return temps, top_ks, top_ps
+
+
+def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
+    """Per-slot sampling honoring each Request's temperature, top_k, AND
+    top_p — the host per-step path (constraint masks / control adjustments
+    already folded into ``logits`` by the caller)."""
+    temps, top_ks, top_ps = slot_sampling_vectors(slots)
     if not (temps > 0).any():
-        return nxt_greedy
-    scaled = logits / jnp.asarray(np.maximum(temps, 1e-6))[:, None]
-    if (top_ks > 0).any():
-        v = scaled.shape[-1]
-        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
-        kth_idx = jnp.asarray(np.where(top_ks > 0,
-                                       np.minimum(top_ks, v) - 1, v - 1))
-        kth = jnp.take_along_axis(sorted_desc, kth_idx[:, None], 1)
-        keep = (scaled >= kth) | jnp.asarray(top_ks == 0)[:, None]
-        scaled = jnp.where(keep, scaled, -jnp.inf)
-    if (top_ps < 1.0).any():
-        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        keep_sorted = (cum - probs) < jnp.asarray(top_ps)[:, None]
-        threshold = jnp.min(
-            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
-            keepdims=True)
-        scaled = jnp.where(scaled >= threshold, scaled, -jnp.inf)
-    nxt_sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
-    return jnp.where(jnp.asarray(temps > 0), nxt_sampled, nxt_greedy)
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+    return sample_rows(logits, rng, jnp.asarray(temps), jnp.asarray(top_ks),
+                       jnp.asarray(top_ps),
+                       filter_topkp=bool((top_ks > 0).any()
+                                         or (top_ps < 1.0).any()))
 
 
 # One static top-k bucket for logprob extraction (the OpenAI API caps
@@ -177,6 +211,47 @@ def greedy_decode_steps(
         lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
         return toks.T, lp, logits, cache
     return out.T, logits, cache  # (B, k)
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "top_k", "filter_topkp"),
+         donate_argnames=("cache",))
+def sampled_decode_steps(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    rng: jax.Array, temps: jax.Array, top_ks: jax.Array, top_ps: jax.Array,
+    adapter_idx=None, top_k: int = 0, filter_topkp: bool = True,
+):
+    """k SAMPLED decode steps fully on device — the sampled twin of
+    greedy_decode_steps. Each step splits the carried rng exactly as the
+    host per-step path does (``rng, sub = split(rng)``) and draws with the
+    shared :func:`sample_rows` core, so the token stream is bit-identical
+    to k host-synced steps from the same starting rng; temp==0 rows take
+    argmax inside the same call, so mixed greedy/sampled batches ride one
+    graph. Returns (tokens (B, k), [logprob data], logits, cache, rng) —
+    the caller stores the carried rng back so host and device paths stay
+    interchangeable mid-stream.
+    """
+
+    def body(carry, _):
+        logits, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(logits, sub, temps, top_ks, top_ps,
+                          filter_topkp=filter_topkp)
+        if top_k:
+            out = (nxt,) + logprobs_of(logits, nxt, top_k)
+        else:
+            out = nxt
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k.dtype)
+        logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds, cache,
+                                          adapter_idx=adapter_idx)
+        return (logits, cache, rng), out
+
+    (logits, cache, rng), out = jax.lax.scan(
+        body, (logits, cache, rng), None, length=k)
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache, rng
+    return out.T, logits, cache, rng  # (B, k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
@@ -499,6 +574,71 @@ class ServingEngine:
         dropped, self._dropped = self._dropped, []
         return dropped
 
+    def _commit_k_tokens(self, toks_host: np.ndarray, lp_host, k: int,
+                         finished: List[Request]) -> List[Request]:
+        """Commit the host-side bookkeeping for one k-step device scan:
+        append each slot's tokens up to EOS/budget, record logprobs, fire
+        streaming hooks, release finished slots. Shared by the greedy and
+        sampled k-step paths of both engines."""
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            if req.cancelled:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+                continue
+            for t in range(k):
+                tok = int(toks_host[i, t])
+                req.tokens.append(tok)
+                if lp_host is not None and req.logprobs:
+                    self._commit_logprob(req, lp_host[0][i, t],
+                                         lp_host[1][i, t], lp_host[2][i, t])
+                if req.on_token is not None:
+                    req.on_token(req, tok)
+                if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+                    req.done = True
+                    finished.append(req)
+                    self._release(i)
+                    break
+        return finished
+
+    @staticmethod
+    def _needs_filter(vecs) -> bool:
+        """Static fast-path switch: False iff every row is pure temperature
+        sampling (no top_k / top_p), which skips the full-vocab sort in
+        sample_rows — same tokens either way for such batches."""
+        _, top_ks, top_ps = vecs
+        return bool((top_ks > 0).any() or (top_ps < 1.0).any())
+
+    def _sampled_scan(self, k: int, vecs, top_k: int):
+        """Run the on-device sampled k-step scan, updating logits/cache/rng.
+        Overridden by the paged engine (paged cache + host_len mirror)."""
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        fil = self._needs_filter(vecs)
+        if top_k:
+            toks, lp, self.logits, self.cache, self.rng = sampled_decode_steps(
+                self.params, self.cfg, self.logits, self.cache, k, self.rng,
+                temps, top_ks, top_ps, adapter_idx=self._live_adapter_idx(),
+                top_k=top_k, filter_topkp=fil)
+            return toks, lp
+        toks, self.logits, self.cache, self.rng = sampled_decode_steps(
+            self.params, self.cfg, self.logits, self.cache, k, self.rng,
+            temps, top_ks, top_ps, adapter_idx=self._live_adapter_idx(),
+            filter_topkp=fil)
+        return toks, None
+
+    def _step_device_sampled(self, k: int, dropped) -> List[Request]:
+        """k sampled decode steps fully on device (mixed greedy/sampled
+        batches; no constraints or count-dependent controls in flight).
+        Bit-identical tokens to k host-synced steps from the same rng."""
+        vecs = slot_sampling_vectors(self.slots)
+        top_k = TOP_LOGPROBS_K if self._wants_logprobs() else 0
+        toks, lp = self._sampled_scan(k, vecs, top_k)
+        lp_host = (tuple(np.asarray(a) for a in lp) if lp is not None
+                   else None)
+        return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
+
     def _release(self, slot: int) -> None:
         """Free a slot (hook: the paged engine also returns its pages)."""
         self.slots[slot] = None
@@ -540,30 +680,7 @@ class ServingEngine:
                     self.params, self.cfg, self.logits, self.cache, k,
                     adapter_idx=self._live_adapter_idx(),
                 )
-            toks_host = np.asarray(toks)  # (B, k)
-            finished: List[Request] = dropped
-            for i, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                if req.cancelled:
-                    req.done = True
-                    finished.append(req)
-                    self._release(i)
-                    continue
-                for t in range(k):
-                    tok = int(toks_host[i, t])
-                    req.tokens.append(tok)
-                    if lp_host is not None and req.logprobs:
-                        self._commit_logprob(req, lp_host[0][i, t],
-                                             lp_host[1][i, t], lp_host[2][i, t])
-                    if req.on_token is not None:
-                        req.on_token(req, tok)
-                    if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
-                        req.done = True
-                        finished.append(req)
-                        self._release(i)
-                        break
-            return finished
+            return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
         if (k > 1 and all_greedy and no_controls
                 and not self._wants_logprobs()):
@@ -573,6 +690,14 @@ class ServingEngine:
             setup = self._grammar_device_setup()
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped)
+
+        if k > 1 and unconstrained and no_controls:
+            # Sampled (or mixed greedy/sampled) batches stay in the device
+            # loop too: the k-step scan carries the rng and draws with the
+            # same sample_rows core per step, so leaving the host sync out
+            # changes nothing but speed (measured 180 -> ~600 tok/s at
+            # int8 7B batch-8; docs/PERFORMANCE.md).
+            return self._step_device_sampled(k, dropped)
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks
