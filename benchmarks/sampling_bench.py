@@ -139,6 +139,30 @@ def main(argv=None) -> dict:
         np.asarray(toks)
     out["device_sampled_pure_temp_k8_tok_s"] = round(
         (args.steps // 8) * 8 * B / (time.perf_counter() - t0), 1)
+
+    # (e) sampling controls on device (penalties + bias + min_tokens):
+    # counts carried in the scan, control tensors uploaded once per k.
+    from videollamb_tpu.serve.server import sampled_decode_steps_controls
+
+    bias = jnp.zeros((B, cfg.vocab_size), jnp.float32).at[:, 11].set(2.0)
+    pres = jnp.full((B,), 0.5, jnp.float32)
+    freq = jnp.full((B,), 0.3, jnp.float32)
+    counts0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    min_left = jnp.full((B,), 16, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    logits, cache = jnp.array(logits0), jax.tree.map(jnp.array, cache0)
+    toks, logits, cache, rng = sampled_decode_steps_controls(
+        pwrap, cfgns, logits, cache, 8, rng, temps, top_ks, top_ps,
+        bias, pres, freq, counts0, min_left, eos=2)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    for _ in range(args.steps // 8):
+        toks, logits, cache, rng = sampled_decode_steps_controls(
+            pwrap, cfgns, logits, cache, 8, rng, temps, top_ks, top_ps,
+            bias, pres, freq, counts0, min_left, eos=2)
+        np.asarray(toks)
+    out["device_controls_k8_tok_s"] = round(
+        (args.steps // 8) * 8 * B / (time.perf_counter() - t0), 1)
     print(json.dumps(out))
     return out
 

@@ -187,3 +187,67 @@ def test_batch_rows_carry_controls(tiny):
     assert req.presence_penalty == 0.5
     assert req.logit_bias == {9: 2.0}
     assert req.min_tokens == 2 and req.top_k == 5
+
+
+def test_controls_device_scan_matches_host_path(tiny):
+    """Round-3 continuation: control-carrying batches ride the k-step
+    device scan (sampled_decode_steps_controls — counts carried on
+    device). Tokens must be identical to the per-step host path from the
+    same engine seed, across bias + penalties + min_tokens + sampling."""
+    cfg, params = tiny
+
+    def run(k):
+        reqs = [
+            _req(cfg, "pen", seed=61, budget=8, temperature=0.9,
+                 presence_penalty=0.6, frequency_penalty=0.3),
+            _req(cfg, "bias", seed=62, budget=8, logit_bias={11: 4.0}),
+            _req(cfg, "min", seed=63, budget=8, min_tokens=5,
+                 logit_bias={EOS: 100.0}),
+            _req(cfg, "plain", seed=64, budget=8, temperature=1.1),
+        ]
+        eng = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS,
+                            seed=13)
+        for r in reqs:
+            eng.submit(r)
+        eng.run_until_drained(k=k)
+        return reqs
+
+    host = run(1)
+    dev = run(4)
+    for a, b in zip(host, dev):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+    # min_tokens really fired on the device path.
+    m = dev[2]
+    assert len(m.tokens) == 6 and m.tokens[-1] == EOS
+    assert EOS not in m.tokens[:-1]
+
+
+def test_controls_device_scan_paged_matches_dense(tiny):
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    cfg, params = tiny
+    rd = _req(cfg, "d", seed=71, budget=8, temperature=0.8,
+              presence_penalty=0.5, logit_bias={9: 3.0})
+    rp = _req(cfg, "p", seed=71, budget=8, temperature=0.8,
+              presence_penalty=0.5, logit_bias={9: 3.0})
+    dense = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1, seed=21)
+    dense.submit(rd)
+    dense.run_until_drained(k=4)
+    paged = PagedServingEngine(params, cfg, num_slots=2, page_size=16,
+                               eos_token_id=-1, seed=21)
+    paged.submit(rp)
+    paged.run_until_drained(k=4)
+    assert rd.tokens == rp.tokens
+
+
+def test_controls_device_scan_counts_span_scan_boundaries(tiny):
+    """Penalty counts rebuilt from host tokens at each scan boundary must
+    continue the count history: a repeat-forbidding penalty stays exact
+    across multiple k-step scans (10 tokens through k=3 scans)."""
+    cfg, params = tiny
+    engine = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    req = _req(cfg, 0, seed=81, budget=10, frequency_penalty=1e9)
+    engine.submit(req)
+    engine.run_until_drained(k=3)
+    assert len(req.tokens) == 10
+    assert len(set(req.tokens)) == len(req.tokens), req.tokens

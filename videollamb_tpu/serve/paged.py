@@ -134,6 +134,49 @@ def paged_sampled_decode_steps(
     return out.T, logits, cache, rng
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "total_pages", "top_k", "filter_topkp",
+                          "eos"),
+         donate_argnames=("cache",))
+def paged_sampled_decode_steps_controls(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int, rng: jax.Array, temps: jax.Array, top_ks: jax.Array,
+    top_ps: jax.Array, bias: jax.Array, pres: jax.Array, freq: jax.Array,
+    counts0: jax.Array, min_left: jax.Array, eos: int, adapter_idx=None,
+    top_k: int = 0, filter_topkp: bool = True,
+):
+    """Paged twin of serve/server.sampled_decode_steps_controls: sampling
+    controls enforced on device over the page pool (counts carried in the
+    scan; same adjustment math and op order as the host path)."""
+    rowix = jnp.arange(logits.shape[0])
+
+    def body(carry, step):
+        logits, cache, rng, counts = carry
+        adj = bias - freq[:, None] * counts - pres[:, None] * (counts > 0)
+        if eos >= 0:
+            adj = adj.at[:, eos].add(
+                jnp.where(step < min_left, np.float32(-1e9), 0.0))
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(logits + adj, sub, temps, top_ks, top_ps,
+                          filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
+        counts = counts.at[rowix, nxt].add(1.0)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
+        logits, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx,
+        )
+        return (logits, cache, rng, counts), out
+
+    (logits, cache, rng, _), out = jax.lax.scan(
+        body, (logits, cache, rng, counts0), jnp.arange(k, dtype=jnp.int32))
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache, rng
+    return out.T, logits, cache, rng
+
+
 @partial(jax.jit, static_argnames=("cfg", "k", "total_pages"),
          donate_argnames=("cache",))
 def paged_greedy_decode_steps_grammar(
@@ -461,6 +504,25 @@ class PagedServingEngine(ServingEngine):
         self._host_len += k  # finished rows zeroed by _release at commit
         return toks, lp
 
+    def _sampled_scan_controls(self, k: int, vecs, ctrl, top_k: int):
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        bias, pres, freq, counts0, min_left = (jnp.asarray(c) for c in ctrl)
+        fil = self._needs_filter(vecs)
+        args = (self.params, self.cfg, self.logits, self.cache, k,
+                self.total_pages, self.rng, temps, top_ks, top_ps, bias,
+                pres, freq, counts0, min_left)
+        kw = dict(eos=self.eos if self.eos is not None else -1,
+                  adapter_idx=self._live_adapter_idx(), filter_topkp=fil)
+        if top_k:
+            toks, lp, self.logits, self.cache, self.rng = (
+                paged_sampled_decode_steps_controls(*args, top_k=top_k, **kw))
+        else:
+            toks, self.logits, self.cache, self.rng = (
+                paged_sampled_decode_steps_controls(*args, **kw))
+            lp = None
+        self._host_len += k
+        return toks, lp
+
     def _grammar_scan(self, k: int, dt, slots0, remaining0):
         toks, self.logits, self.cache, invalid_at, frozen_logits = (
             paged_greedy_decode_steps_grammar(
@@ -544,10 +606,12 @@ class PagedServingEngine(ServingEngine):
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped)
 
-        if k > 1 and unconstrained and no_controls:
+        if k > 1 and unconstrained:
             # Sampled batches ride the paged k-step device scan (see
-            # serve/server.step — bit-identical to the host path).
-            return self._step_device_sampled(k, dropped)
+            # serve/server.step — bit-identical to the host path); controls
+            # carry their generated-token counts on device.
+            return self._step_device_sampled(k, dropped,
+                                             with_controls=not no_controls)
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks

@@ -146,6 +146,37 @@ def slot_sampling_vectors(slots):
     return temps, top_ks, top_ps
 
 
+def build_control_tensors(slots, vocab_size: int):
+    """Per-row control tensors for the device k-step scan
+    (sampled_decode_steps_controls): static logit_bias rows, penalty
+    coefficients, the current generated-token counts (the scan carries
+    and updates them on device), and min_tokens budget left. Rows without
+    a control are all-zeros, so the device math is uniform."""
+    b = len(slots)
+    bias = np.zeros((b, vocab_size), np.float32)
+    pres = np.zeros((b,), np.float32)
+    freq = np.zeros((b,), np.float32)
+    counts = np.zeros((b, vocab_size), np.float32)
+    min_left = np.zeros((b,), np.int32)
+    for i, r in enumerate(slots):
+        if r is None:
+            continue
+        if r.logit_bias:
+            for t, v in r.logit_bias.items():
+                t = int(t)
+                if 0 <= t < vocab_size:
+                    bias[i, t] += float(v)
+        if r.presence_penalty or r.frequency_penalty:
+            pres[i] = np.float32(r.presence_penalty)
+            freq[i] = np.float32(r.frequency_penalty)
+            if r.tokens:
+                counts[i] = np.bincount(
+                    np.asarray(r.tokens, np.int64),
+                    minlength=vocab_size)[:vocab_size]
+        min_left[i] = max(0, r.min_tokens - len(r.tokens))
+    return bias, pres, freq, counts, min_left
+
+
 def sample_slot_tokens(logits: jax.Array, rng: jax.Array, slots) -> jax.Array:
     """Per-slot sampling honoring each Request's temperature, top_k, AND
     top_p — the host per-step path (constraint masks / control adjustments
@@ -252,6 +283,55 @@ def sampled_decode_steps(
         lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
         return toks.T, lp, logits, cache, rng
     return out.T, logits, cache, rng  # (B, k)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "top_k", "filter_topkp", "eos"),
+         donate_argnames=("cache",))
+def sampled_decode_steps_controls(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    rng: jax.Array, temps: jax.Array, top_ks: jax.Array, top_ps: jax.Array,
+    bias: jax.Array, pres: jax.Array, freq: jax.Array, counts0: jax.Array,
+    min_left: jax.Array, eos: int, adapter_idx=None, top_k: int = 0,
+    filter_topkp: bool = True,
+):
+    """sampled_decode_steps with the count-dependent sampling controls
+    enforced ON DEVICE: the scan carries each row's generated-token counts
+    (updated per step), so presence/frequency penalties, logit_bias, and
+    min_tokens EOS suppression match the host per-step path exactly —
+    adjusted = logits + bias - freq*counts - pres*[count>0], EOS softly
+    suppressed while the row's min_tokens budget remains (same -1e9 and
+    op order as build_control_adjustments). Logprobs still report the
+    BASE distribution (raw logits, pre-adjustment)."""
+    rowix = jnp.arange(logits.shape[0])
+
+    def body(carry, step):
+        logits, cache, rng, counts = carry
+        adj = bias - freq[:, None] * counts - pres[:, None] * (counts > 0)
+        if eos >= 0:
+            adj = adj.at[:, eos].add(
+                jnp.where(step < min_left, np.float32(-1e9), 0.0))
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(logits + adj, sub, temps, top_ks, top_ps,
+                          filter_topkp=filter_topkp)
+        if top_k:
+            out = (nxt,) + logprobs_of(logits, nxt, top_k)
+        else:
+            out = nxt
+        counts = counts.at[rowix, nxt].add(1.0)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(cache.k.dtype)
+        logits, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds,
+                                          cache, adapter_idx=adapter_idx)
+        return (logits, cache, rng, counts), out
+
+    (logits, cache, rng, _), out = jax.lax.scan(
+        body, (logits, cache, rng, counts0),
+        jnp.arange(k, dtype=jnp.int32))
+    if top_k:
+        toks, chosen, top_vals, top_ids = out
+        lp = (chosen.T, top_vals.transpose(1, 0, 2), top_ids.transpose(1, 0, 2))
+        return toks.T, lp, logits, cache, rng
+    return out.T, logits, cache, rng
 
 
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
@@ -628,13 +708,38 @@ class ServingEngine:
             filter_topkp=fil)
         return toks, None
 
-    def _step_device_sampled(self, k: int, dropped) -> List[Request]:
+    def _sampled_scan_controls(self, k: int, vecs, ctrl, top_k: int):
+        """Controls-aware twin of _sampled_scan (counts carried on device).
+        Overridden by the paged engine."""
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        bias, pres, freq, counts0, min_left = (jnp.asarray(c) for c in ctrl)
+        fil = self._needs_filter(vecs)
+        args = (self.params, self.cfg, self.logits, self.cache, k, self.rng,
+                temps, top_ks, top_ps, bias, pres, freq, counts0, min_left)
+        kw = dict(eos=self.eos if self.eos is not None else -1,
+                  adapter_idx=self._live_adapter_idx(), filter_topkp=fil)
+        if top_k:
+            toks, lp, self.logits, self.cache, self.rng = (
+                sampled_decode_steps_controls(*args, top_k=top_k, **kw))
+            return toks, lp
+        toks, self.logits, self.cache, self.rng = (
+            sampled_decode_steps_controls(*args, **kw))
+        return toks, None
+
+    def _step_device_sampled(self, k: int, dropped,
+                             with_controls: bool = False) -> List[Request]:
         """k sampled decode steps fully on device (mixed greedy/sampled
-        batches; no constraints or count-dependent controls in flight).
-        Bit-identical tokens to k host-synced steps from the same rng."""
+        batches, no choice/grammar constraints in flight; count-dependent
+        sampling controls ride the controls scan, which carries the
+        generated-token counts on device). Bit-identical tokens to k
+        host-synced steps from the same rng."""
         vecs = slot_sampling_vectors(self.slots)
         top_k = TOP_LOGPROBS_K if self._wants_logprobs() else 0
-        toks, lp = self._sampled_scan(k, vecs, top_k)
+        if with_controls:
+            ctrl = build_control_tensors(self.slots, self.cfg.lm.vocab_size)
+            toks, lp = self._sampled_scan_controls(k, vecs, ctrl, top_k)
+        else:
+            toks, lp = self._sampled_scan(k, vecs, top_k)
         lp_host = (tuple(np.asarray(a) for a in lp) if lp is not None
                    else None)
         return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
@@ -691,13 +796,15 @@ class ServingEngine:
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped)
 
-        if k > 1 and unconstrained and no_controls:
+        if k > 1 and unconstrained:
             # Sampled (or mixed greedy/sampled) batches stay in the device
             # loop too: the k-step scan carries the rng and draws with the
             # same sample_rows core per step, so leaving the host sync out
-            # changes nothing but speed (measured 180 -> ~600 tok/s at
-            # int8 7B batch-8; docs/PERFORMANCE.md).
-            return self._step_device_sampled(k, dropped)
+            # changes nothing but speed (measured 166 -> 492 tok/s at
+            # int8 7B batch-8; docs/PERFORMANCE.md). Count-dependent
+            # sampling controls ride the controls scan (counts on device).
+            return self._step_device_sampled(k, dropped,
+                                             with_controls=not no_controls)
 
         self.rng, sub = jax.random.split(self.rng)
         from videollamb_tpu.serve.constrained import build_constraint_masks
