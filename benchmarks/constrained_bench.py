@@ -212,6 +212,49 @@ def main(argv=None) -> dict:
             emitted += min(8, int(inv_h[i]) + 1)
     out["grammar_device_tok_s"] = round(
         emitted / (time.perf_counter() - t0), 1)
+
+    # (e) grammar + SAMPLING on device (round-3 continuation): the table
+    # is warm from (d); temperature rows ride sampled_decode_steps_grammar.
+    from videollamb_tpu.serve.server import sampled_decode_steps_grammar
+
+    temps = jnp.full((B,), 0.8, jnp.float32)
+    zk = jnp.zeros((B,), jnp.int32)
+    op = jnp.ones((B,), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    cons = [json_constraint(Tok(), token_strs=strs) for _ in range(B)]
+    logits, cache = jnp.array(logits0), jax.tree.map(jnp.array, cache0)
+    t_first = None
+    emitted = 0
+    for it in range(args.steps // 8):
+        slots = []
+        ok = True
+        for c in cons:
+            s = dt.slot(c.node) if c.node is not None else 0
+            if s is None:
+                ok = False
+                break
+            slots.append(s)
+        if not ok:
+            break
+        toks, logits, cache, inv, fro, rng = sampled_decode_steps_grammar(
+            pwrap, cfgns, logits, cache, 8, rng, temps, zk, op,
+            dt.costs, dt.next_sid, dt.sid2slot,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(remaining0))
+        toks_h, inv_h = np.asarray(toks), np.asarray(inv)
+        if t_first is None:  # first call compiles; time the rest
+            t_first = time.perf_counter()
+            emitted = 0
+        for i, c in enumerate(cons):
+            for t in toks_h[i][: min(8, int(inv_h[i]) + 1)]:
+                if c.node is None:
+                    break
+                c.advance(int(t))
+                if c.node is not None:
+                    dt.slot(c.node)
+            emitted += min(8, int(inv_h[i]) + 1)
+    out["grammar_device_sampled_tok_s"] = round(
+        emitted / (time.perf_counter() - t_first), 1) if t_first else 0.0
     print(json.dumps(out))
     return out
 

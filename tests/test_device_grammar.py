@@ -229,3 +229,107 @@ def test_pool_exhaustion_falls_back_to_host(tiny):
     engine.run_until_drained(k=4)
     obj = json.loads(_decode(req.tokens))
     assert isinstance(obj, dict)
+
+
+def _sampled_run(cfg, params, k, tok, seeds, budget=8, paged=False,
+                 temperature=0.9):
+    """One engine run with SAMPLED grammar rows (shared GrammarTable via
+    ``tok``, so the DeviceTable warms across calls)."""
+    from videollamb_tpu.serve.paged import PagedServingEngine
+    from videollamb_tpu.serve.server import ServingEngine
+
+    strs = _token_strs(cfg.lm.vocab_size)
+    if paged:
+        engine = PagedServingEngine(params, cfg, num_slots=4, page_size=16,
+                                    eos_token_id=EOS, seed=17)
+    else:
+        engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS,
+                               seed=17)
+    reqs = []
+    for j, s in enumerate(seeds):
+        g = json_constraint(tok, token_strs=strs)
+        r = _req(cfg, j, g, seed=s, budget=budget)
+        r.temperature = temperature
+        reqs.append(r)
+    for r in reqs:
+        engine.submit(r)
+    engine.run_until_drained(k=k)
+    return {r.uid: list(r.tokens) for r in reqs}
+
+
+def test_sampled_grammar_device_valid_json(tiny):
+    """Round-3 continuation: grammar + temperature rides the device scan
+    (sampled_decode_steps_grammar). Cold table — freeze/recovery under
+    sampling is exercised — and every output must still be complete
+    parseable JSON within budget."""
+    cfg, params = tiny
+    got = _sampled_run(cfg, params, k=4, tok=_Tok(), seeds=[0, 1, 2])
+    for toks in got.values():
+        assert len(toks) <= 8
+        assert isinstance(json.loads(_decode(toks)), dict)
+
+
+def test_sampled_grammar_converges_to_host_parity(tiny):
+    """Freezes consume rng splits, so cold-table device runs may diverge
+    from host stepping — but each run uploads at least the first
+    divergent state, so repeated runs with the same engine seed converge
+    to the exact host-path token stream (warm tables never freeze)."""
+    cfg, params = tiny
+    tok = _Tok()
+    host = _sampled_run(cfg, params, k=1, tok=tok, seeds=[5])
+    got = None
+    for _ in range(12):
+        got = _sampled_run(cfg, params, k=4, tok=tok, seeds=[5])
+        if got == host:
+            break
+    assert got == host
+    assert isinstance(json.loads(_decode(host[0])), dict)
+
+
+def test_sampled_grammar_mixed_free_and_greedy_rows(tiny):
+    """One batch mixing a sampled grammar row, a greedy grammar row, and
+    an unconstrained sampled row: all ride one device scan; grammar rows
+    emit valid JSON, the greedy grammar row matches its solo host run."""
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+    tok = _Tok()
+    strs = _token_strs(cfg.lm.vocab_size)
+
+    def build():
+        gs = json_constraint(tok, token_strs=strs)
+        gg = json_constraint(tok, token_strs=strs)
+        rs = _req(cfg, "samp", gs, seed=11, budget=8)
+        rs.temperature = 0.9
+        rg = _req(cfg, "greedy", gg, seed=12, budget=8)
+        rf = _req(cfg, "free", None, seed=13, budget=6)
+        rf.temperature = 1.1
+        return [rs, rg, rf]
+
+    engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS,
+                           seed=23)
+    reqs = build()
+    for r in reqs:
+        engine.submit(r)
+    engine.run_until_drained(k=4)
+    assert isinstance(json.loads(_decode(reqs[0].tokens)), dict)
+    assert isinstance(json.loads(_decode(reqs[1].tokens)), dict)
+    # Unconstrained sampled row: decodes freely (may sample EOS early).
+    assert 1 <= len(reqs[2].tokens) <= 6
+
+    # The greedy grammar row is rng-independent: solo host-path run agrees.
+    solo = ServingEngine(params, cfg, num_slots=1, eos_token_id=EOS)
+    g = json_constraint(tok, token_strs=strs)
+    ref = _req(cfg, "greedy", g, seed=12, budget=8)
+    solo.submit(ref)
+    solo.run_until_drained(k=1)
+    assert ref.tokens == reqs[1].tokens
+
+
+def test_sampled_grammar_paged_valid_json(tiny):
+    cfg, params = tiny
+    got = _sampled_run(cfg, params, k=4, tok=_Tok(), seeds=[6, 7],
+                       paged=True)
+    for toks in got.values():
+        assert len(toks) <= 8
+        assert isinstance(json.loads(_decode(toks)), dict)

@@ -56,6 +56,8 @@ from videollamb_tpu.models.lm.paged import (
 from videollamb_tpu.serve.server import (
     Request,
     ServingEngine,
+    grammar_mask_logits,
+    grammar_transition,
     logprobs_of,
     sample_rows,
 )
@@ -190,20 +192,13 @@ def paged_greedy_decode_steps_grammar(
     k-step scan. Same freeze semantics (see that docstring); garbage
     steps write into already-allocated pages and get overwritten after
     the lengths rewind."""
-    sid_cap = sid2slot.shape[0]
-
     def body(carry, step):
         logits, cache, slot, remaining, invalid_at, frozen_logits = carry
-        mask = pool_costs[slot] <= (remaining - 1)[:, None]
-        nxt = jnp.argmax(jnp.where(mask, logits, -jnp.inf), -1).astype(jnp.int32)
-        nsid = jnp.take_along_axis(pool_next[slot], nxt[:, None], 1)[:, 0]
-        mapped = sid2slot[jnp.clip(nsid, 0, sid_cap - 1)]
-        unknown = ((nsid >= 0) & ((nsid >= sid_cap) | (mapped == -1))
-                   | (nsid == -1))
-        froze_now = unknown & (invalid_at == k)
-        invalid_at = jnp.where(froze_now, step, invalid_at)
-        new_slot = jnp.where(nsid >= 0, jnp.maximum(mapped, 0), 0)
-        new_slot = jnp.where(invalid_at <= step, 0, new_slot)
+        nxt = jnp.argmax(
+            grammar_mask_logits(logits, slot, remaining, pool_costs),
+            -1).astype(jnp.int32)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None])
         logits2, cache = paged_decode_step(
             params["lm"], cfg.lm, tok_embeds, cache, total_pages,
@@ -219,6 +214,44 @@ def paged_greedy_decode_steps_grammar(
     (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
     return toks.T, logits, cache, invalid_at, frozen_logits
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "total_pages", "filter_topkp"),
+         donate_argnames=("cache",))
+def paged_sampled_decode_steps_grammar(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int, rng: jax.Array, temps: jax.Array, top_ks: jax.Array,
+    top_ps: jax.Array, pool_costs: jax.Array, pool_next: jax.Array,
+    sid2slot: jax.Array, slots0: jax.Array, remaining0: jax.Array,
+    adapter_idx=None, filter_topkp: bool = True,
+):
+    """Paged twin of serve/server.sampled_decode_steps_grammar: grammar
+    mask + sample_rows per step over the page pool, rng carried."""
+
+    def body(carry, step):
+        logits, cache, rng, slot, remaining, invalid_at, frozen_logits = carry
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(
+            grammar_mask_logits(logits, slot, remaining, pool_costs), sub,
+            temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
+        logits2, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        return (logits2, cache, rng, new_slot, remaining - 1, invalid_at,
+                frozen_logits), nxt
+
+    b = logits.shape[0]
+    init = (logits, cache, rng, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, rng, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+        body, init, jnp.arange(k, dtype=jnp.int32))
+    return toks.T, logits, cache, invalid_at, frozen_logits, rng
 
 
 @jax.jit
@@ -533,6 +566,22 @@ class PagedServingEngine(ServingEngine):
         self._host_len += k  # mirrors lengths+k; frozen rows rewound below
         return toks, invalid_at, frozen_logits
 
+    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0):
+        from videollamb_tpu.serve.server import slot_sampling_vectors
+
+        vecs = slot_sampling_vectors(self.slots)
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        (toks, self.logits, self.cache, invalid_at, frozen_logits,
+         self.rng) = paged_sampled_decode_steps_grammar(
+            self.params, self.cfg, self.logits, self.cache, k,
+            self.total_pages, self.rng, temps, top_ks, top_ps,
+            dt.costs, dt.next_sid, dt.sid2slot,
+            jnp.asarray(slots0), jnp.asarray(remaining0),
+            adapter_idx=self._live_adapter_idx(),
+            filter_topkp=self._needs_filter(vecs))
+        self._host_len += k  # frozen rows rewound by _grammar_fix
+        return toks, invalid_at, frozen_logits
+
     def _grammar_fix(self, frozen, frozen_logits, garbage) -> None:
         self._host_len -= garbage  # garbage already zeroed on healthy rows
         self.logits, self.cache = _paged_fix_frozen(
@@ -597,14 +646,15 @@ class PagedServingEngine(ServingEngine):
             self._host_len += k
             return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
-        if (k > 1 and all_greedy and no_controls
-                and not self._wants_logprobs()):
+        if k > 1 and no_controls and not self._wants_logprobs():
             # Device-side grammar enforcement over the paged pool — the
             # production serving config keeps guaranteed-valid JSON in
-            # the k-step device loop (serve/device_grammar.py).
+            # the k-step device loop (serve/device_grammar.py), greedy
+            # or sampled.
             setup = self._grammar_device_setup()
             if setup is not None:
-                return self._step_device_grammar(k, setup, dropped)
+                return self._step_device_grammar(k, setup, dropped,
+                                                 sampled=not all_greedy)
 
         if k > 1 and unconstrained:
             # Sampled batches ride the paged k-step device scan (see

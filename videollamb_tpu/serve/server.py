@@ -334,6 +334,36 @@ def sampled_decode_steps_controls(
     return out.T, logits, cache, rng
 
 
+def grammar_mask_logits(logits: jax.Array, slot: jax.Array,
+                        remaining: jax.Array,
+                        pool_costs: jax.Array) -> jax.Array:
+    """Budget-aware grammar mask, gathered from the HBM state pool by slot:
+    a token stays legal iff its closing cost fits the remaining budget
+    after emitting it (same rule as the host path's set_remaining)."""
+    mask = pool_costs[slot] <= (remaining - 1)[:, None]
+    return jnp.where(mask, logits, -jnp.inf)
+
+
+def grammar_transition(nxt: jax.Array, slot: jax.Array, invalid_at: jax.Array,
+                       step, k: int, pool_next: jax.Array,
+                       sid2slot: jax.Array):
+    """Post-token grammar bookkeeping shared by the greedy and sampled
+    scans of both engines: machine transition via the pool's next-sid row,
+    freeze on not-yet-uploaded states (see module docstring of
+    serve/device_grammar.py). Returns (new_slot, invalid_at)."""
+    sid_cap = sid2slot.shape[0]
+    nsid = jnp.take_along_axis(pool_next[slot], nxt[:, None], 1)[:, 0]
+    mapped = sid2slot[jnp.clip(nsid, 0, sid_cap - 1)]
+    unknown = ((nsid >= 0) & ((nsid >= sid_cap) | (mapped == -1))
+               | (nsid == -1))
+    froze_now = unknown & (invalid_at == k)
+    invalid_at = jnp.where(froze_now, step, invalid_at)
+    new_slot = jnp.where(nsid >= 0, jnp.maximum(mapped, 0), 0)
+    # Frozen rows decode unconstrained garbage (discarded host-side).
+    new_slot = jnp.where(invalid_at <= step, 0, new_slot)
+    return new_slot, invalid_at
+
+
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
 def greedy_decode_steps_grammar(
     params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
@@ -353,22 +383,13 @@ def greedy_decode_steps_grammar(
     right after token t, and the engine must rewind the row's cache
     length by k - 1 - t (the garbage writes get overwritten).
     """
-    sid_cap = sid2slot.shape[0]
-
     def body(carry, step):
         logits, cache, slot, remaining, invalid_at, frozen_logits = carry
-        costs_rows = pool_costs[slot]  # (B, V) gather
-        mask = costs_rows <= (remaining - 1)[:, None]
-        nxt = jnp.argmax(jnp.where(mask, logits, -jnp.inf), -1).astype(jnp.int32)
-        nsid = jnp.take_along_axis(pool_next[slot], nxt[:, None], 1)[:, 0]
-        mapped = sid2slot[jnp.clip(nsid, 0, sid_cap - 1)]
-        unknown = ((nsid >= 0) & ((nsid >= sid_cap) | (mapped == -1))
-                   | (nsid == -1))
-        froze_now = unknown & (invalid_at == k)
-        invalid_at = jnp.where(froze_now, step, invalid_at)
-        new_slot = jnp.where(nsid >= 0, jnp.maximum(mapped, 0), 0)
-        # Frozen rows decode unconstrained garbage (discarded host-side).
-        new_slot = jnp.where(invalid_at <= step, 0, new_slot)
+        nxt = jnp.argmax(
+            grammar_mask_logits(logits, slot, remaining, pool_costs),
+            -1).astype(jnp.int32)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
             cache.k.dtype)
         logits2, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds,
@@ -385,6 +406,51 @@ def greedy_decode_steps_grammar(
     (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
     return toks.T, logits, cache, invalid_at, frozen_logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "filter_topkp"),
+         donate_argnames=("cache",))
+def sampled_decode_steps_grammar(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    rng: jax.Array, temps: jax.Array, top_ks: jax.Array, top_ps: jax.Array,
+    pool_costs: jax.Array, pool_next: jax.Array, sid2slot: jax.Array,
+    slots0: jax.Array, remaining0: jax.Array, adapter_idx=None,
+    filter_topkp: bool = True,
+):
+    """Grammar-constrained SAMPLED decoding on device: the k-step scan
+    applies the budget-aware grammar mask, draws with the shared
+    sample_rows core (greedy rows argmax inside the same call), and
+    transitions state slots — guaranteed-valid JSON with temperature
+    stays in the device loop. Same freeze semantics as the greedy scan;
+    note that garbage steps after a freeze still consume rng splits, so
+    freeze recovery is distribution-correct but not split-for-split
+    identical to host stepping (warm tables never freeze). Returns
+    (tokens, logits, cache, invalid_at, frozen_logits, rng)."""
+
+    def body(carry, step):
+        logits, cache, rng, slot, remaining, invalid_at, frozen_logits = carry
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(
+            grammar_mask_logits(logits, slot, remaining, pool_costs), sub,
+            temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
+            cache.k.dtype)
+        logits2, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds,
+                                           cache, adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        carry = (logits2, cache, rng, new_slot, remaining - 1, invalid_at,
+                 frozen_logits)
+        return carry, nxt
+
+    b = logits.shape[0]
+    init = (logits, cache, rng, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, rng, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+        body, init, jnp.arange(k, dtype=jnp.int32))
+    return toks.T, logits, cache, invalid_at, frozen_logits, rng
 
 
 @jax.jit
@@ -787,14 +853,16 @@ class ServingEngine:
                 )
             return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
-        if (k > 1 and all_greedy and no_controls
-                and not self._wants_logprobs()):
+        if k > 1 and no_controls and not self._wants_logprobs():
             # Grammar-constrained rows can stay in the device loop: state
             # tables live in HBM (serve/device_grammar.py) and the scan
             # masks/transitions by state slot — no per-token host sync.
+            # Sampled batches route through the sampled grammar scan
+            # (guaranteed-valid JSON with temperature, still on device).
             setup = self._grammar_device_setup()
             if setup is not None:
-                return self._step_device_grammar(k, setup, dropped)
+                return self._step_device_grammar(k, setup, dropped,
+                                                 sampled=not all_greedy)
 
         if k > 1 and unconstrained:
             # Sampled (or mixed greedy/sampled) batches stay in the device
@@ -907,6 +975,20 @@ class ServingEngine:
                 adapter_idx=self._live_adapter_idx()))
         return toks, invalid_at, frozen_logits
 
+    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0):
+        """Sampled twin of _grammar_scan (grammar mask + sample_rows in
+        one device scan). Overridden by the paged engine."""
+        vecs = slot_sampling_vectors(self.slots)
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        (toks, self.logits, self.cache, invalid_at, frozen_logits,
+         self.rng) = sampled_decode_steps_grammar(
+            self.params, self.cfg, self.logits, self.cache, k, self.rng,
+            temps, top_ks, top_ps, dt.costs, dt.next_sid, dt.sid2slot,
+            jnp.asarray(slots0), jnp.asarray(remaining0),
+            adapter_idx=self._live_adapter_idx(),
+            filter_topkp=self._needs_filter(vecs))
+        return toks, invalid_at, frozen_logits
+
     def _grammar_fix(self, frozen: np.ndarray, frozen_logits,
                      garbage: np.ndarray) -> None:
         """Repair frozen rows post-scan (logits restore + length rewind)."""
@@ -914,14 +996,16 @@ class ServingEngine:
             self.logits, self.cache, jnp.asarray(frozen), frozen_logits,
             jnp.asarray(garbage))
 
-    def _step_device_grammar(self, k: int, setup, dropped) -> List[Request]:
+    def _step_device_grammar(self, k: int, setup, dropped,
+                             sampled: bool = False) -> List[Request]:
         """k-step decode with on-device grammar enforcement; commits the
         valid prefixes, then repairs rows that froze on a first-visit
         state (logits restore + cache-length rewind — see
-        greedy_decode_steps_grammar)."""
+        greedy_decode_steps_grammar). ``sampled`` routes through the
+        sampled scan (grammar mask + sample_rows per step)."""
         dt, slots0, remaining0 = setup
-        toks, invalid_at, frozen_logits = self._grammar_scan(
-            k, dt, slots0, remaining0)
+        scan = self._grammar_scan_sampled if sampled else self._grammar_scan
+        toks, invalid_at, frozen_logits = scan(k, dt, slots0, remaining0)
         toks_host = np.asarray(toks)
         invalid_host = np.asarray(invalid_at)
         finished: List[Request] = dropped
