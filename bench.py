@@ -177,6 +177,43 @@ def bench_dense_batch(cfg, params, num_slots: int = 8) -> float:
     return n_steps * num_slots / elapsed
 
 
+def bench_sampled_batch(cfg, params, num_slots: int = 8) -> float:
+    """Aggregate SAMPLED decode throughput (temperature/top-p mix) via the
+    round-3 device k-step sampled scan (serve/server.sampled_decode_steps)
+    — production traffic mostly samples; before the scan this path paid
+    one host sync per token (~166 vs ~492 tok/s measured, see
+    benchmarks/sampling_bench.py and docs/PERFORMANCE.md)."""
+    import collections
+
+    from videollamb_tpu.models.lm.llama import init_kv_cache, llama_prefill
+    from videollamb_tpu.serve.server import sampled_decode_steps
+
+    cache = init_kv_cache(cfg, num_slots, 448, jnp.bfloat16)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(2), (num_slots, 256, cfg.hidden_size), jnp.bfloat16)
+    logits, cache = llama_prefill(
+        params, cfg, embeds, jnp.ones((num_slots, 256), jnp.int32), cache)
+    cfgns = collections.namedtuple("CfgNS", "lm")(cfg)
+    pwrap = {"lm": params}
+    temps = jnp.asarray([0.8, 1.0, 0.7, 0.9, 1.2, 0.8, 1.0, 0.0]
+                        * (num_slots // 8 + 1))[:num_slots]
+    top_ks = jnp.asarray(([0, 50, 0, 40, 0, 0, 20, 0]
+                          * (num_slots // 8 + 1))[:num_slots], jnp.int32)
+    top_ps = jnp.asarray([0.95, 1.0, 0.9, 1.0, 0.8, 0.95, 1.0, 1.0]
+                         * (num_slots // 8 + 1))[:num_slots]
+    rng = jax.random.PRNGKey(5)
+    toks, logits, cache, rng = sampled_decode_steps(
+        pwrap, cfgns, logits, cache, 8, rng, temps, top_ks, top_ps)
+    float(jnp.sum(logits))  # compile + warm
+    n_chunks = 4
+    start = time.perf_counter()
+    for _ in range(n_chunks):
+        toks, logits, cache, rng = sampled_decode_steps(
+            pwrap, cfgns, logits, cache, 8, rng, temps, top_ks, top_ps)
+    float(jnp.sum(logits))
+    return n_chunks * 8 * num_slots / (time.perf_counter() - start)
+
+
 def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
     sequences over the paged KV pool (int8 weights AND int8 KV pages — the
@@ -443,6 +480,12 @@ def main():
                 bench_paged_batch(cfg7b, params7b, 24), 1)
         except Exception as e:  # noqa: BLE001
             extra["paged_batch24_error"] = type(e).__name__
+    if params7b is not None:
+        try:
+            extra["sampled_batch8_int8_tok_s"] = round(
+                bench_sampled_batch(cfg7b, params7b, 8), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["sampled_batch8_error"] = type(e).__name__
     if params7b is not None:
         try:
             extra["ttft_s_per_min_p50"] = round(

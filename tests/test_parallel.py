@@ -223,3 +223,39 @@ def test_sharded_serving_engines_match_single_device():
     assert run(ServingEngine(sharded, cfg, num_slots=2, eos_token_id=-1)) == ref
     assert run(PagedServingEngine(sharded, cfg, num_slots=2, page_size=32,
                                   eos_token_id=-1)) == ref
+
+
+def test_sharded_sampled_engine_matches_unsharded():
+    """The round-3 sampled k-step device scan is a GSPMD program like the
+    greedy one: a TP+FSDP-sharded engine must draw the same tokens as an
+    unsharded engine from the same seed (sampling riding sharded logits)."""
+    from videollamb_tpu.serve.server import Request, ServingEngine
+
+    cfg = ModelConfig.tiny(max_length=128)
+    params = _tiny_params(cfg)
+
+    def build_req():
+        rng = np.random.default_rng(55)
+        ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+        ids[:, 2] = VIDEO_TOKEN_INDEX
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, 8), jnp.int32), labels=None,
+            videos=jnp.asarray(
+                rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+            images=None)
+        return Request(uid=0, batch=batch, max_new_tokens=6,
+                       temperature=0.9, top_p=0.9)
+
+    ref_req = build_req()
+    ref = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1, seed=4)
+    ref.submit(ref_req)
+    ref.run_until_drained(k=3)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sharded = shard_params(mesh, params)
+    req = build_req()
+    eng = ServingEngine(sharded, cfg, num_slots=2, eos_token_id=-1, seed=4)
+    eng.submit(req)
+    eng.run_until_drained(k=3)
+    assert req.tokens == ref_req.tokens
