@@ -224,3 +224,108 @@ def test_embeddings_without_embedder_is_503(http_srv):
         raise AssertionError("expected HTTP 503")
     except urllib.error.HTTPError as e:
         assert e.code == 503
+
+
+def _get(base, path, timeout=120):
+    with urllib.request.urlopen(base + path, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _delete(base, path, timeout=120):
+    req = urllib.request.Request(base + path, method="DELETE")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _write_clip(path, frames=10, size=(64, 48)):
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, size)
+    rng = np.random.default_rng(3)
+    for _ in range(frames * 30):  # 30fps source -> `frames` at 1 fps
+        writer.write(rng.integers(0, 255,
+                                  size=(size[1], size[0], 3)).astype(np.uint8))
+    writer.release()
+
+
+def test_streaming_video_session_over_http(http_srv, tmp_path):
+    """The VideoLLaMB-Live streaming engine as a served product
+    (serve/streams_api.py): create a session with a video + query, tick
+    through the stream, read back a timestamped response event, append a
+    chunk, and close. The reference ships streaming as a CLI only."""
+    clip = tmp_path / "live.mp4"
+    _write_clip(clip, frames=6)
+    status, out = _post(http_srv, "/v1/streams", {
+        "video": str(clip), "fps": 1.0, "query": "what is happening",
+        "query_time": 0.0, "max_seq_len": 256, "max_new_tokens": 4})
+    assert status == 200 and out["id"].startswith("stream-")
+    sid = out["id"]
+    assert out["frames"] > 0
+
+    event = None
+    for _ in range(out["frames"]):
+        status, t = _post(http_srv, f"/v1/streams/{sid}/tick", {})
+        assert status == 200
+        if t.get("event") and t["event"].get("response"):
+            event = t["event"]
+            break
+    assert event is not None, "no response event over the whole stream"
+    assert "Assistant" in event["response"]
+
+    status, st = _get(http_srv, f"/v1/streams/{sid}")
+    assert status == 200
+    assert st["context_length"] > 0
+    assert st["frames_ingested"] >= 1
+    assert any(e.get("response") for e in st["events"])
+
+    # Ticking past the buffered tail is backpressure, not a crash.
+    n = st["frames_buffered"]
+    err = None
+    for _ in range(n + 2):
+        try:
+            _post(http_srv, f"/v1/streams/{sid}/tick", {})
+        except urllib.error.HTTPError as e:
+            err = e
+            break
+    assert err is not None and err.code == 400
+
+    # Append a chunk -> ticking resumes.
+    clip2 = tmp_path / "live2.mp4"
+    _write_clip(clip2, frames=3)
+    status, ap = _post(http_srv, f"/v1/streams/{sid}/video",
+                       {"video": str(clip2)})
+    assert status == 200 and ap["frames"] > 0
+    status, t = _post(http_srv, f"/v1/streams/{sid}/tick", {})
+    assert status == 200
+
+    # Mid-stream query gets queued and answered on a later tick.
+    status, q = _post(http_srv, f"/v1/streams/{sid}/query",
+                      {"text": "and now?"})
+    assert status == 200 and q["queued"]
+
+    status, lst = _get(http_srv, "/v1/streams")
+    assert sid in lst["streams"]
+    status, d = _delete(http_srv, f"/v1/streams/{sid}")
+    assert status == 200 and d["deleted"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(http_srv, f"/v1/streams/{sid}")
+    assert ei.value.code == 404
+
+
+def test_streaming_session_cap_and_validation(http_srv):
+    sids = []
+    for _ in range(4):
+        status, out = _post(http_srv, "/v1/streams", {"max_seq_len": 256})
+        assert status == 200
+        sids.append(out["id"])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(http_srv, "/v1/streams", {"max_seq_len": 256})
+    assert ei.value.code == 409
+    # Tick with no video buffered: 400, not a crash.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(http_srv, f"/v1/streams/{sids[0]}/tick", {})
+    assert ei.value.code == 400
+    for sid in sids:
+        _delete(http_srv, f"/v1/streams/{sid}")
+    status, lst = _get(http_srv, "/v1/streams")
+    assert lst["streams"] == []

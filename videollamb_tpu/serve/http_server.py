@@ -255,8 +255,21 @@ class Server:
                             if "_mlora_" not in k}
             base["lm"] = lm
         self._base_params = base
+        # Streaming-video sessions (serve/streams_api.py): lazy so servers
+        # that never stream pay nothing.
+        self._streams: Optional[Any] = None
+        self._streams_lock = threading.Lock()
         self.worker = EngineWorker(engine, k=k)
         self.worker.start()
+
+    @property
+    def streams(self):
+        with self._streams_lock:
+            if self._streams is None:
+                from videollamb_tpu.serve.streams_api import StreamManager
+
+                self._streams = StreamManager(self.chat)
+            return self._streams
 
     def _uid(self) -> str:
         with self._uid_lock:
@@ -658,7 +671,57 @@ class Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(n) or b"{}")
 
+    def _streams_route(self, row: Dict[str, Any]) -> bool:
+        """Dispatch /v1/streams[/<id>[/<op>]] for any method; returns True
+        if the path belonged to the streams API."""
+        parts = self.path.rstrip("/").split("/")
+        if len(parts) < 3 or parts[1] != "v1" or parts[2] != "streams":
+            return False
+        from videollamb_tpu.serve import openai_api as oai
+        from videollamb_tpu.serve.streams_api import StreamsBusy
+
+        mgr = self.server_obj.streams
+        method = self.command
+        try:
+            if len(parts) == 3:
+                if method == "GET":
+                    self._json(200, mgr.list())
+                elif method == "POST":
+                    self._json(200, mgr.create(row))
+                else:
+                    self._json(405, {"error": f"{method} not allowed"})
+                return True
+            sid = parts[3]
+            if len(parts) == 4:
+                if method == "GET":
+                    self._json(200, mgr.status(sid))
+                elif method == "DELETE":
+                    self._json(200, mgr.delete(sid))
+                else:
+                    self._json(405, {"error": f"{method} not allowed"})
+                return True
+            op = parts[4]
+            if method != "POST" or op not in ("video", "query", "tick"):
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return True
+            fn = {"video": mgr.append_video, "query": mgr.query,
+                  "tick": mgr.tick}[op]
+            self._json(200, fn(sid, row))
+        except KeyError:
+            self._json(404, {"error": f"unknown stream {parts[3]}"})
+        except oai.BadRequest as e:
+            self._json(400, {"error": str(e)})
+        except StreamsBusy as e:
+            self._json(409, {"error": str(e)})
+        except FileNotFoundError as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — surface, don't kill
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+        return True
+
     def do_GET(self) -> None:
+        if self._streams_route({}):
+            return
         if self.path == "/v1/health":
             self._json(200, self.server_obj.health())
         elif self.path == "/v1/models":
@@ -748,11 +811,18 @@ class Handler(BaseHTTPRequestHandler):
             except OSError:
                 pass
 
+    def do_DELETE(self) -> None:
+        if self._streams_route({}):
+            return
+        self._json(404, {"error": f"unknown path {self.path}"})
+
     def do_POST(self) -> None:
         try:
             row = self._read_body()
         except (ValueError, json.JSONDecodeError) as e:
             self._json(400, {"error": f"bad JSON: {e}"})
+            return
+        if self._streams_route(row):
             return
         if self.path == "/v1/cancel":
             self._json(200, {"cancelled": self.server_obj.cancel(row.get("id"))})

@@ -146,6 +146,25 @@ class StreamingSession:
         self.num_video_frames = self.video_tensor.shape[0]
         self.video_duration = self.num_video_frames / self.frame_fps
 
+    def append_video(self, video_path: str) -> int:
+        """Append a video chunk to the live stream (the HTTP streams API
+        feeds sessions chunk-by-chunk as the camera produces them; the CLI
+        loads one file up front via load_videos). Frames join at the
+        stream's fps behind the already-buffered tail; returns the number
+        of frames appended. The encode prefetch stays valid — its window
+        references existing indices only."""
+        from videollamb_tpu.data.video_reader import load_video
+
+        raw = load_video(video_path, fps=self.frame_fps, max_frames=512)
+        t = self.chat.processors["VIDEO"](raw)
+        if self.video_tensor is None:
+            self.video_tensor = t
+        else:
+            self.video_tensor = np.concatenate([self.video_tensor, t], axis=0)
+        self.num_video_frames = self.video_tensor.shape[0]
+        self.video_duration = self.num_video_frames / self.frame_fps
+        return int(t.shape[0])
+
     def _dispatch_encode(self, start: int, end: int):
         """Dispatch an (async) tower encode for frames [start, end) and
         return the device array — JAX dispatch is non-blocking, so the TPU
