@@ -134,7 +134,8 @@ def test_unsupported_params_rejected():
     from videollamb_tpu.serve import openai_api as oai
 
     base = {"messages": [{"role": "user", "content": "hi"}]}
-    for extra, msg in (({"n": 2}, "n=1"),
+    for extra, msg in (({"n": 9}, "between 1 and 8"),
+                       ({"n": "2"}, "between 1 and 8"),
                        ({"tools": [{"type": "function"}]}, "tool"),
                        ({"response_format": {"type": "json_schema"}},
                         "response_format"),
@@ -490,3 +491,41 @@ def test_embeddings_bad_request_is_4xx(oai_srv):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert json.loads(e.read())["error"]["type"] == "invalid_request_error"
+
+
+def test_n_choices_sampled(oai_srv):
+    """n>1 returns n independent choices (indexes 0..n-1) that
+    continuous-batch through the slot pool; usage sums completion tokens
+    across choices."""
+    status, out = _post(oai_srv, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "describe the scene"}],
+        "max_tokens": 5, "temperature": 1.0, "n": 3})
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    texts = [c["message"]["content"] for c in out["choices"]]
+    assert all(isinstance(t, str) for t in texts)
+    assert len(set(texts)) >= 2, f"sampled choices all identical: {texts}"
+    assert out["usage"]["completion_tokens"] == 15
+
+
+def test_n_choices_greedy_are_identical(oai_srv):
+    status, out = _post(oai_srv, "/v1/completions", {
+        "prompt": "describe the scene", "max_tokens": 4,
+        "temperature": 0.0, "n": 2})
+    assert status == 200
+    texts = [c["text"] for c in out["choices"]]
+    assert len(texts) == 2 and texts[0] == texts[1]
+
+
+def test_n_validation_and_streaming_rejects(oai_srv):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(oai_srv, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}], "n": 9})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(oai_srv, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "n": 2, "stream": True})
+    assert ei.value.code == 400

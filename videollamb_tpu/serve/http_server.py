@@ -464,43 +464,82 @@ class Server:
 
         row, stops, temp_paths = self._openai_row(body, chat_mode)
         model = body.get("model") or self.model_name
+        n = int(body.get("n", 1) or 1)
         try:
-            final = None
-            for event in self.generate_stream(row, stops=stops):
-                if event.get("done"):
-                    final = event
-            if final.get("error"):
-                err = final["error"]
-                if err.startswith(("rejected", "unknown adapter",
-                                   "engine has no adapter")):
-                    raise RequestRejected(err)
-                raise RuntimeError(err)
-            usage = oai.usage_dict(final["prompt_tokens"], final["tokens"])
-            lp_obj = None
-            lpd = final.get("logprobs_data")
-            if lpd is not None:
+            def drain(r):
+                final = None
+                for event in self.generate_stream(r, stops=stops):
+                    if event.get("done"):
+                        final = event
+                return final
+
+            if n == 1:
+                finals = [drain(row)]
+            else:
+                # n choices = n engine requests sharing the prompt; they
+                # continuous-batch together in the slot pool, and sampled
+                # rows draw independently from the engine rng chain.
+                finals: list = [None] * n
+                errs: list = [None] * n
+
+                def worker(i):
+                    try:
+                        finals[i] = drain(dict(row))
+                    except Exception as e:  # noqa: BLE001 — re-raised below
+                        errs[i] = e
+
+                ts = [threading.Thread(target=worker, args=(i,))
+                      for i in range(1, n)]
+                for t in ts:
+                    t.start()
+                worker(0)  # choice 0 rides the handler thread
+                for t in ts:
+                    t.join()
+                for e in errs:
+                    if e is not None:
+                        raise e
+            for final in finals:
+                if final.get("error"):
+                    err = final["error"]
+                    if err.startswith(("rejected", "unknown adapter",
+                                       "engine has no adapter")):
+                        raise RequestRejected(err)
+                    raise RuntimeError(err)
+
+            def lp_of(final):
+                lpd = final.get("logprobs_data")
+                if lpd is None:
+                    return None
                 build = (oai.chat_logprobs if chat_mode
                          else oai.completion_logprobs)
-                lp_obj = build(self.tokenizer, lpd["ids"], lpd["lps"],
-                               lpd["tops"], lpd["top_n"])
-            if chat_mode:
-                tool_calls = None
-                tinfo = row.get("_tools")
-                if tinfo:
-                    from videollamb_tpu.serve import tools as toolmod
+                return build(self.tokenizer, lpd["ids"], lpd["lps"],
+                             lpd["tops"], lpd["top_n"])
 
-                    parsed = toolmod.parse_tool_call(final["text"],
-                                                     tinfo["names"])
-                    if parsed is not None:
-                        tool_calls = toolmod.tool_calls_payload(
-                            parsed[0], parsed[1], final["id"])
+            usage = oai.usage_dict(finals[0]["prompt_tokens"],
+                                   sum(f["tokens"] for f in finals))
+            if chat_mode:
+                from videollamb_tpu.serve import tools as toolmod
+
+                tinfo = row.get("_tools")
+                choices = []
+                for i, final in enumerate(finals):
+                    tool_calls = None
+                    if tinfo:
+                        parsed = toolmod.parse_tool_call(final["text"],
+                                                         tinfo["names"])
+                        if parsed is not None:
+                            tool_calls = toolmod.tool_calls_payload(
+                                parsed[0], parsed[1], final["id"])
+                    choices.append(oai.chat_choice(
+                        i, final["text"], final["finish_reason"],
+                        logprobs=lp_of(final), tool_calls=tool_calls))
                 return oai.chat_completion_response(
-                    final["id"], model, final["text"],
-                    final["finish_reason"], usage, logprobs=lp_obj,
-                    tool_calls=tool_calls)
+                    finals[0]["id"], model, "", "", usage, choices=choices)
+            choices = [oai.completion_choice(
+                i, f["text"], f["finish_reason"], logprobs=lp_of(f))
+                for i, f in enumerate(finals)]
             return oai.completion_response(
-                final["id"], model, final["text"],
-                final["finish_reason"], usage, logprobs=lp_obj)
+                finals[0]["id"], model, "", "", usage, choices=choices)
         finally:
             oai._cleanup(temp_paths)
 
@@ -514,6 +553,9 @@ class Server:
         if body.get("tools"):
             raise oai.BadRequest("streaming with tools is not supported — "
                                  "set stream=false for tool calls")
+        if int(body.get("n", 1) or 1) != 1:
+            raise oai.BadRequest("streaming with n>1 is not supported — "
+                                 "set stream=false for multiple choices")
         row, stops, temp_paths = self._openai_row(body, chat_mode)
         model = body.get("model") or self.model_name
         include_usage = bool(

@@ -160,8 +160,9 @@ def resolve_model(body: Dict[str, Any], served_model: str,
 def _common_params(body: Dict[str, Any], row: Dict[str, Any],
                    tools_ok: bool = False) -> List[str]:
     """Sampling/limit params shared by both endpoints; returns stops."""
-    if body.get("n", 1) != 1:
-        raise BadRequest("only n=1 is supported")
+    n = body.get("n", 1) or 1
+    if not isinstance(n, int) or not 1 <= n <= 8:
+        raise BadRequest("'n' must be an integer between 1 and 8")
     if body.get("functions"):
         raise BadRequest("legacy 'functions' is not supported — use 'tools'")
     if body.get("tools") and not tools_ok:
@@ -495,27 +496,42 @@ def usage_dict(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
             "total_tokens": prompt_tokens + completion_tokens}
 
 
-def chat_completion_response(
-    rid: str, model: str, text: str, finish_reason: str,
-    usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
-    tool_calls: Optional[List[Dict[str, Any]]] = None,
-) -> Dict[str, Any]:
+def chat_choice(index: int, text: str, finish_reason: str,
+                logprobs: Optional[Dict[str, Any]] = None,
+                tool_calls: Optional[List[Dict[str, Any]]] = None
+                ) -> Dict[str, Any]:
     message: Dict[str, Any] = {"role": "assistant", "content": text}
     if tool_calls is not None:
         message = {"role": "assistant", "content": None,
                    "tool_calls": tool_calls}
         finish_reason = "tool_calls"
+    return {"index": index, "message": message, "logprobs": logprobs,
+            "finish_reason": finish_reason}
+
+
+def completion_choice(index: int, text: str, finish_reason: str,
+                      logprobs: Optional[Dict[str, Any]] = None
+                      ) -> Dict[str, Any]:
+    return {"index": index, "text": text, "logprobs": logprobs,
+            "finish_reason": finish_reason}
+
+
+def chat_completion_response(
+    rid: str, model: str, text: str, finish_reason: str,
+    usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
+    tool_calls: Optional[List[Dict[str, Any]]] = None,
+    choices: Optional[List[Dict[str, Any]]] = None,
+) -> Dict[str, Any]:
+    """Single-choice by default; ``choices`` overrides for n>1 (each built
+    with chat_choice)."""
+    if choices is None:
+        choices = [chat_choice(0, text, finish_reason, logprobs, tool_calls)]
     return {
         "id": f"chatcmpl-{rid}",
         "object": "chat.completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [{
-            "index": 0,
-            "message": message,
-            "logprobs": logprobs,
-            "finish_reason": finish_reason,
-        }],
+        "choices": choices,
         "usage": usage,
     }
 
@@ -538,14 +554,16 @@ def chat_completion_chunk(
 def completion_response(
     rid: str, model: str, text: str, finish_reason: str,
     usage: Dict[str, int], logprobs: Optional[Dict[str, Any]] = None,
+    choices: Optional[List[Dict[str, Any]]] = None,
 ) -> Dict[str, Any]:
+    if choices is None:
+        choices = [completion_choice(0, text, finish_reason, logprobs)]
     return {
         "id": f"cmpl-{rid}",
         "object": "text_completion",
         "created": int(time.time()),
         "model": model,
-        "choices": [{"index": 0, "text": text, "logprobs": logprobs,
-                     "finish_reason": finish_reason}],
+        "choices": choices,
         "usage": usage,
     }
 
