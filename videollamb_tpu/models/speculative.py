@@ -35,6 +35,7 @@ Caveats (measured on v5e, 7B random weights):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -70,6 +71,65 @@ def propose_lookup(
                     return cont
                 break
     return []
+
+
+@jax.jit
+def _argmax_rows(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits, -1).astype(jnp.int32)
+
+
+def verify_chunks_batched(
+    params: Params,
+    cfg,  # ModelConfig (engine-level: cfg.lm is the LlamaConfig)
+    chunks: jax.Array,  # (B, k) int32; [:, 0] = each row's committed-next token
+    chunk_mask: jax.Array,  # (B, k) 1 = real token (0-padded proposals)
+    cache: KVCache,
+    adapter_idx: Optional[jax.Array] = None,
+):
+    """BATCHED greedy verification for the continuous-batching engine:
+    one ragged cache-extend writes every slot's chunk at its own length
+    (llama_extend takes per-row start positions), the longest
+    argmax-matching prefix per row is accepted on device, and lengths
+    roll back to start + accepted — stale slots past the length are
+    never attended and are overwritten in place before they could be
+    (the same invariant the B=1 path relies on).
+
+    Returns (accepted (B,), next_logits (B, V), next_argmax (B,), cache):
+    ``accepted`` in [0, k] (0 only for all-padding rows, i.e. inactive
+    slots, whose length is untouched); ``next_logits`` predicts the
+    position after each row's last accepted token, and ``next_argmax`` is
+    its argmax — returned so the NEXT round's chunk[:, 0] rides the same
+    host sync (one round-trip per round, not two; the tunnel RTT is the
+    dominant round cost).
+    """
+    return _verify_chunks_jit(params, cfg, chunks, chunk_mask, cache,
+                              adapter_idx)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _verify_chunks_jit(params, cfg, chunks, chunk_mask, cache, adapter_idx):
+    start = cache.length
+    embeds = embed_tokens(params["lm"], chunks).astype(cache.k.dtype)
+    all_logits, cache = llama_extend(
+        params["lm"], cfg.lm, embeds, chunk_mask, cache, return_all=True,
+        adapter_idx=adapter_idx,
+    )
+    greedy = jnp.argmax(all_logits, -1).astype(jnp.int32)  # (B, k)
+    valid = chunk_mask.astype(bool)
+    # chunk[:, 0] is already committed-next (it WAS the greedy token);
+    # position i's greedy output verifies chunk[:, i + 1].
+    match = jnp.concatenate(
+        [valid[:, :1], (chunks[:, 1:] == greedy[:, :-1]) & valid[:, 1:]],
+        axis=1)
+    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    cache = KVCache(k=cache.k, v=cache.v,
+                    length=start + accepted.astype(start.dtype))
+    b = chunks.shape[0]
+    rows = jnp.arange(b)
+    acc_pos = jnp.maximum(accepted - 1, 0)
+    next_logits = all_logits[rows, acc_pos]
+    next_argmax = greedy[rows, acc_pos]
+    return accepted, next_logits.astype(jnp.float32), next_argmax, cache
 
 
 def _verify_chunk(

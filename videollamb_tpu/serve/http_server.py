@@ -985,6 +985,11 @@ def main(argv=None):
                         help="resize/normalize video frames on the TPU "
                              "(benchmarks/ingest_bench.py)")
     parser.add_argument("--sync-every", type=int, default=4)
+    parser.add_argument("--speculative", choices=["lookup"], default=None,
+                        help="batched prompt-lookup speculation on the "
+                             "dense engine (all-greedy batches; wins on "
+                             "prompt-parroting workloads)")
+    parser.add_argument("--spec-k", type=int, default=8)
     parser.add_argument("--served-model-name", default=None,
                         help="name under /v1/models and accepted as "
                              "'model' (default: the model path's basename)")
@@ -1007,6 +1012,9 @@ def main(argv=None):
     if args.paged:
         from videollamb_tpu.serve.paged import PagedServingEngine
 
+        if args.speculative:
+            parser.error("--speculative requires the dense engine "
+                         "(drop --paged)")
         engine = PagedServingEngine(
             params, cfg, num_slots=args.num_slots, page_size=args.page_size,
             quantize_kv=args.quantize_kv, eos_token_id=eos)
@@ -1014,7 +1022,9 @@ def main(argv=None):
         from videollamb_tpu.serve.server import ServingEngine
 
         engine = ServingEngine(params, cfg, num_slots=args.num_slots,
-                               eos_token_id=eos)
+                               eos_token_id=eos,
+                               speculative=args.speculative,
+                               spec_k=args.spec_k)
     import os
 
     embedder = None

@@ -280,6 +280,12 @@ class PagedServingEngine(ServingEngine):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
+        # Speculation is a dense-engine feature (a ragged verify over the
+        # page pool would need a paged multi-token extend; plain decode
+        # here).
+        self.speculative = None
+        self.spec_rounds = 0
+        self.spec_committed = 0
         # Multi-LoRA (models/lm/mlora.py): same protocol as the dense
         # engine — per-slot indices ride every decode step.
         self.adapter_registry = adapter_registry

@@ -552,7 +552,24 @@ class ServingEngine:
         eos_token_id: int = 2,
         seed: int = 0,
         adapter_registry: Optional[Dict[str, int]] = None,
+        speculative: Optional[str] = None,
+        spec_k: int = 8,
     ):
+        # Batched prompt-lookup speculation ('lookup'): all-greedy
+        # unconstrained batches verify up to spec_k tokens per slot in ONE
+        # ragged cache-extend (models/speculative.verify_chunks_batched).
+        # Throughput multiplies by the mean accepted length on repetitive
+        # outputs; each round costs one host sync, so low-acceptance
+        # streams run at per-step-sync speed — enable for workloads that
+        # parrot their prompts (video QA), not as a default.
+        if speculative not in (None, "lookup"):
+            raise ValueError(
+                f"speculative={speculative!r}: only 'lookup' is supported "
+                "on the serving engine")
+        self.speculative = speculative
+        self.spec_k = spec_k
+        self.spec_rounds = 0
+        self.spec_committed = 0
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -647,6 +664,9 @@ class ServingEngine:
             self.logits = self.logits.at[slot].set(logits[0])
             self._install_constraint(req)
             self.slots[slot] = req
+            # Admission rewrote a logits row: the speculation path's
+            # carried next-argmax is stale; recompute next round.
+            self._spec_nxt0 = None
 
     def set_adapters(self, params: Params, registry) -> None:
         """Hot-swap the multi-LoRA stack (load/unload at runtime).
@@ -817,6 +837,75 @@ class ServingEngine:
             self._adapter_host[slot] = -1
             self.adapter_idx = self.adapter_idx.at[slot].set(-1)
 
+    def _spec_context(self, req: Request) -> List[int]:
+        """Host-side token context for prompt-lookup proposals: the text
+        prompt ids (media sentinels included — they never collide with
+        generated ids) plus everything generated so far."""
+        ctx = getattr(req, "_spec_prompt_ids", None)
+        if ctx is None:
+            ctx = [int(t) for t in np.asarray(req.batch.input_ids[0])]
+            req._spec_prompt_ids = ctx
+        return ctx + req.tokens
+
+    def _step_speculative(self, dropped) -> List[Request]:
+        """One speculation round: propose up to spec_k-1 continuations per
+        slot by prompt lookup, verify all slots in ONE ragged cache-extend,
+        commit each row's accepted prefix. Token-identical to plain greedy
+        (acceptance keeps only argmax-matching tokens)."""
+        from videollamb_tpu.models.speculative import (
+            _argmax_rows,
+            propose_lookup,
+            verify_chunks_batched,
+        )
+
+        # One host sync per round: nxt0 rides the PREVIOUS verify's
+        # readback (next_argmax). Recompute only when admissions changed
+        # the logits rows (self._spec_nxt0 invalidated in _admit).
+        nxt0 = getattr(self, "_spec_nxt0", None)
+        if nxt0 is None:
+            nxt0 = np.asarray(_argmax_rows(self.logits))  # (B,) readback
+        b, kk = self.num_slots, self.spec_k
+        chunks = np.zeros((b, kk), np.int32)
+        mask = np.zeros((b, kk), np.int32)
+        for i, r in enumerate(self.slots):
+            if r is None:
+                continue
+            chunks[i, 0] = nxt0[i]
+            mask[i, 0] = 1
+            room = min(kk - 1, r.max_new_tokens - len(r.tokens) - 1)
+            if room > 0 and nxt0[i] != self.eos:
+                prop = propose_lookup(
+                    self._spec_context(r) + [int(nxt0[i])], k=room)
+                for j, t in enumerate(prop):
+                    chunks[i, j + 1] = t
+                    mask[i, j + 1] = 1
+        accepted, self.logits, next_argmax, self.cache = verify_chunks_batched(
+            self.params, self.cfg, jnp.asarray(chunks), jnp.asarray(mask),
+            self.cache, adapter_idx=self._live_adapter_idx())
+        acc_host, self._spec_nxt0 = jax.device_get((accepted, next_argmax))
+        self.spec_rounds += 1
+        self.spec_committed += int(acc_host.sum())
+        finished: List[Request] = dropped
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            if req.cancelled:
+                req.done = True
+                finished.append(req)
+                self._release(i)
+                continue
+            for t in range(int(acc_host[i])):
+                tok = int(chunks[i, t])
+                req.tokens.append(tok)
+                if req.on_token is not None:
+                    req.on_token(req, tok)
+                if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+                    req.done = True
+                    finished.append(req)
+                    self._release(i)
+                    break
+        return finished
+
     def step(self, k: int = 1) -> List[Request]:
         """Admit pending requests, advance every active slot by up to ``k``
         tokens (multi-step only when all active slots are greedy). Returns
@@ -838,6 +927,12 @@ class ServingEngine:
         no_controls = all(
             (r is None or not r.has_sampling_controls) for r in self.slots
         )
+        if (self.speculative == "lookup" and all_greedy and unconstrained
+                and no_controls and not self._wants_logprobs()):
+            return self._step_speculative(dropped)
+        # Any non-speculative path rewrites logits rows -> the carried
+        # next-argmax (spec path) is stale.
+        self._spec_nxt0 = None
         if k > 1 and all_greedy and unconstrained and no_controls:
             lp_host = None
             if self._wants_logprobs():
