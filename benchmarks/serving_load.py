@@ -42,7 +42,8 @@ def _percentile(xs: List[float], p: float) -> float:
 
 
 def build_requests(cfg, n: int, seed: int, video_frac: float,
-                   prompt_len: int, max_new: int):
+                   prompt_len: int, max_new: int,
+                   temperature: float = 0.0):
     """n requests; deterministic per seed. Video rows share one frame
     buffer (the content doesn't matter for timing; admission compute is
     identical), text rows share one ids template with per-request noise."""
@@ -73,6 +74,7 @@ def build_requests(cfg, n: int, seed: int, video_frac: float,
             images=None,
         )
         reqs.append(Request(uid=i, batch=batch, max_new_tokens=max_new,
+                            temperature=temperature,
                             prompt_len=None if with_video else prompt_len))
     return reqs
 
@@ -197,15 +199,18 @@ def main(argv: Optional[List[str]] = None, cfg=None, params=None) -> dict:
     # then 0, not a coin flip), drained: compiles both admission graphs +
     # the decode loop outside the timed phase.
     warm = (build_requests(cfg, 1, seed=999, video_frac=1.0,
-                           prompt_len=args.prompt_len, max_new=4)
+                           prompt_len=args.prompt_len, max_new=4,
+                           temperature=args.temperature)
             + build_requests(cfg, 1, seed=998, video_frac=0.0,
-                             prompt_len=args.prompt_len, max_new=4))
+                             prompt_len=args.prompt_len, max_new=4,
+                             temperature=args.temperature))
     for r in warm:
         engine.submit(r)
     engine.run_until_drained(k=args.k)
 
     reqs = build_requests(cfg, args.n, args.seed, args.video_frac,
-                          args.prompt_len, args.max_new)
+                          args.prompt_len, args.max_new,
+                          temperature=args.temperature)
     out = run_load(engine, reqs, args.rate, k=args.k,
                    timeout_s=args.timeout)
     out.update({
@@ -214,6 +219,7 @@ def main(argv: Optional[List[str]] = None, cfg=None, params=None) -> dict:
         "video_frac": args.video_frac,
         "prompt_len": args.prompt_len,
         "max_new": args.max_new,
+        "temperature": args.temperature,
     })
     print(json.dumps(out))
     return out
@@ -236,6 +242,9 @@ def parse_args(argv=None):
                         "full per-slot capacity, which exceeds HBM past "
                         "~12 slots at video contexts)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="per-request sampling temperature (sampled "
+                        "requests ride the round-3 device sampled scan)")
     p.add_argument("--timeout", type=float, default=600.0)
     return p.parse_args(argv)
 

@@ -329,3 +329,28 @@ def test_streaming_session_cap_and_validation(http_srv):
         _delete(http_srv, f"/v1/streams/{sid}")
     status, lst = _get(http_srv, "/v1/streams")
     assert lst["streams"] == []
+
+
+def test_streaming_tick_cadence_survives_awkward_fps(http_srv, tmp_path):
+    """Bare ticks advance exactly one frame per call for ANY fps: the
+    naive (f)/fps tick time truncates back to f-1 inside
+    input_video_stream's int(t*fps) for fps like 7.0, livelocking the
+    stream (code-review finding; fixed by frame-center tick times)."""
+    clip = tmp_path / "c7.mp4"
+    _write_clip(clip, frames=2)
+    status, out = _post(http_srv, "/v1/streams", {
+        "video": str(clip), "fps": 7.0, "max_seq_len": 256,
+        "max_new_tokens": 2})
+    assert status == 200
+    sid, n = out["id"], out["frames"]
+    assert n > 2
+    for i in range(n):
+        status, _ = _post(http_srv, f"/v1/streams/{sid}/tick", {})
+        assert status == 200
+        status, st = _get(http_srv, f"/v1/streams/{sid}")
+        assert st["frames_ingested"] == i + 1, \
+            f"tick {i} stalled at {st['frames_ingested']}"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(http_srv, f"/v1/streams/{sid}/tick", {})
+    assert ei.value.code == 400
+    _delete(http_srv, f"/v1/streams/{sid}")

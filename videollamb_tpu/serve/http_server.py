@@ -553,10 +553,13 @@ class Server:
         if body.get("tools"):
             raise oai.BadRequest("streaming with tools is not supported — "
                                  "set stream=false for tool calls")
-        if int(body.get("n", 1) or 1) != 1:
+        # n is validated by _common_params inside _openai_row (non-int n
+        # must 400 there, not ValueError into a 500 here).
+        row, stops, temp_paths = self._openai_row(body, chat_mode)
+        if (body.get("n", 1) or 1) != 1:
+            oai._cleanup(temp_paths)
             raise oai.BadRequest("streaming with n>1 is not supported — "
                                  "set stream=false for multiple choices")
-        row, stops, temp_paths = self._openai_row(body, chat_mode)
         model = body.get("model") or self.model_name
         include_usage = bool(
             (body.get("stream_options") or {}).get("include_usage"))
@@ -720,7 +723,7 @@ class Handler(BaseHTTPRequestHandler):
         if len(parts) < 3 or parts[1] != "v1" or parts[2] != "streams":
             return False
         from videollamb_tpu.serve import openai_api as oai
-        from videollamb_tpu.serve.streams_api import StreamsBusy
+        from videollamb_tpu.serve.streams_api import StreamsBusy, UnknownStream
 
         mgr = self.server_obj.streams
         method = self.command
@@ -749,8 +752,8 @@ class Handler(BaseHTTPRequestHandler):
             fn = {"video": mgr.append_video, "query": mgr.query,
                   "tick": mgr.tick}[op]
             self._json(200, fn(sid, row))
-        except KeyError:
-            self._json(404, {"error": f"unknown stream {parts[3]}"})
+        except UnknownStream as e:
+            self._json(404, {"error": f"unknown stream {e}"})
         except oai.BadRequest as e:
             self._json(400, {"error": str(e)})
         except StreamsBusy as e:

@@ -838,12 +838,18 @@ class ServingEngine:
             self.adapter_idx = self.adapter_idx.at[slot].set(-1)
 
     def _spec_context(self, req: Request) -> List[int]:
-        """Host-side token context for prompt-lookup proposals: the text
-        prompt ids (media sentinels included — they never collide with
-        generated ids) plus everything generated so far."""
+        """Host-side token context for prompt-lookup proposals: the VALID
+        text prompt ids (media sentinels included — they never collide
+        with generated ids) plus everything generated so far. Right
+        bucket-padding is sliced off by the attention mask: a tail n-gram
+        matching near the end of the prompt — exactly the parroting
+        regime speculation targets — must propose the real continuation,
+        not pad zeros."""
         ctx = getattr(req, "_spec_prompt_ids", None)
         if ctx is None:
-            ctx = [int(t) for t in np.asarray(req.batch.input_ids[0])]
+            n_valid = int(np.asarray(req.batch.attention_mask[0]).sum())
+            ids = np.asarray(req.batch.input_ids[0])[:n_valid]
+            ctx = [int(t) for t in ids]
             req._spec_prompt_ids = ctx
         return ctx + req.tokens
 
@@ -884,7 +890,6 @@ class ServingEngine:
             self.cache, adapter_idx=self._live_adapter_idx())
         acc_host, self._spec_nxt0 = jax.device_get((accepted, next_argmax))
         self.spec_rounds += 1
-        self.spec_committed += int(acc_host.sum())
         finished: List[Request] = dropped
         for i, req in enumerate(self.slots):
             if req is None:
@@ -897,6 +902,9 @@ class ServingEngine:
             for t in range(int(acc_host[i])):
                 tok = int(chunks[i, t])
                 req.tokens.append(tok)
+                # Count only tokens actually DELIVERED (device acceptance
+                # past an EOS/budget break would overstate the stats).
+                self.spec_committed += 1
                 if req.on_token is not None:
                     req.on_token(req, tok)
                 if tok == self.eos or len(req.tokens) >= req.max_new_tokens:

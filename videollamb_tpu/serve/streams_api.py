@@ -47,6 +47,11 @@ class StreamsBusy(Exception):
     """Session cap reached -> HTTP 409."""
 
 
+class UnknownStream(Exception):
+    """No such stream id -> HTTP 404 (distinct from internal KeyErrors,
+    which must surface as 500s, not masquerade as 404s)."""
+
+
 class StreamManager:
     def __init__(self, chat, max_sessions: int = 4,
                  session_defaults: Optional[Dict[str, Any]] = None):
@@ -61,8 +66,8 @@ class StreamManager:
     def _entry(self, sid: str) -> Dict[str, Any]:
         with self._lock:
             e = self._sessions.get(sid)
-        if e is None:
-            raise KeyError(sid)
+        if e is None or "session" not in e:
+            raise UnknownStream(sid)
         return e
 
     def _clone_chat(self):
@@ -73,14 +78,26 @@ class StreamManager:
                     text_bucket=self.chat.text_bucket)
 
     @staticmethod
-    def _video_path(row: Dict[str, Any], temp_paths) -> str:
+    def _with_video_path(row: Dict[str, Any], fn):
+        """Materialize row['video'] (data: URIs -> temp file), call
+        ``fn(path)``, and ALWAYS unlink the temp file afterwards — the
+        session copies frames into its own buffer, so keeping materialized
+        chunks would grow /tmp without bound on long camera streams."""
         url = row.get("video")
         if not url or not isinstance(url, str):
             raise BadRequest("missing 'video' (path | file:// | data: URI)")
-        path = _materialize_url(url, "video", temp_paths)
-        if not os.path.exists(path):
-            raise BadRequest(f"video not found: {path}")
-        return path
+        temp_paths: list = []
+        try:
+            path = _materialize_url(url, "video", temp_paths)
+            if not os.path.exists(path):
+                raise BadRequest(f"video not found: {path}")
+            return fn(path)
+        finally:
+            for p in temp_paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
 
     # ------------------------------------------------------------------
     def create(self, row: Dict[str, Any]) -> Dict[str, Any]:
@@ -103,16 +120,15 @@ class StreamManager:
                 if key in row:
                     kw["frame_fps" if key == "fps" else key] = cast(row[key])
             session = StreamingSession(self._clone_chat(), **kw)
-            temp_paths: list = []
             if row.get("video"):
-                session.load_videos(self._video_path(row, temp_paths))
+                self._with_video_path(row, session.load_videos)
             if row.get("query"):
                 session.input_query_stream(
                     str(row["query"]),
                     video_time=(float(row["query_time"])
                                 if "query_time" in row else 0.0))
             entry = {"session": session, "lock": threading.Lock(),
-                     "temp_paths": temp_paths, "events": []}
+                     "events": []}
             with self._lock:
                 self._sessions[sid] = entry
         except Exception:
@@ -124,10 +140,9 @@ class StreamManager:
 
     def append_video(self, sid: str, row: Dict[str, Any]) -> Dict[str, Any]:
         e = self._entry(sid)
-        path = self._video_path(row, e["temp_paths"])
         with e["lock"]:
             s = e["session"]
-            n = s.append_video(path)
+            n = self._with_video_path(row, s.append_video)
             return {"id": sid, "frames": n,
                     "total_frames": s.num_video_frames,
                     "video_time": s.video_time}
@@ -147,21 +162,30 @@ class StreamManager:
         e = self._entry(sid)
         with e["lock"]:
             s = e["session"]
-            if "video_time" in row:
-                t = float(row["video_time"])
-            else:
-                # One frame-interval step past the last ingested frame —
-                # the CLI's `i / fps` cadence without client-side clocks.
-                t = (s.last_frame_idx + 1) / s.frame_fps
             n_frames = getattr(s, "num_video_frames", 0)
             if n_frames == 0:
                 raise BadRequest(
                     "no video buffered; POST /v1/streams/<id>/video first")
-            max_t = max(0.0, (n_frames - 1) / s.frame_fps)
-            if t > max_t + 1e-9:
-                raise BadRequest(
-                    f"video_time {t:.2f}s is beyond the buffered stream "
-                    f"({max_t:.2f}s); POST more video first")
+            if "video_time" in row:
+                t = float(row["video_time"])
+                if int(t * s.frame_fps) > n_frames - 1:
+                    max_t = (n_frames - 1) / s.frame_fps
+                    raise BadRequest(
+                        f"video_time {t:.2f}s is beyond the buffered stream "
+                        f"({max_t:.2f}s); POST more video first")
+            else:
+                # One frame-interval step past the last ingested frame —
+                # the CLI's `i / fps` cadence without client-side clocks.
+                # Aim at frame-center time: (f + 0.5)/fps survives the
+                # int(t*fps) truncation in input_video_stream for every
+                # fps (f/fps can round DOWN to f-1 and stall the stream).
+                f = s.last_frame_idx + 1
+                if f > n_frames - 1:
+                    max_t = (n_frames - 1) / s.frame_fps
+                    raise BadRequest(
+                        f"stream consumed up to {max_t:.2f}s; POST more "
+                        "video first")
+                t = (f + 0.5) / s.frame_fps
             s.input_video_stream(t)
             query, response = s()
             out: Dict[str, Any] = {"id": sid, "video_time": s.video_time}
@@ -199,10 +223,5 @@ class StreamManager:
         with self._lock:
             e = self._sessions.pop(sid, None)
         if e is None:
-            raise KeyError(sid)
-        for p in e.get("temp_paths", ()):
-            try:
-                os.unlink(p)
-            except OSError:
-                pass
+            raise UnknownStream(sid)
         return {"id": sid, "deleted": True}
