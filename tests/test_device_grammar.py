@@ -333,3 +333,34 @@ def test_sampled_grammar_paged_valid_json(tiny):
     for toks in got.values():
         assert len(toks) <= 8
         assert isinstance(json.loads(_decode(toks)), dict)
+
+
+def test_grammar_scan_with_logprobs(tiny):
+    """Logprob extraction rides the device grammar scan (round-3
+    continuation — this combo previously fell to the host-mask path):
+    tokens AND base-distribution logprobs match the k=1 host path."""
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+    tok = _Tok()
+    strs = _token_strs(cfg.lm.vocab_size)
+
+    def run(k):
+        g = json_constraint(tok, token_strs=strs)
+        r = _req(cfg, "lp", g, seed=9, budget=8)
+        r.logprobs = True
+        r.top_logprobs = 3
+        eng = ServingEngine(params, cfg, num_slots=2, eos_token_id=EOS)
+        eng.submit(r)
+        eng.run_until_drained(k=k)
+        return r
+
+    host = run(1)
+    dev = run(4)
+    assert host.tokens == dev.tokens
+    assert len(dev.token_logprobs) == len(dev.tokens)
+    np.testing.assert_allclose(host.token_logprobs, dev.token_logprobs,
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(host.top_tokens, dev.top_tokens):
+        assert [i for i, _ in a] == [i for i, _ in b]
+    assert isinstance(json.loads(_decode(dev.tokens)), dict)

@@ -179,24 +179,28 @@ def paged_sampled_decode_steps_controls(
     return out.T, logits, cache, rng
 
 
-@partial(jax.jit, static_argnames=("cfg", "k", "total_pages"),
+@partial(jax.jit, static_argnames=("cfg", "k", "total_pages", "top_k"),
          donate_argnames=("cache",))
 def paged_greedy_decode_steps_grammar(
     params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
     total_pages: int, pool_costs: jax.Array, pool_next: jax.Array,
     sid2slot: jax.Array, slots0: jax.Array, remaining0: jax.Array,
-    adapter_idx=None,
+    adapter_idx=None, top_k: int = 0,
 ):
     """Paged twin of server.greedy_decode_steps_grammar: on-device
     grammar masks/transitions from the HBM state pool inside the paged
     k-step scan. Same freeze semantics (see that docstring); garbage
     steps write into already-allocated pages and get overwritten after
-    the lengths rewind."""
+    the lengths rewind. ``top_k`` > 0 adds base-distribution logprob
+    extraction."""
+    from videollamb_tpu.serve.server import _lp_transpose
+
     def body(carry, step):
         logits, cache, slot, remaining, invalid_at, frozen_logits = carry
         nxt = jnp.argmax(
             grammar_mask_logits(logits, slot, remaining, pool_costs),
             -1).astype(jnp.int32)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
         new_slot, invalid_at = grammar_transition(
             nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None])
@@ -206,28 +210,33 @@ def paged_greedy_decode_steps_grammar(
         frozen_logits = jnp.where((invalid_at == step)[:, None],
                                   logits2, frozen_logits)
         return (logits2, cache, new_slot, remaining - 1, invalid_at,
-                frozen_logits), nxt
+                frozen_logits), out
 
     b = logits.shape[0]
     init = (logits, cache, slots0, remaining0,
             jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
-    (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+    (logits, cache, _, _, invalid_at, frozen_logits), out = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
-    return toks.T, logits, cache, invalid_at, frozen_logits
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits
+    return out.T, logits, cache, invalid_at, frozen_logits
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "k", "total_pages", "filter_topkp"),
+         static_argnames=("cfg", "k", "total_pages", "filter_topkp",
+                          "top_k"),
          donate_argnames=("cache",))
 def paged_sampled_decode_steps_grammar(
     params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
     total_pages: int, rng: jax.Array, temps: jax.Array, top_ks: jax.Array,
     top_ps: jax.Array, pool_costs: jax.Array, pool_next: jax.Array,
     sid2slot: jax.Array, slots0: jax.Array, remaining0: jax.Array,
-    adapter_idx=None, filter_topkp: bool = True,
+    adapter_idx=None, filter_topkp: bool = True, top_k: int = 0,
 ):
     """Paged twin of serve/server.sampled_decode_steps_grammar: grammar
     mask + sample_rows per step over the page pool, rng carried."""
+    from videollamb_tpu.serve.server import _lp_transpose
 
     def body(carry, step):
         logits, cache, rng, slot, remaining, invalid_at, frozen_logits = carry
@@ -235,6 +244,7 @@ def paged_sampled_decode_steps_grammar(
         nxt = sample_rows(
             grammar_mask_logits(logits, slot, remaining, pool_costs), sub,
             temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
         new_slot, invalid_at = grammar_transition(
             nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None])
@@ -244,14 +254,17 @@ def paged_sampled_decode_steps_grammar(
         frozen_logits = jnp.where((invalid_at == step)[:, None],
                                   logits2, frozen_logits)
         return (logits2, cache, rng, new_slot, remaining - 1, invalid_at,
-                frozen_logits), nxt
+                frozen_logits), out
 
     b = logits.shape[0]
     init = (logits, cache, rng, slots0, remaining0,
             jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
-    (logits, cache, rng, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+    (logits, cache, rng, _, _, invalid_at, frozen_logits), out = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
-    return toks.T, logits, cache, invalid_at, frozen_logits, rng
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits, rng
+    return out.T, logits, cache, invalid_at, frozen_logits, rng
 
 
 @jax.jit
@@ -562,31 +575,44 @@ class PagedServingEngine(ServingEngine):
         self._host_len += k
         return toks, lp
 
-    def _grammar_scan(self, k: int, dt, slots0, remaining0):
-        toks, self.logits, self.cache, invalid_at, frozen_logits = (
-            paged_greedy_decode_steps_grammar(
-                self.params, self.cfg, self.logits, self.cache, k,
+    def _grammar_scan(self, k: int, dt, slots0, remaining0, top_k: int = 0):
+        args = (self.params, self.cfg, self.logits, self.cache, k,
                 self.total_pages, dt.costs, dt.next_sid, dt.sid2slot,
-                jnp.asarray(slots0), jnp.asarray(remaining0),
-                adapter_idx=self._live_adapter_idx()))
+                jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(adapter_idx=self._live_adapter_idx())
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at,
+             frozen_logits) = paged_greedy_decode_steps_grammar(
+                *args, top_k=top_k, **kw)
+        else:
+            toks, self.logits, self.cache, invalid_at, frozen_logits = (
+                paged_greedy_decode_steps_grammar(*args, **kw))
+            lp = None
         self._host_len += k  # mirrors lengths+k; frozen rows rewound below
-        return toks, invalid_at, frozen_logits
+        return toks, lp, invalid_at, frozen_logits
 
-    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0):
+    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0,
+                              top_k: int = 0):
         from videollamb_tpu.serve.server import slot_sampling_vectors
 
         vecs = slot_sampling_vectors(self.slots)
         temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
-        (toks, self.logits, self.cache, invalid_at, frozen_logits,
-         self.rng) = paged_sampled_decode_steps_grammar(
-            self.params, self.cfg, self.logits, self.cache, k,
-            self.total_pages, self.rng, temps, top_ks, top_ps,
-            dt.costs, dt.next_sid, dt.sid2slot,
-            jnp.asarray(slots0), jnp.asarray(remaining0),
-            adapter_idx=self._live_adapter_idx(),
-            filter_topkp=self._needs_filter(vecs))
+        args = (self.params, self.cfg, self.logits, self.cache, k,
+                self.total_pages, self.rng, temps, top_ks, top_ps,
+                dt.costs, dt.next_sid, dt.sid2slot,
+                jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(adapter_idx=self._live_adapter_idx(),
+                  filter_topkp=self._needs_filter(vecs))
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = paged_sampled_decode_steps_grammar(
+                *args, top_k=top_k, **kw)
+        else:
+            (toks, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = paged_sampled_decode_steps_grammar(*args, **kw)
+            lp = None
         self._host_len += k  # frozen rows rewound by _grammar_fix
-        return toks, invalid_at, frozen_logits
+        return toks, lp, invalid_at, frozen_logits
 
     def _grammar_fix(self, frozen, frozen_logits, garbage) -> None:
         self._host_len -= garbage  # garbage already zeroed on healthy rows
@@ -652,11 +678,11 @@ class PagedServingEngine(ServingEngine):
             self._host_len += k
             return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
-        if k > 1 and no_controls and not self._wants_logprobs():
+        if k > 1 and no_controls:
             # Device-side grammar enforcement over the paged pool — the
             # production serving config keeps guaranteed-valid JSON in
             # the k-step device loop (serve/device_grammar.py), greedy
-            # or sampled.
+            # or sampled, with logprob extraction riding either scan.
             setup = self._grammar_device_setup()
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped,

@@ -364,11 +364,20 @@ def grammar_transition(nxt: jax.Array, slot: jax.Array, invalid_at: jax.Array,
     return new_slot, invalid_at
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+def _lp_transpose(out):
+    """Scan logprob outputs (k-major) -> engine layout (B-major)."""
+    toks, chosen, top_vals, top_ids = out
+    return toks.T, (chosen.T, top_vals.transpose(1, 0, 2),
+                    top_ids.transpose(1, 0, 2))
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "top_k"),
+         donate_argnames=("cache",))
 def greedy_decode_steps_grammar(
     params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
     pool_costs: jax.Array, pool_next: jax.Array, sid2slot: jax.Array,
     slots0: jax.Array, remaining0: jax.Array, adapter_idx=None,
+    top_k: int = 0,
 ):
     """k greedy decode steps with grammar constraints enforced ON DEVICE
     (serve/device_grammar.py): per step, each row gathers its state's
@@ -376,18 +385,22 @@ def greedy_decode_steps_grammar(
     the argmax, and transitions via the pool's next-sid row — no per-token
     host sync or (B, V) mask transfer.
 
-    Returns (tokens (B, k), logits, cache, invalid_at (B,), frozen_logits
-    (B, V)). ``invalid_at[i] == t < k`` means row i transitioned into a
-    not-yet-uploaded state after emitting the (valid) token at step t:
-    tokens (t, k) are garbage, ``frozen_logits[i]`` holds the logits
-    right after token t, and the engine must rewind the row's cache
-    length by k - 1 - t (the garbage writes get overwritten).
+    Returns (tokens (B, k), [logprob data,] logits, cache, invalid_at
+    (B,), frozen_logits (B, V)). ``invalid_at[i] == t < k`` means row i
+    transitioned into a not-yet-uploaded state after emitting the (valid)
+    token at step t: tokens (t, k) are garbage, ``frozen_logits[i]``
+    holds the logits right after token t, and the engine must rewind the
+    row's cache length by k - 1 - t (the garbage writes get overwritten).
+    With ``top_k`` > 0, per-step base-distribution logprobs of the chosen
+    token + top-k alternatives ride along (extracted from the RAW logits,
+    pre-mask — the OpenAI logprob semantics).
     """
     def body(carry, step):
         logits, cache, slot, remaining, invalid_at, frozen_logits = carry
         nxt = jnp.argmax(
             grammar_mask_logits(logits, slot, remaining, pool_costs),
             -1).astype(jnp.int32)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
         new_slot, invalid_at = grammar_transition(
             nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
@@ -398,24 +411,27 @@ def greedy_decode_steps_grammar(
                                   logits2, frozen_logits)
         carry = (logits2, cache, new_slot, remaining - 1, invalid_at,
                  frozen_logits)
-        return carry, nxt
+        return carry, out
 
     b = logits.shape[0]
     init = (logits, cache, slots0, remaining0,
             jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
-    (logits, cache, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+    (logits, cache, _, _, invalid_at, frozen_logits), out = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
-    return toks.T, logits, cache, invalid_at, frozen_logits
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits
+    return out.T, logits, cache, invalid_at, frozen_logits
 
 
-@partial(jax.jit, static_argnames=("cfg", "k", "filter_topkp"),
+@partial(jax.jit, static_argnames=("cfg", "k", "filter_topkp", "top_k"),
          donate_argnames=("cache",))
 def sampled_decode_steps_grammar(
     params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
     rng: jax.Array, temps: jax.Array, top_ks: jax.Array, top_ps: jax.Array,
     pool_costs: jax.Array, pool_next: jax.Array, sid2slot: jax.Array,
     slots0: jax.Array, remaining0: jax.Array, adapter_idx=None,
-    filter_topkp: bool = True,
+    filter_topkp: bool = True, top_k: int = 0,
 ):
     """Grammar-constrained SAMPLED decoding on device: the k-step scan
     applies the budget-aware grammar mask, draws with the shared
@@ -425,7 +441,8 @@ def sampled_decode_steps_grammar(
     note that garbage steps after a freeze still consume rng splits, so
     freeze recovery is distribution-correct but not split-for-split
     identical to host stepping (warm tables never freeze). Returns
-    (tokens, logits, cache, invalid_at, frozen_logits, rng)."""
+    (tokens, [logprob data,] logits, cache, invalid_at, frozen_logits,
+    rng)."""
 
     def body(carry, step):
         logits, cache, rng, slot, remaining, invalid_at, frozen_logits = carry
@@ -433,6 +450,7 @@ def sampled_decode_steps_grammar(
         nxt = sample_rows(
             grammar_mask_logits(logits, slot, remaining, pool_costs), sub,
             temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
         new_slot, invalid_at = grammar_transition(
             nxt, slot, invalid_at, step, k, pool_next, sid2slot)
         tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
@@ -443,14 +461,17 @@ def sampled_decode_steps_grammar(
                                   logits2, frozen_logits)
         carry = (logits2, cache, rng, new_slot, remaining - 1, invalid_at,
                  frozen_logits)
-        return carry, nxt
+        return carry, out
 
     b = logits.shape[0]
     init = (logits, cache, rng, slots0, remaining0,
             jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
-    (logits, cache, rng, _, _, invalid_at, frozen_logits), toks = jax.lax.scan(
+    (logits, cache, rng, _, _, invalid_at, frozen_logits), out = jax.lax.scan(
         body, init, jnp.arange(k, dtype=jnp.int32))
-    return toks.T, logits, cache, invalid_at, frozen_logits, rng
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits, rng
+    return out.T, logits, cache, invalid_at, frozen_logits, rng
 
 
 @jax.jit
@@ -956,12 +977,13 @@ class ServingEngine:
                 )
             return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
-        if k > 1 and no_controls and not self._wants_logprobs():
+        if k > 1 and no_controls:
             # Grammar-constrained rows can stay in the device loop: state
             # tables live in HBM (serve/device_grammar.py) and the scan
             # masks/transitions by state slot — no per-token host sync.
             # Sampled batches route through the sampled grammar scan
-            # (guaranteed-valid JSON with temperature, still on device).
+            # (guaranteed-valid JSON with temperature, still on device);
+            # logprob extraction rides either scan (base distribution).
             setup = self._grammar_device_setup()
             if setup is not None:
                 return self._step_device_grammar(k, setup, dropped,
@@ -1067,30 +1089,41 @@ class ServingEngine:
             remaining0[i] = max(1, r.max_new_tokens - len(r.tokens))
         return dt, slots0, remaining0
 
-    def _grammar_scan(self, k: int, dt, slots0, remaining0):
+    def _grammar_scan(self, k: int, dt, slots0, remaining0, top_k: int = 0):
         """Run the on-device constrained scan, updating logits/cache.
         Overridden by the paged engine (paged cache + host_len mirror)."""
-        toks, self.logits, self.cache, invalid_at, frozen_logits = (
-            greedy_decode_steps_grammar(
-                self.params, self.cfg, self.logits, self.cache, k,
+        args = (self.params, self.cfg, self.logits, self.cache, k,
                 dt.costs, dt.next_sid, dt.sid2slot,
-                jnp.asarray(slots0), jnp.asarray(remaining0),
-                adapter_idx=self._live_adapter_idx()))
-        return toks, invalid_at, frozen_logits
+                jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(adapter_idx=self._live_adapter_idx())
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at,
+             frozen_logits) = greedy_decode_steps_grammar(
+                *args, top_k=top_k, **kw)
+            return toks, lp, invalid_at, frozen_logits
+        toks, self.logits, self.cache, invalid_at, frozen_logits = (
+            greedy_decode_steps_grammar(*args, **kw))
+        return toks, None, invalid_at, frozen_logits
 
-    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0):
+    def _grammar_scan_sampled(self, k: int, dt, slots0, remaining0,
+                              top_k: int = 0):
         """Sampled twin of _grammar_scan (grammar mask + sample_rows in
         one device scan). Overridden by the paged engine."""
         vecs = slot_sampling_vectors(self.slots)
         temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        args = (self.params, self.cfg, self.logits, self.cache, k, self.rng,
+                temps, top_ks, top_ps, dt.costs, dt.next_sid, dt.sid2slot,
+                jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(adapter_idx=self._live_adapter_idx(),
+                  filter_topkp=self._needs_filter(vecs))
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = sampled_decode_steps_grammar(
+                *args, top_k=top_k, **kw)
+            return toks, lp, invalid_at, frozen_logits
         (toks, self.logits, self.cache, invalid_at, frozen_logits,
-         self.rng) = sampled_decode_steps_grammar(
-            self.params, self.cfg, self.logits, self.cache, k, self.rng,
-            temps, top_ks, top_ps, dt.costs, dt.next_sid, dt.sid2slot,
-            jnp.asarray(slots0), jnp.asarray(remaining0),
-            adapter_idx=self._live_adapter_idx(),
-            filter_topkp=self._needs_filter(vecs))
-        return toks, invalid_at, frozen_logits
+         self.rng) = sampled_decode_steps_grammar(*args, **kw)
+        return toks, None, invalid_at, frozen_logits
 
     def _grammar_fix(self, frozen: np.ndarray, frozen_logits,
                      garbage: np.ndarray) -> None:
@@ -1108,8 +1141,12 @@ class ServingEngine:
         sampled scan (grammar mask + sample_rows per step)."""
         dt, slots0, remaining0 = setup
         scan = self._grammar_scan_sampled if sampled else self._grammar_scan
-        toks, invalid_at, frozen_logits = scan(k, dt, slots0, remaining0)
+        top_k = TOP_LOGPROBS_K if self._wants_logprobs() else 0
+        toks, lp, invalid_at, frozen_logits = scan(k, dt, slots0, remaining0,
+                                                   top_k)
         toks_host = np.asarray(toks)
+        lp_host = (tuple(np.asarray(a) for a in lp) if lp is not None
+                   else None)
         invalid_host = np.asarray(invalid_at)
         finished: List[Request] = dropped
         frozen = np.zeros((self.num_slots,), bool)
@@ -1127,6 +1164,9 @@ class ServingEngine:
             for t in range(valid):
                 tok = int(toks_host[i, t])
                 req.tokens.append(tok)
+                if lp_host is not None and req.logprobs:
+                    self._commit_logprob(req, lp_host[0][i, t],
+                                         lp_host[1][i, t], lp_host[2][i, t])
                 if req.on_token is not None:
                     req.on_token(req, tok)
                 if con is not None:
