@@ -535,3 +535,78 @@ def test_speculative_eos_mid_chunk_frees_slot(tiny):
     es.run_until_drained()
     assert r.tokens == probe.tokens[:2]
     assert es.slots[0] is None
+
+
+def test_fork_group_shares_one_prefill(tiny, monkeypatch):
+    """clone_request + share_prefill (the OpenAI n>1 fork): siblings
+    decode identically to independent submissions while the splice +
+    prefill runs ONCE for the whole group, on the dense AND paged
+    engines."""
+    import videollamb_tpu.serve.paged as paged_mod
+    import videollamb_tpu.serve.server as server_mod
+    from videollamb_tpu.serve.paged import PagedServingEngine
+    from videollamb_tpu.serve.server import clone_request, share_prefill
+
+    cfg, params = tiny
+    calls = {"n": 0}
+    real = server_mod.prepare_multimodal_embeds_fast
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(server_mod, "prepare_multimodal_embeds_fast",
+                        counting)
+    monkeypatch.setattr(paged_mod, "prepare_multimodal_embeds_fast",
+                        counting)
+
+    for engine_cls, kw in ((ServingEngine, {}),
+                           (PagedServingEngine, {"page_size": 32})):
+        ref_req = _request(cfg, "ref", seed=91, max_new=5)
+        ref = engine_cls(params, cfg, num_slots=3, eos_token_id=-1, **kw)
+        ref.submit(ref_req)
+        ref.run_until_drained(k=2)
+
+        base = _request(cfg, "base", seed=91, max_new=5)
+        sibs = [base, clone_request(base), clone_request(base)]
+        for i, s in enumerate(sibs):
+            s.uid = f"sib{i}"
+        share_prefill(sibs)
+        eng = engine_cls(params, cfg, num_slots=3, eos_token_id=-1, **kw)
+        calls["n"] = 0
+        for s in sibs:
+            eng.submit(s)
+        eng.run_until_drained(k=2)
+        assert calls["n"] == 1, (engine_cls.__name__, calls["n"])
+        for s in sibs:
+            assert s.tokens == ref_req.tokens, (engine_cls.__name__, s.uid)
+
+
+def test_fork_group_with_grammar_cursors_are_independent(tiny):
+    """Cloned grammar constraints are fresh cursors over the shared
+    table: both siblings emit complete valid JSON."""
+    import json as _json
+
+    from test_grammar import _decode, _token_strs
+    from videollamb_tpu.serve.grammar import json_constraint
+    from videollamb_tpu.serve.server import clone_request, share_prefill
+
+    cfg, params = tiny
+
+    class Tok:
+        eos_token_id = 2
+
+    strs = _token_strs(cfg.lm.vocab_size)
+    base = _request(cfg, "g0", seed=93, max_new=8)
+    base.grammar = json_constraint(Tok(), token_strs=strs)
+    sib = clone_request(base)
+    sib.uid = "g1"
+    assert sib.grammar is not base.grammar
+    assert sib.grammar.table is base.grammar.table
+    share_prefill([base, sib])
+    eng = ServingEngine(params, cfg, num_slots=2, eos_token_id=2)
+    eng.submit(base)
+    eng.submit(sib)
+    eng.run_until_drained(k=4)
+    for r in (base, sib):
+        assert isinstance(_json.loads(_decode(r.tokens)), dict), r.uid

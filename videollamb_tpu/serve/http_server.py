@@ -276,6 +276,15 @@ class Server:
             self._next_uid += 1
             return f"req-{self._next_uid}"
 
+    def _register_clone(self, req):
+        """Server-side bookkeeping for a forked choice (clone_request):
+        own uid/completion event/metrics hooks, shared batch."""
+        req.uid = self._uid()
+        req._done_event = threading.Event()
+        self.metrics.on_submit(req)
+        req.on_token = lambda r, tok: self.metrics.on_token(r)
+        return req
+
     def build(self, row: Dict[str, Any]):
         # Per-request Chat clone: conversation state is per-build, while
         # tokenizer/params/processors are shared immutable — so media
@@ -476,15 +485,31 @@ class Server:
             if n == 1:
                 finals = [drain(row)]
             else:
-                # n choices = n engine requests sharing the prompt; they
-                # continuous-batch together in the slot pool, and sampled
+                # n choices = n engine requests FORKED from one build: the
+                # media decode, splice, and admission prefill are paid
+                # once (clone_request + share_prefill), then the siblings
+                # continuous-batch together in the slot pool and sampled
                 # rows draw independently from the engine rng chain.
+                from videollamb_tpu.serve.server import (
+                    clone_request,
+                    share_prefill,
+                )
+
+                base = self.build(row)
+                sibs = [base] + [self._register_clone(clone_request(base))
+                                 for _ in range(n - 1)]
+                share_prefill(sibs)
                 finals: list = [None] * n
                 errs: list = [None] * n
 
                 def worker(i):
                     try:
-                        finals[i] = drain(dict(row))
+                        final = None
+                        for event in self.stream_request(sibs[i],
+                                                         stops=stops):
+                            if event.get("done"):
+                                final = event
+                        finals[i] = final
                     except Exception as e:  # noqa: BLE001 — re-raised below
                         errs[i] = e
 

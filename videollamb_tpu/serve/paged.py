@@ -56,6 +56,7 @@ from videollamb_tpu.models.lm.paged import (
 from videollamb_tpu.serve.server import (
     Request,
     ServingEngine,
+    _shared_consume,
     grammar_mask_logits,
     grammar_transition,
     logprobs_of,
@@ -455,6 +456,7 @@ class PagedServingEngine(ServingEngine):
                 self.pending.get()
                 req.done = True
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
             if req.adapter is not None and (
                 self.adapter_registry is None
@@ -467,6 +469,7 @@ class PagedServingEngine(ServingEngine):
                     else "engine has no adapter registry")
                 req.done = True
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
             if req.adapter is not None and req.prefix_id is not None:
                 # A shared prefix's KV was prefilled by the BASE model;
@@ -477,23 +480,33 @@ class PagedServingEngine(ServingEngine):
                              "shared prefix (prefix KV is base-model)")
                 req.done = True
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
             if req.prefix_id is not None:
                 if not self._admit_prefix(req, slot):
                     return  # backpressure
                 continue
-            spliced = prepare_multimodal_embeds_fast(
-                self.params, self.cfg, req.batch, deterministic=True
-            )
-            b = req.batch
-            text_only = (b.videos is None and b.images is None
-                         and b.blocks is None)
-            if text_only and req.prompt_len is not None:
-                # Host-known hint (text-only: spliced length == mask sum)
-                # saves the per-admission device sync.
-                prompt_len = int(req.prompt_len)
+            shared = getattr(req, "_shared_prefill", None)
+            have_shared = shared is not None and shared["data"] is not None
+            if have_shared:
+                # Fork group (serve/server.share_prefill): a sibling paid
+                # the splice+prefill; reuse its result and prompt length.
+                logits, single, prompt_len = shared["data"]
+                spliced = None
             else:
-                prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+                spliced = prepare_multimodal_embeds_fast(
+                    self.params, self.cfg, req.batch, deterministic=True
+                )
+                b = req.batch
+                text_only = (b.videos is None and b.images is None
+                             and b.blocks is None)
+                if text_only and req.prompt_len is not None:
+                    # Host-known hint (text-only: spliced length == mask
+                    # sum) saves the per-admission device sync.
+                    prompt_len = int(req.prompt_len)
+                else:
+                    prompt_len = int(np.asarray(
+                        jnp.sum(spliced.attention_mask)))
             n_pages = self.allocator.pages_needed(prompt_len, self.page_size)
             if n_pages > self.pages_per_seq:
                 self.pending.get()
@@ -502,15 +515,12 @@ class PagedServingEngine(ServingEngine):
                     f"rejected: prompt needs {n_pages} pages, per-sequence "
                     f"budget is {self.pages_per_seq}")
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
             pages = self.allocator.alloc(n_pages)
             if pages is None:
                 return  # pool exhausted — backpressure until slots free
             self.pending.get()
-            single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
-            # Chunked admission: one compiled extend shape for the whole
-            # engine lifetime, prefill compute proportional to the ACTUAL
-            # prompt length, not the padded splice buffer.
             aidx1 = None
             if self.adapter_idx is not None:
                 val = (self.adapter_registry[req.adapter]
@@ -519,11 +529,21 @@ class PagedServingEngine(ServingEngine):
                     aidx1 = jnp.asarray([val], jnp.int32)
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
                 self._adapter_host[slot] = val
-            logits, single = chunked_prefill(
-                self.params["lm"], self.cfg.lm,
-                spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
-                lengths=prompt_len, adapter_idx=aidx1,
-            )
+            if not have_shared:
+                single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length,
+                                       self._dtype)
+                # Chunked admission: one compiled extend shape for the
+                # whole engine lifetime, prefill compute proportional to
+                # the ACTUAL prompt length, not the padded splice buffer.
+                logits, single = chunked_prefill(
+                    self.params["lm"], self.cfg.lm,
+                    spliced.embeds.astype(self._dtype),
+                    spliced.attention_mask, single,
+                    lengths=prompt_len, adapter_idx=aidx1,
+                )
+                if shared is not None:
+                    shared["data"] = (logits, single, prompt_len)
+            _shared_consume(req)
             page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
             page_ids[: len(pages)] = pages
             self.cache = paged_insert(

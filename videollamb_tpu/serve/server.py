@@ -562,6 +562,53 @@ class Request:
                     or len(self.tokens) < self.min_tokens)
 
 
+def clone_request(req: Request) -> Request:
+    """An independent sibling of an UNSTARTED request: shares the
+    (read-only) multimodal batch — media decode cost paid once — with
+    fresh per-request state (uid left for the caller, fresh grammar
+    cursor over the same table, empty token buffers). The OpenAI n>1
+    path forks choices this way; combine with :func:`share_prefill` to
+    also share the admission splice+prefill."""
+    from videollamb_tpu.serve.grammar import GrammarConstraint
+
+    grammar = (GrammarConstraint(req.grammar.table)
+               if req.grammar is not None else None)
+    return Request(
+        uid=None, batch=req.batch, max_new_tokens=req.max_new_tokens,
+        temperature=req.temperature, top_p=req.top_p, top_k=req.top_k,
+        logit_bias=dict(req.logit_bias) if req.logit_bias else None,
+        presence_penalty=req.presence_penalty,
+        frequency_penalty=req.frequency_penalty,
+        min_tokens=req.min_tokens, prefix_id=req.prefix_id,
+        adapter=req.adapter,
+        choices=[list(c) for c in req.choices] if req.choices else None,
+        grammar=grammar, prompt_len=req.prompt_len,
+        logprobs=req.logprobs, top_logprobs=req.top_logprobs)
+
+
+def share_prefill(reqs: List[Request]) -> None:
+    """Mark sibling requests (same batch — see clone_request) to share
+    ONE admission prefill: the first sibling admitted computes the
+    splice + chunked prefill, the rest copy its cached single-row result
+    into their slots (insert does not donate it). The shared cache is
+    dropped once every sibling has consumed it (or was dropped/rejected
+    at admission — see _shared_consume)."""
+    shared = {"data": None, "left": len(reqs)}
+    for r in reqs:
+        r._shared_prefill = shared
+
+
+def _shared_consume(req: Request) -> None:
+    """One fork-group sibling is done with admission (prefilled, dropped,
+    or rejected): release its claim so the shared single-row cache frees
+    as soon as the last sibling passes through."""
+    shared = getattr(req, "_shared_prefill", None)
+    if shared is not None:
+        shared["left"] -= 1
+        if shared["left"] <= 0:
+            shared["data"] = None
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -642,6 +689,7 @@ class ServingEngine:
             if req.cancelled:
                 req.done = True
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
             if req.adapter is not None and (
                 self.adapter_registry is None
@@ -654,19 +702,8 @@ class ServingEngine:
                 )
                 req.done = True
                 self._dropped.append(req)
+                _shared_consume(req)
                 continue
-            spliced = prepare_multimodal_embeds_fast(
-                self.params, self.cfg, req.batch, deterministic=True
-            )
-            single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length, self._dtype)
-            # Chunked admission: one compiled extend shape for the whole
-            # engine lifetime, prefill compute proportional to the ACTUAL
-            # prompt length, not the padded splice buffer. The host-known
-            # prompt_len hint (text-only rows: spliced length == mask sum)
-            # saves chunked_prefill's per-admission device sync.
-            b = req.batch
-            text_only = (b.videos is None and b.images is None
-                         and b.blocks is None)
             aidx1 = None
             if self.adapter_idx is not None:
                 val = (self.adapter_registry[req.adapter]
@@ -675,12 +712,35 @@ class ServingEngine:
                     aidx1 = jnp.asarray([val], jnp.int32)
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
                 self._adapter_host[slot] = val
-            logits, single = chunked_prefill(
-                self.params["lm"], self.cfg.lm,
-                spliced.embeds.astype(self._dtype), spliced.attention_mask, single,
-                lengths=req.prompt_len if text_only else None,
-                adapter_idx=aidx1,
-            )
+            shared = getattr(req, "_shared_prefill", None)
+            if shared is not None and shared["data"] is not None:
+                # Fork group (share_prefill): a sibling already paid the
+                # splice+prefill; copy its single-row cache into this slot.
+                logits, single = shared["data"]
+            else:
+                spliced = prepare_multimodal_embeds_fast(
+                    self.params, self.cfg, req.batch, deterministic=True
+                )
+                single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length,
+                                       self._dtype)
+                # Chunked admission: one compiled extend shape for the
+                # whole engine lifetime, prefill compute proportional to
+                # the ACTUAL prompt length, not the padded splice buffer.
+                # The host-known prompt_len hint (text-only rows: spliced
+                # length == mask sum) saves the per-admission device sync.
+                b = req.batch
+                text_only = (b.videos is None and b.images is None
+                             and b.blocks is None)
+                logits, single = chunked_prefill(
+                    self.params["lm"], self.cfg.lm,
+                    spliced.embeds.astype(self._dtype),
+                    spliced.attention_mask, single,
+                    lengths=req.prompt_len if text_only else None,
+                    adapter_idx=aidx1,
+                )
+                if shared is not None:
+                    shared["data"] = (logits, single)
+            _shared_consume(req)
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
             self._install_constraint(req)
