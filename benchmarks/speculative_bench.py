@@ -126,6 +126,53 @@ def main(argv=None) -> dict:
     out["spec_round_ms"] = round(round_s * 1e3, 2)
     tps, mean_acc, _ = run(no_accept)
     out["spec_no_accept_tok_s"] = round(tps, 1)
+
+    # Draft-model round economics: a shallow same-width draft (2 of 32
+    # layers, bf16) proposes ON DEVICE (draft_propose_batched), verify as
+    # above, one fused readback — measures the round time a real
+    # distilled draft would pay (acceptance is weight-dependent; random
+    # weights accept ~1, so only the ROUND COST is meaningful here).
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.models.lm.llama import init_llama_params
+    from videollamb_tpu.models.speculative import (
+        _argmax_rows,
+        draft_propose_batched,
+        roll_draft_cache,
+    )
+
+    dcfg = LlamaConfig(num_hidden_layers=2)
+    dparams = init_llama_params(jax.random.PRNGKey(7), dcfg, dtype=jnp.bfloat16)
+    jax.block_until_ready(dparams)
+    logits, cache = fresh()
+    dcache = init_kv_cache(dcfg, B, prompt + args.rounds * K + 64,
+                           jnp.bfloat16)
+    dembeds = jax.random.normal(jax.random.PRNGKey(1),
+                                (B, prompt, dcfg.hidden_size), jnp.bfloat16)
+    _, dcache = llama_prefill(dparams, dcfg, dembeds,
+                              jnp.ones((B, prompt), jnp.int32), dcache)
+    mask_all = jnp.ones((B, K), jnp.int32)
+
+    def draft_round(logits, cache, dcache):
+        chunks, dcache = draft_propose_batched(
+            dparams, dcfg, _argmax_rows(logits), dcache, K)
+        acc, logits, nxt, cache = verify_chunks_batched(
+            pwrap, cfgns, chunks, mask_all, cache)
+        dcache = roll_draft_cache(dcache, acc, K)
+        acc_h, _ = jax.device_get((acc, nxt))
+        return int(acc_h.sum()), logits, cache, dcache
+
+    n, logits, cache, dcache = draft_round(logits, cache, dcache)  # compile
+    logits, cache = fresh()
+    committed = 0
+    t0 = time.perf_counter()
+    for _ in range(args.rounds):
+        n, logits, cache, dcache = draft_round(logits, cache, dcache)
+        committed += n
+    dt = time.perf_counter() - t0
+    out["draft_round_ms"] = round(dt / args.rounds * 1e3, 2)
+    out["draft_mean_accept"] = round(committed / (args.rounds * B), 2)
+    out["draft_full_accept_ceiling_tok_s"] = round(
+        args.rounds * K * B / dt, 1)
     print(json.dumps(out))
     return out
 

@@ -610,3 +610,94 @@ def test_fork_group_with_grammar_cursors_are_independent(tiny):
     eng.run_until_drained(k=4)
     for r in (base, sib):
         assert isinstance(_json.loads(_decode(r.tokens)), dict), r.uid
+
+
+def test_draft_speculative_engine_matches_plain_greedy(tiny):
+    """Draft-model speculation in the engine (round-3 continuation): with
+    a PERFECT draft (the target itself) the tokens are identical to plain
+    greedy and acceptance is high — the whole round runs on device."""
+    cfg, params = tiny
+    plain = [_request(cfg, uid, seed=40 + uid, max_new=8) for uid in range(3)]
+    spec = [_request(cfg, uid, seed=40 + uid, max_new=8) for uid in range(3)]
+
+    ep = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1)
+    for r in plain:
+        ep.submit(r)
+    ep.run_until_drained(k=4)
+
+    es = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1,
+                       speculative="draft", spec_k=4,
+                       draft_params=params, draft_cfg=cfg.lm)
+    for r in spec:
+        es.submit(r)
+    es.run_until_drained()
+    for a, b in zip(plain, spec):
+        assert a.tokens == b.tokens, (a.uid, a.tokens, b.tokens)
+    assert es.spec_committed == sum(len(r.tokens) for r in spec)
+    # A perfect draft accepts (nearly) everything: well above 1/round.
+    assert es.spec_committed / es.spec_rounds > 1.5, (
+        es.spec_committed, es.spec_rounds)
+
+
+def test_draft_speculative_shallow_draft_still_exact(tiny):
+    """A DIFFERENT (shallow, same-width) draft changes only speed: the
+    output is still exactly the target's greedy chain."""
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.models.lm.llama import init_llama_params
+
+    cfg, params = tiny
+    dcfg = LlamaConfig.tiny(num_hidden_layers=1)
+    assert dcfg.hidden_size == cfg.lm.hidden_size
+    dparams = init_llama_params(jax.random.PRNGKey(9), dcfg)
+
+    plain = _request(cfg, 0, seed=47, max_new=8)
+    ep = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1)
+    ep.submit(plain)
+    ep.run_until_drained(k=4)
+
+    spec = _request(cfg, 0, seed=47, max_new=8)
+    es = ServingEngine(params, cfg, num_slots=1, eos_token_id=-1,
+                       speculative="draft", spec_k=4,
+                       draft_params=dparams, draft_cfg=dcfg)
+    es.submit(spec)
+    es.run_until_drained()
+    assert spec.tokens == plain.tokens
+    assert es.spec_committed == len(spec.tokens)
+
+
+def test_draft_speculative_validation_and_fork_sharing(tiny):
+    """hidden_size mismatch is rejected up front; fork groups share ONE
+    target prefill AND one draft prefill."""
+    import videollamb_tpu.serve.server as server_mod
+    from videollamb_tpu.config import LlamaConfig
+    from videollamb_tpu.serve.server import clone_request, share_prefill
+
+    cfg, params = tiny
+    bad = LlamaConfig.tiny(hidden_size=cfg.lm.hidden_size * 2)
+    with pytest.raises(ValueError, match="hidden_size"):
+        ServingEngine(params, cfg, speculative="draft",
+                      draft_params=params, draft_cfg=bad)
+
+    calls = {"n": 0}
+    real = server_mod.prepare_multimodal_embeds_fast
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    es = ServingEngine(params, cfg, num_slots=2, eos_token_id=-1,
+                       speculative="draft", spec_k=4,
+                       draft_params=params, draft_cfg=cfg.lm)
+    base = _request(cfg, "b", seed=48, max_new=5)
+    sib = clone_request(base)
+    sib.uid = "s"
+    share_prefill([base, sib])
+    import unittest.mock as mock
+
+    with mock.patch.object(server_mod, "prepare_multimodal_embeds_fast",
+                           counting):
+        es.submit(base)
+        es.submit(sib)
+        es.run_until_drained()
+    assert calls["n"] == 1
+    assert base.tokens == sib.tokens  # greedy forks decode identically

@@ -132,6 +132,45 @@ def _verify_chunks_jit(params, cfg, chunks, chunk_mask, cache, adapter_idx):
     return accepted, next_logits.astype(jnp.float32), next_argmax, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"),
+         donate_argnames=("draft_cache",))
+def draft_propose_batched(
+    params: Params,
+    cfg,  # the DRAFT LlamaConfig
+    nxt0: jax.Array,  # (B,) each row's committed-next token
+    draft_cache: KVCache,
+    k: int,
+):
+    """Batched draft phase for engine speculation: k greedy decode steps
+    on the draft model, emitting the token WRITTEN at each step — so the
+    emitted (B, k) matrix is [nxt0, p0, ..., p_{k-2}], exactly the chunk
+    layout verify_chunks_batched expects, and the draft cache ends
+    holding K/V for every chunk position. After the verify, roll the
+    draft cache with roll_draft_cache(acc, k): accepted positions hold
+    the right K/V already (acceptance means the draft proposed them),
+    the correction token arrives as next round's nxt0."""
+
+    def body(carry, _):
+        tok, cache = carry
+        emb = embed_tokens(params, tok[:, None]).astype(cache.k.dtype)
+        logits, cache = llama_decode_step(params, cfg, emb, cache)
+        return (jnp.argmax(logits, -1).astype(jnp.int32), cache), tok
+
+    (_, draft_cache), written = jax.lax.scan(
+        body, (nxt0.astype(jnp.int32), draft_cache), None, length=k)
+    return written.T, draft_cache  # (B, k)
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnames=("draft_cache",))
+def roll_draft_cache(draft_cache: KVCache, accepted: jax.Array,
+                     k: int) -> KVCache:
+    """Roll the draft cache back over rejected proposals: the propose
+    scan advanced every row by k; keep start + accepted (inactive rows
+    have accepted == 0, netting their length unchanged)."""
+    length = draft_cache.length - k + accepted.astype(draft_cache.length.dtype)
+    return KVCache(k=draft_cache.k, v=draft_cache.v, length=length)
+
+
 def _verify_chunk(
     lm: Params,
     cfg: LlamaConfig,

@@ -1013,10 +1013,16 @@ def main(argv=None):
                         help="resize/normalize video frames on the TPU "
                              "(benchmarks/ingest_bench.py)")
     parser.add_argument("--sync-every", type=int, default=4)
-    parser.add_argument("--speculative", choices=["lookup"], default=None,
-                        help="batched prompt-lookup speculation on the "
-                             "dense engine (all-greedy batches; wins on "
-                             "prompt-parroting workloads)")
+    parser.add_argument("--speculative", choices=["lookup", "draft"],
+                        default=None,
+                        help="batched speculation on the dense engine "
+                             "(all-greedy batches): 'lookup' = prompt "
+                             "n-gram proposals, 'draft' = a draft LM "
+                             "(--draft-path; same tokenizer + hidden "
+                             "size) proposing on device")
+    parser.add_argument("--draft-path", default=None,
+                        help="checkpoint dir of the draft LM for "
+                             "--speculative draft")
     parser.add_argument("--spec-k", type=int, default=8)
     parser.add_argument("--served-model-name", default=None,
                         help="name under /v1/models and accepted as "
@@ -1049,10 +1055,19 @@ def main(argv=None):
     else:
         from videollamb_tpu.serve.server import ServingEngine
 
+        draft_params = draft_cfg = None
+        if args.speculative == "draft":
+            if not args.draft_path:
+                parser.error("--speculative draft needs --draft-path")
+            _, dp, dcfg, _, _ = load_pretrained_model(
+                args.draft_path, load_8bit=args.load_8bit)
+            draft_params, draft_cfg = dp, dcfg.lm
         engine = ServingEngine(params, cfg, num_slots=args.num_slots,
                                eos_token_id=eos,
                                speculative=args.speculative,
-                               spec_k=args.spec_k)
+                               spec_k=args.spec_k,
+                               draft_params=draft_params,
+                               draft_cfg=draft_cfg)
     import os
 
     embedder = None

@@ -622,18 +622,35 @@ class ServingEngine:
         adapter_registry: Optional[Dict[str, int]] = None,
         speculative: Optional[str] = None,
         spec_k: int = 8,
+        draft_params: Optional[Params] = None,
+        draft_cfg=None,
     ):
-        # Batched prompt-lookup speculation ('lookup'): all-greedy
-        # unconstrained batches verify up to spec_k tokens per slot in ONE
-        # ragged cache-extend (models/speculative.verify_chunks_batched).
-        # Throughput multiplies by the mean accepted length on repetitive
-        # outputs; each round costs one host sync, so low-acceptance
-        # streams run at per-step-sync speed — enable for workloads that
-        # parrot their prompts (video QA), not as a default.
-        if speculative not in (None, "lookup"):
+        # Batched speculation: all-greedy unconstrained batches verify up
+        # to spec_k tokens per slot in ONE ragged cache-extend
+        # (models/speculative.verify_chunks_batched).
+        # - 'lookup': draft-free prompt-lookup proposals (host n-gram
+        #   match; one host sync per round). Wins on prompt-parroting
+        #   outputs; low-acceptance streams run at per-step-sync speed.
+        # - 'draft': a draft LM proposes on device (same tokenizer AND
+        #   hidden size — the multimodal splice embeds feed its prefill;
+        #   e.g. a shallow same-width distillation or an int8 copy).
+        #   The whole round is device-side except one fused readback.
+        # Output is exactly the target's greedy chain in both modes.
+        if speculative not in (None, "lookup", "draft"):
             raise ValueError(
-                f"speculative={speculative!r}: only 'lookup' is supported "
-                "on the serving engine")
+                f"speculative={speculative!r}: 'lookup' or 'draft'")
+        if speculative == "draft":
+            if draft_params is None or draft_cfg is None:
+                raise ValueError("speculative='draft' needs draft_params "
+                                 "and draft_cfg")
+            if draft_cfg.hidden_size != cfg.lm.hidden_size:
+                raise ValueError(
+                    "draft hidden_size must match the target's "
+                    f"({draft_cfg.hidden_size} != {cfg.lm.hidden_size}): "
+                    "the spliced prompt embeds feed the draft prefill")
+            self.draft_lm = (draft_params["lm"] if "lm" in draft_params
+                             else draft_params)
+            self.draft_cfg = draft_cfg
         self.speculative = speculative
         self.spec_k = spec_k
         self.spec_rounds = 0
@@ -661,6 +678,9 @@ class ServingEngine:
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         self.cache = init_kv_cache(cfg.lm, num_slots, self.max_seq_len, dtype)
+        if speculative == "draft":
+            self.draft_cache = init_kv_cache(self.draft_cfg, num_slots,
+                                             self.max_seq_len, dtype)
         self.slots: List[Optional[Request]] = [None] * num_slots
         # Last logits per slot (B, V); inactive rows are garbage but masked.
         self.logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
@@ -713,10 +733,14 @@ class ServingEngine:
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
                 self._adapter_host[slot] = val
             shared = getattr(req, "_shared_prefill", None)
+            draft_single = None
             if shared is not None and shared["data"] is not None:
                 # Fork group (share_prefill): a sibling already paid the
                 # splice+prefill; copy its single-row cache into this slot.
-                logits, single = shared["data"]
+                if self.speculative == "draft":
+                    logits, single, draft_single = shared["data"]
+                else:
+                    logits, single = shared["data"]
             else:
                 spliced = prepare_multimodal_embeds_fast(
                     self.params, self.cfg, req.batch, deterministic=True
@@ -738,10 +762,26 @@ class ServingEngine:
                     lengths=req.prompt_len if text_only else None,
                     adapter_idx=aidx1,
                 )
+                if self.speculative == "draft":
+                    # The draft tracks the same context from the same
+                    # spliced embeds (hidden sizes match by construction).
+                    dsingle = init_kv_cache(self.draft_cfg, 1,
+                                            self.cfg.max_length, self._dtype)
+                    _, draft_single = chunked_prefill(
+                        self.draft_lm, self.draft_cfg,
+                        spliced.embeds.astype(self._dtype),
+                        spliced.attention_mask, dsingle,
+                        lengths=req.prompt_len if text_only else None,
+                    )
                 if shared is not None:
-                    shared["data"] = (logits, single)
+                    shared["data"] = ((logits, single, draft_single)
+                                      if self.speculative == "draft"
+                                      else (logits, single))
             _shared_consume(req)
             self.cache = insert_into_cache(self.cache, single, jnp.asarray(slot))
+            if self.speculative == "draft":
+                self.draft_cache = insert_into_cache(
+                    self.draft_cache, draft_single, jnp.asarray(slot))
             self.logits = self.logits.at[slot].set(logits[0])
             self._install_constraint(req)
             self.slots[slot] = req
@@ -936,14 +976,41 @@ class ServingEngine:
 
     def _step_speculative(self, dropped) -> List[Request]:
         """One speculation round: propose up to spec_k-1 continuations per
-        slot by prompt lookup, verify all slots in ONE ragged cache-extend,
-        commit each row's accepted prefix. Token-identical to plain greedy
-        (acceptance keeps only argmax-matching tokens)."""
+        slot (prompt lookup on host, or the draft model on device), verify
+        all slots in ONE ragged cache-extend, commit each row's accepted
+        prefix. Token-identical to plain greedy (acceptance keeps only
+        argmax-matching tokens)."""
         from videollamb_tpu.models.speculative import (
             _argmax_rows,
+            draft_propose_batched,
             propose_lookup,
+            roll_draft_cache,
             verify_chunks_batched,
         )
+
+        b, kk = self.num_slots, self.spec_k
+        if self.speculative == "draft":
+            # Whole round on device: draft scan -> verify -> one fused
+            # readback. Chunk row 0 is each row's committed-next token
+            # (the draft scan embeds it first and emits it back).
+            chunks_dev, self.draft_cache = draft_propose_batched(
+                self.draft_lm, self.draft_cfg, _argmax_rows(self.logits),
+                self.draft_cache, kk)
+            mask = np.zeros((b, kk), np.int32)
+            for i, r in enumerate(self.slots):
+                if r is not None:
+                    room = max(1, min(kk, r.max_new_tokens - len(r.tokens)))
+                    mask[i, :room] = 1
+            accepted, self.logits, next_argmax, self.cache = (
+                verify_chunks_batched(
+                    self.params, self.cfg, chunks_dev, jnp.asarray(mask),
+                    self.cache, adapter_idx=self._live_adapter_idx()))
+            self.draft_cache = roll_draft_cache(self.draft_cache, accepted,
+                                                kk)
+            acc_host, self._spec_nxt0, chunks = jax.device_get(
+                (accepted, next_argmax, chunks_dev))
+            self.spec_rounds += 1
+            return self._spec_commit(chunks, acc_host, dropped)
 
         # One host sync per round: nxt0 rides the PREVIOUS verify's
         # readback (next_argmax). Recompute only when admissions changed
@@ -951,7 +1018,6 @@ class ServingEngine:
         nxt0 = getattr(self, "_spec_nxt0", None)
         if nxt0 is None:
             nxt0 = np.asarray(_argmax_rows(self.logits))  # (B,) readback
-        b, kk = self.num_slots, self.spec_k
         chunks = np.zeros((b, kk), np.int32)
         mask = np.zeros((b, kk), np.int32)
         for i, r in enumerate(self.slots):
@@ -971,6 +1037,9 @@ class ServingEngine:
             self.cache, adapter_idx=self._live_adapter_idx())
         acc_host, self._spec_nxt0 = jax.device_get((accepted, next_argmax))
         self.spec_rounds += 1
+        return self._spec_commit(chunks, acc_host, dropped)
+
+    def _spec_commit(self, chunks, acc_host, dropped) -> List[Request]:
         finished: List[Request] = dropped
         for i, req in enumerate(self.slots):
             if req is None:
@@ -1016,8 +1085,9 @@ class ServingEngine:
         no_controls = all(
             (r is None or not r.has_sampling_controls) for r in self.slots
         )
-        if (self.speculative == "lookup" and all_greedy and unconstrained
-                and no_controls and not self._wants_logprobs()):
+        if (self.speculative in ("lookup", "draft") and all_greedy
+                and unconstrained and no_controls
+                and not self._wants_logprobs()):
             return self._step_speculative(dropped)
         # Any non-speculative path rewrites logits rows -> the carried
         # next-argmax (spec path) is stale.
