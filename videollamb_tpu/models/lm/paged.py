@@ -192,6 +192,52 @@ def paged_insert(
     )
 
 
+@jax.jit
+def gather_slot_pages(cache: PagedKVCache, page_ids: jax.Array):
+    """Gather pool pages for host offload (swap-out preemption).
+
+    ``page_ids`` is a fixed power-of-two bucket padded with ``TRASH_PAGE``
+    so recompiles are bounded by log2(pages_per_seq). Returns the raw page
+    contents ``(k, v, k_scales, v_scales)`` — int8 pages stay int8 with
+    their scales, so a swap-out/swap-in round trip through host memory is
+    bit-exact."""
+    k = cache.k_pages[:, :, page_ids]
+    v = cache.v_pages[:, :, page_ids]
+    ks = cache.k_scales[:, :, page_ids] if cache.k_scales is not None else None
+    vs = cache.v_scales[:, :, page_ids] if cache.v_scales is not None else None
+    return k, v, ks, vs
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def insert_raw_pages(
+    cache: PagedKVCache,
+    k_src: jax.Array,  # (L, H_kv, n_bucket, page, Dh) — raw page contents
+    v_src: jax.Array,
+    page_ids: jax.Array,  # (n_bucket,) int32; padding entries TRASH_PAGE
+    k_scales: Optional[jax.Array] = None,
+    v_scales: Optional[jax.Array] = None,
+) -> PagedKVCache:
+    """Exact inverse of :func:`gather_slot_pages` (swap-in preemption):
+    write raw page contents back into the pool at fresh ``page_ids``.
+    Padded entries write their garbage into the trash page. No
+    requantization happens — int8 pages and their scales are restored
+    verbatim."""
+    cache = cache._replace(
+        k_pages=cache.k_pages.at[:, :, page_ids].set(
+            k_src.astype(cache.k_pages.dtype), mode="drop"),
+        v_pages=cache.v_pages.at[:, :, page_ids].set(
+            v_src.astype(cache.v_pages.dtype), mode="drop"),
+    )
+    if k_scales is not None:
+        cache = cache._replace(
+            k_scales=cache.k_scales.at[:, :, page_ids].set(
+                k_scales, mode="drop"),
+            v_scales=cache.v_scales.at[:, :, page_ids].set(
+                v_scales, mode="drop"),
+        )
+    return cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "total_pages"), donate_argnames=("cache",))
 def paged_decode_step(
     params: Params,

@@ -48,7 +48,9 @@ from videollamb_tpu.models.lm.paged import (
     TRASH_PAGE,
     PageAllocator,
     PagedKVCache,
+    gather_slot_pages,
     init_paged_cache,
+    insert_raw_pages,
     paged_decode_step,
     paged_insert,
     scatter_prefix_pages,
@@ -290,7 +292,10 @@ class PagedServingEngine(ServingEngine):
         seed: int = 0,
         quantize_kv: bool = False,
         adapter_registry=None,
+        preemption: str = "swap",
     ):
+        if preemption not in ("swap", "off"):
+            raise ValueError(f"preemption={preemption!r}: 'swap' or 'off'")
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -343,6 +348,20 @@ class PagedServingEngine(ServingEngine):
         # decode never writes them (writes land at position >= prefix_len).
         self._prefixes = {}
         self._next_prefix_id = 0
+        # Preemption (swap-out/swap-in): when page growth mid-decode
+        # exhausts the pool, the YOUNGEST active request's pages are
+        # offloaded to host memory (raw bytes — int8 pages round-trip
+        # bit-exact) and it waits in _swapped until a slot AND its pages
+        # fit again. Converts the r2 "pool exhausted mid-decode"
+        # RuntimeError into graceful FCFS degradation under
+        # oversubscription (vLLM-style swap preemption, TPU-native:
+        # two jitted gather/scatter ops + one D2H/H2D DMA each way).
+        self.preemption = preemption
+        self.preempted = 0  # swap-out count
+        self.resumed = 0  # swap-in count
+        self._swapped: List[dict] = []  # FIFO resume order
+        self._admit_seq = 0  # admission order; youngest = max
+        self._slot_seq = np.zeros((num_slots,), np.int64)
 
     # ------------------------------------------------------------------
     # Prefix caching (beyond the reference: amortizes the long system +
@@ -431,7 +450,13 @@ class PagedServingEngine(ServingEngine):
         self.slot_pages[slot] = pages
         self._host_len[slot] = total_len
         self.slots[slot] = req
+        self._mark_admitted(slot)
         return True
+
+    def _mark_admitted(self, slot: int) -> None:
+        self._slot_seq[slot] = self._admit_seq
+        self._admit_seq += 1
+
     def _release(self, slot: int) -> None:
         # Base release also clears the slot's multi-LoRA state — without
         # it a finished adapter request's index leaks into the next
@@ -447,6 +472,9 @@ class PagedServingEngine(ServingEngine):
         )
 
     def _admit(self) -> None:
+        # Swapped requests resume first: they hold decode progress and
+        # predate everything still pending (FCFS).
+        self._readmit_swapped()
         while not self.pending.empty():
             slot = self._free_slot()
             if slot is None:
@@ -555,6 +583,110 @@ class PagedServingEngine(ServingEngine):
             self.slot_pages[slot] = pages
             self._host_len[slot] = prompt_len
             self.slots[slot] = req
+            self._mark_admitted(slot)
+
+    # ------------------------------------------------------------------
+    # Preemption (swap): youngest-victim page offload under pool pressure.
+    def has_work(self) -> bool:
+        return super().has_work() or bool(self._swapped)
+
+    def _pick_victim(self) -> Optional[int]:
+        """The youngest active slot (max admission seq) — FCFS: older
+        requests keep their pages and finish first."""
+        victim, best = None, -1
+        for i, r in enumerate(self.slots):
+            if r is not None and self._slot_seq[i] > best:
+                victim, best = i, self._slot_seq[i]
+        return victim
+
+    def _swap_out(self, slot: int) -> None:
+        """Offload a slot's resident KV pages to host memory and free them.
+
+        Only the pages holding committed tokens are saved (growth pages
+        allocated ahead are empty); page ids are padded to a power-of-two
+        bucket so gather compiles stay bounded. The request keeps its live
+        host state (tokens, constraint cursor, sampling counts) — nothing
+        is recomputed on resume."""
+        req = self.slots[slot]
+        length = int(self._host_len[slot])
+        n_data = min(self.allocator.pages_needed(length, self.page_size),
+                     len(self.slot_pages[slot]))
+        bucket = max(1, 1 << (n_data - 1).bit_length()) if n_data else 1
+        ids = np.full((bucket,), TRASH_PAGE, np.int32)
+        ids[:n_data] = self.slot_pages[slot][:n_data]
+        k, v, ks, vs = gather_slot_pages(self.cache, jnp.asarray(ids))
+        ent = {
+            "req": req,
+            "len": length,
+            "n": n_data,
+            "k": np.asarray(k)[:, :, :n_data],
+            "v": np.asarray(v)[:, :, :n_data],
+            "ks": np.asarray(ks)[:, :, :n_data] if ks is not None else None,
+            "vs": np.asarray(vs)[:, :, :n_data] if vs is not None else None,
+            "logits": np.asarray(self.logits[slot]),
+            "adapter": int(self._adapter_host[slot]),
+        }
+        self._swapped.append(ent)
+        self.preempted += 1
+        self._release(slot)
+
+    def _readmit_swapped(self) -> None:
+        """Resume swapped requests (FIFO) when a slot and their pages —
+        plus one token of decode headroom, to avoid immediate
+        re-preemption thrash — fit again."""
+        while self._swapped:
+            ent = self._swapped[0]
+            req = ent["req"]
+            if req.cancelled:
+                self._swapped.pop(0)
+                req.done = True
+                self._dropped.append(req)
+                continue
+            slot = self._free_slot()
+            if slot is None:
+                return
+            n_pages = self.allocator.pages_needed(ent["len"] + 1,
+                                                  self.page_size)
+            pages = self.allocator.alloc(n_pages)
+            if pages is None:
+                return  # pool still tight — resume next step
+            self._swapped.pop(0)
+            n = ent["n"]
+            bucket = max(1, 1 << (n - 1).bit_length()) if n else 1
+            ids = np.full((bucket,), TRASH_PAGE, np.int32)
+            ids[:n] = pages[:n]
+
+            def pad(a):
+                if a is None or a.shape[2] == bucket:
+                    return None if a is None else jnp.asarray(a)
+                padded = np.zeros(a.shape[:2] + (bucket,) + a.shape[3:],
+                                  a.dtype)
+                padded[:, :, :n] = a
+                return jnp.asarray(padded)
+
+            self.cache = insert_raw_pages(
+                self.cache, pad(ent["k"]), pad(ent["v"]), jnp.asarray(ids),
+                pad(ent["ks"]), pad(ent["vs"]),
+            )
+            row = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
+            row[: len(pages)] = pages
+            self.cache = self.cache._replace(
+                page_table=self.cache.page_table.at[slot].set(
+                    jnp.asarray(row)),
+                lengths=self.cache.lengths.at[slot].set(ent["len"]),
+            )
+            self.logits = self.logits.at[slot].set(jnp.asarray(ent["logits"]))
+            if self.adapter_idx is not None and ent["adapter"] >= 0:
+                self.adapter_idx = self.adapter_idx.at[slot].set(
+                    ent["adapter"])
+                self._adapter_host[slot] = ent["adapter"]
+            # The request's constraint cursor / token history live on the
+            # Request object and were never touched — do NOT re-install.
+            self.slot_pages[slot] = pages
+            self._host_len[slot] = ent["len"]
+            self.slots[slot] = req
+            self._mark_admitted(slot)
+            self.resumed += 1
 
     def _sampled_scan(self, k: int, vecs, top_k: int):
         temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
@@ -641,20 +773,41 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(garbage))
 
     def _ensure_pages(self, k: int) -> None:
-        """Allocate pages so every active slot can write k more tokens."""
+        """Allocate pages so every active slot can write k more tokens.
+
+        Pool exhaustion here preempts the youngest active request
+        (``preemption='swap'``, the default): its pages are offloaded to
+        host memory and it resumes — exact state, no recompute — once
+        capacity frees. ``preemption='off'`` keeps the hard error."""
         updates = []
-        for i, req in enumerate(self.slots):
-            if req is None:
+        for i in range(self.num_slots):
+            if self.slots[i] is None:
                 continue
             need = self.allocator.pages_needed(int(self._host_len[i]) + k,
                                                self.page_size)
-            while len(self.slot_pages[i]) < min(need, self.pages_per_seq):
+            while (self.slots[i] is not None
+                   and len(self.slot_pages[i]) < min(need,
+                                                     self.pages_per_seq)):
                 got = self.allocator.alloc(1)
                 if got is None:
-                    raise RuntimeError(
-                        "page pool exhausted mid-decode; size the pool for "
-                        "num_slots * max context or evict"
-                    )
+                    victim = (self._pick_victim()
+                              if self.preemption == "swap" else None)
+                    only_active = sum(
+                        r is not None for r in self.slots) == 1
+                    if victim is None or (victim == i and only_active):
+                        raise RuntimeError(
+                            "page pool exhausted mid-decode and no request "
+                            "can be preempted; size the pool for at least "
+                            "one full sequence plus headroom"
+                        )
+                    # Drop this flush's pending table updates for the
+                    # victim — its pages (including any just allocated
+                    # above) are freed wholesale by the swap-out release,
+                    # and writing freed page ids into a TRASH'd table row
+                    # would alias another slot's next allocation.
+                    updates = [u for u in updates if u[0] != victim]
+                    self._swap_out(victim)
+                    continue  # retry the allocation (slot i may be gone)
                 j = len(self.slot_pages[i])
                 self.slot_pages[i].append(got[0])
                 updates.append((i, j, got[0]))

@@ -1335,6 +1335,8 @@ class ServingEngine:
         done: List[Request] = []
         for _ in range(max_steps):
             done += self.step(k)
-            if self.pending.empty() and not any(self._active_mask()):
+            # has_work, not just pending+active: the paged engine may hold
+            # swapped-out (preempted) requests that need future steps.
+            if not self.has_work():
                 break
         return done
