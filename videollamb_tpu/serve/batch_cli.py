@@ -82,6 +82,12 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
 
                 grammar = alternation_constraint(chat.tokenizer,
                                                  fmt["schemas"])
+            elif fmt.get("type") == "regex":
+                # Regex-constrained decoding (serve/regex_grammar.py):
+                # the output full-matches the pattern, budget-closed.
+                from videollamb_tpu.serve.regex_grammar import regex_constraint
+
+                grammar = regex_constraint(chat.tokenizer, fmt["regex"])
             else:
                 from videollamb_tpu.serve.schema import schema_constraint
 

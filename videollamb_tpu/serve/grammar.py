@@ -295,6 +295,10 @@ _CLOSING_ALPHABET = set('{}]":0n') | set("truefalsnull")
 
 def _machine_closing_alphabet(machine) -> set:
     extra = getattr(machine, "closing_alphabet", None)
+    if getattr(machine, "closing_alphabet_is_complete", False):
+        # Non-JSON machines (serve/regex_grammar.py) declare their own
+        # complete closing alphabet — don't demand JSON closers of them.
+        return extra() if extra is not None else set()
     return _CLOSING_ALPHABET | (extra() if extra is not None else set())
 
 

@@ -157,6 +157,17 @@ def resolve_model(body: Dict[str, Any], served_model: str,
                      code="model_not_found", status=404)
 
 
+def _validate_regex(pattern) -> None:
+    if not isinstance(pattern, str) or not pattern:
+        raise BadRequest("a non-empty regex pattern string is required")
+    from videollamb_tpu.serve.regex_grammar import RegexError, RegexMachine
+
+    try:
+        RegexMachine(pattern)
+    except RegexError as e:
+        raise BadRequest(f"unsupported regex: {e}")
+
+
 def _common_params(body: Dict[str, Any], row: Dict[str, Any],
                    tools_ok: bool = False) -> List[str]:
     """Sampling/limit params shared by both endpoints; returns stops."""
@@ -187,8 +198,23 @@ def _common_params(body: Dict[str, Any], row: Dict[str, Any],
         except SchemaError as e:
             raise BadRequest(f"unsupported json_schema: {e}")
         row["response_format"] = {"type": "json_schema", "schema": schema}
+    elif fmt == "regex":
+        # Regex-constrained decoding (serve/regex_grammar.py): the output
+        # full-matches the pattern, budget-closed. Compile here (cheap,
+        # tokenizer-free) so unsupported constructs 400 at parse.
+        pattern = body["response_format"].get("regex")
+        _validate_regex(pattern)
+        row["response_format"] = {"type": "regex", "regex": pattern}
     elif fmt != "text":
         raise BadRequest(f"response_format {fmt!r} is not supported")
+    if body.get("guided_regex"):
+        # vLLM-convention alias for response_format {"type": "regex"}.
+        if row.get("response_format"):
+            raise BadRequest(
+                "guided_regex cannot be combined with response_format")
+        pattern = body["guided_regex"]
+        _validate_regex(pattern)
+        row["response_format"] = {"type": "regex", "regex": pattern}
     row["max_new_tokens"] = int(
         body.get("max_completion_tokens") or body.get("max_tokens") or 128)
     row["temperature"] = float(body.get("temperature", 0.0) or 0.0)
