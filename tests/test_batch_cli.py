@@ -137,3 +137,44 @@ def test_batch_cli_audio_request(tmp_path):
         ServingEngine(params, cfg, num_slots=1, eos_token_id=-1),
         reqs, chat.tokenizer, k=2)
     assert rows[0]["id"] == "au" and rows[0]["tokens"] == 4
+
+
+def test_batch_cli_shared_prefix_rows(tiny_chat, tmp_path):
+    """'shared_prefix' rows: same answers as full-prompt rows through the
+    paged engine, with one prefix registration shared by both requests
+    (automatic prefix caching, serve/paged.py)."""
+    chat, params, cfg = tiny_chat
+    from videollamb_tpu.serve.paged import PagedServingEngine
+
+    vid = _frame_dir(tmp_path)
+    qs = ["what is happening", "who is present"]
+    full_lines = [{"id": f"f{i}", "prompt": q, "video": vid,
+                   "max_new_tokens": 5} for i, q in enumerate(qs)]
+    pfx_lines = [{"id": f"p{i}", "prompt": q, "video": vid,
+                  "max_new_tokens": 5, "shared_prefix": True}
+                 for i, q in enumerate(qs)]
+
+    ref = serve_requests(
+        PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                           eos_token_id=-1),
+        build_requests(full_lines, chat), chat.tokenizer, k=4)
+
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                                eos_token_id=-1)
+    reqs = build_requests(pfx_lines, chat)
+    assert all(r.prefix_batch is not None for r in reqs)
+    out = serve_requests(engine, reqs, chat.tokenizer, k=4)
+
+    assert engine.prefix_misses == 1 and engine.prefix_hits == 1
+    by_id = {r["id"]: r["text"] for r in ref + out}
+    for i in range(len(qs)):
+        assert by_id[f"f{i}"] == by_id[f"p{i}"], (i, by_id)
+
+
+def test_batch_cli_shared_prefix_requires_media(tiny_chat):
+    chat, _, _ = tiny_chat
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="shared_prefix"):
+        build_requests([{"id": "x", "prompt": "hi", "shared_prefix": True,
+                         "max_new_tokens": 2}], chat)

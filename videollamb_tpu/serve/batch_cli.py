@@ -179,6 +179,39 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
             labels=None, videos=videos, images=images, blocks=blocks,
         )
+        prefix_kw: Dict[str, Any] = {}
+        if row.get("shared_prefix"):
+            # Automatic prefix caching (paged engine): split the tokenized
+            # prompt AFTER the last media sentinel — system + history +
+            # media become the (engine-cached, content-hashed) prefix
+            # batch, the question tail a text-only suffix. Splitting the
+            # token-id ARRAY (not the prompt string) keeps BPE boundaries
+            # exact: prefix KV never depends on suffix tokens.
+            if not media:
+                raise ValueError(
+                    f"request {row.get('id')!r}: 'shared_prefix' needs "
+                    "attached media (the shared part is system + media)")
+            ids_np = np.asarray(batch.input_ids)
+            valid = int(np.asarray(batch.attention_mask).sum())
+            sentinels = np.nonzero(ids_np[0, :valid] < 0)[0]
+            p = int(sentinels[-1]) + 1
+            prefix_kw["prefix_batch"] = MultimodalBatch(
+                input_ids=jnp.asarray(ids_np[:, :p]),
+                attention_mask=jnp.ones((1, p), jnp.int32),
+                labels=None, videos=videos, images=images, blocks=blocks,
+            )
+            sfx = ids_np[0, p:valid]
+            t = max(chat.text_bucket,
+                    -(-len(sfx) // chat.text_bucket) * chat.text_bucket)
+            sids = np.zeros((1, t), np.int32)
+            smask = np.zeros((1, t), np.int32)
+            sids[0, : len(sfx)] = sfx
+            smask[0, : len(sfx)] = 1
+            batch = MultimodalBatch(
+                input_ids=jnp.asarray(sids),
+                attention_mask=jnp.asarray(smask),
+                labels=None, videos=None, images=None,
+            )
         reqs.append(Request(
             uid=row.get("id"),
             batch=batch,
@@ -189,6 +222,7 @@ def build_requests(lines: List[Dict[str, Any]], chat) -> List[Any]:
             grammar=grammar,
             logprobs=bool(row.get("logprobs")),
             top_logprobs=int(row.get("top_logprobs", 0)),
+            **prefix_kw,
             **_sampling_controls(row),
         ))
     return reqs
@@ -218,6 +252,9 @@ def main(argv=None):
     parser.add_argument("--page-size", type=int, default=64)
     parser.add_argument("--quantize-kv", action="store_true",
                         help="int8 KV pages (paged engine only)")
+    parser.add_argument("--prefix-cache-size", type=int, default=8,
+                        help="max automatically cached prompt prefixes "
+                             "(paged engine; 'shared_prefix' rows)")
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--device-preprocess", action="store_true",
                         help="resize/normalize video frames on the TPU "

@@ -1008,6 +1008,9 @@ def main(argv=None):
     parser.add_argument("--paged", action="store_true")
     parser.add_argument("--page-size", type=int, default=64)
     parser.add_argument("--quantize-kv", action="store_true")
+    parser.add_argument("--prefix-cache-size", type=int, default=8,
+                        help="max automatically cached prompt prefixes "
+                             "(paged engine; 'shared_prefix' requests)")
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--device-preprocess", action="store_true",
                         help="resize/normalize video frames on the TPU "
@@ -1051,7 +1054,8 @@ def main(argv=None):
                          "(drop --paged)")
         engine = PagedServingEngine(
             params, cfg, num_slots=args.num_slots, page_size=args.page_size,
-            quantize_kv=args.quantize_kv, eos_token_id=eos)
+            quantize_kv=args.quantize_kv, eos_token_id=eos,
+            prefix_cache_size=args.prefix_cache_size)
     else:
         from videollamb_tpu.serve.server import ServingEngine
 

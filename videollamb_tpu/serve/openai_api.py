@@ -338,6 +338,15 @@ def row_from_chat_completions(
             row["top_logprobs"] = n
         for modality, path in media.items():
             row[modality.lower()] = path  # VIDEO->"video", IMAGE->"image", ...
+        if body.get("shared_prefix"):
+            # Extension param (paged engine): cache the system+media prompt
+            # prefix across requests (serve/paged.py automatic prefix
+            # caching) — repeated questions about the same video skip its
+            # tower/bridge/prefill cost after the first request.
+            if not media:
+                raise BadRequest("'shared_prefix' requires media content "
+                                 "(the shared part is system + media)")
+            row["shared_prefix"] = True
         if adapter is not None:
             row["adapter"] = adapter
         stops = _common_params(body, row, tools_ok=True)

@@ -24,10 +24,23 @@ and each admission prefills only the request suffix via llama_extend over
 a copy of the prefix's dense cache — vLLM-style shared prompt pages,
 natural on the paged pool. Decode never writes a shared page: writes land
 at positions >= prefix_len, which live in slot-private pages.
+
+AUTOMATIC prefix caching (Request.prefix_batch): callers that cannot (or
+do not want to) manage prefix ids submit the prefix content itself; the
+engine content-hashes it (batch_signature), reuses an already-registered
+prefix on a hit and registers on a miss. Cached prefixes are refcounted
+by live consumer slots and LRU-evicted when the cache exceeds
+``prefix_cache_size`` or when the page pool runs dry — eviction of an
+idle cached prefix is always preferred over swap-preempting an active
+request. This is the vLLM "automatic prefix caching" serving feature,
+here at batch granularity: the natural video-QA unit (one system + video
+prompt, many questions) is exactly one batch.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from functools import partial
 from typing import List, Optional
 
@@ -64,6 +77,37 @@ from videollamb_tpu.serve.server import (
     logprobs_of,
     sample_rows,
 )
+
+
+def batch_signature(batch) -> bytes:
+    """Content hash of a MultimodalBatch — the automatic prefix cache key.
+
+    Splicing is deterministic, so equal signatures (token ids, masks, and
+    every media tensor byte-for-byte) imply identical prefill KV; hashing
+    a 16-frame video tensor is ~ms against a ~100 ms prefill."""
+    h = hashlib.sha256()
+
+    def arr(a):
+        if a is None:
+            h.update(b"\x00")
+            return
+        a = np.asarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+
+    arr(batch.input_ids)
+    arr(batch.attention_mask)
+    arr(batch.videos)
+    arr(batch.images)
+    arr(batch.image_specs)
+    if batch.blocks is None:
+        h.update(b"\x00")
+    else:
+        for modality, pixels in batch.blocks:
+            h.update(modality.encode())
+            arr(pixels)
+    return h.digest()
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "total_pages", "top_k"),
@@ -293,6 +337,7 @@ class PagedServingEngine(ServingEngine):
         quantize_kv: bool = False,
         adapter_registry=None,
         preemption: str = "swap",
+        prefix_cache_size: int = 8,
     ):
         if preemption not in ("swap", "off"):
             raise ValueError(f"preemption={preemption!r}: 'swap' or 'off'")
@@ -348,6 +393,18 @@ class PagedServingEngine(ServingEngine):
         # decode never writes them (writes land at position >= prefix_len).
         self._prefixes = {}
         self._next_prefix_id = 0
+        # Automatic prefix caching (Request.prefix_batch): signature ->
+        # pid in LRU->MRU order, refcounted by live consumer slots.
+        # ``prefix_cache_size`` caps the number of cached prefixes (each
+        # holds its shared pages PLUS a dense single-row cache for
+        # suffix-only prefills — the HBM bound callers size against).
+        self.prefix_cache_size = max(1, prefix_cache_size)
+        self._auto_prefix: "OrderedDict[bytes, int]" = OrderedDict()
+        self._prefix_refs = {}  # pid -> live consumer slot count
+        self._slot_prefix: List[Optional[int]] = [None] * num_slots
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+        self.prefix_evictions = 0
         # Preemption (swap-out/swap-in): when page growth mid-decode
         # exhausts the pool, the YOUNGEST active request's pages are
         # offloaded to host memory (raw bytes — int8 pages round-trip
@@ -398,11 +455,57 @@ class PagedServingEngine(ServingEngine):
             "pages": pages, "dense": dense, "logits": logits,
             "len": prefix_len,
         }
+        self._prefix_refs[pid] = 0
         return pid
 
     def release_prefix(self, pid: int) -> None:
         info = self._prefixes.pop(pid)
+        self._prefix_refs.pop(pid, None)
         self.allocator.free(info["pages"])
+
+    # ------------------------------------------------------------------
+    # Automatic prefix caching (Request.prefix_batch).
+    def _evict_idle_prefix(self, exclude=None) -> bool:
+        """Drop the least-recently-used auto-cached prefix with no live
+        consumer slot, freeing its pages (and its dense suffix-prefill
+        cache). Returns False when every cached prefix is in use.
+        ``exclude`` protects one pid (the prefix a request is currently
+        being admitted against)."""
+        for sig, pid in self._auto_prefix.items():
+            if pid != exclude and self._prefix_refs.get(pid, 0) == 0:
+                del self._auto_prefix[sig]
+                self.release_prefix(pid)
+                self.prefix_evictions += 1
+                return True
+        return False
+
+    def _resolve_auto_prefix(self, req: Request) -> str:
+        """Map ``req.prefix_batch`` to a cached prefix id, registering on a
+        miss. Returns 'ok' (req.prefix_id set), 'wait' (pool too tight
+        right now — leave the request queued), or 'reject' (the prefix can
+        never fit: pool idle, everything evictable evicted, still no
+        pages)."""
+        sig = batch_signature(req.prefix_batch)
+        pid = self._auto_prefix.get(sig)
+        if pid is not None:
+            self._auto_prefix.move_to_end(sig)
+            self.prefix_hits += 1
+            req.prefix_id = pid
+            return "ok"
+        self.prefix_misses += 1
+        while len(self._auto_prefix) >= self.prefix_cache_size:
+            if not self._evict_idle_prefix():
+                break  # every entry in use: overshoot until slots release
+        pid = self.register_prefix(req.prefix_batch)
+        while pid is None and self._evict_idle_prefix():
+            pid = self.register_prefix(req.prefix_batch)
+        if pid is None:
+            pool_idle = (not any(r is not None for r in self.slots)
+                         and not self._prefixes and not self._swapped)
+            return "reject" if pool_idle else "wait"
+        self._auto_prefix[sig] = pid
+        req.prefix_id = pid
+        return "ok"
 
     def _admit_prefix(self, req: Request, slot: int) -> bool:
         """Admission for a prefix-cached request: suffix-only prefill over a
@@ -423,8 +526,28 @@ class PagedServingEngine(ServingEngine):
                 f"rejected: prefix+suffix needs {n_pages} pages, "
                 f"per-sequence budget is {self.pages_per_seq}")
             self._dropped.append(req)
+            _shared_consume(req)
             return True
         private = self.allocator.alloc(n_pages - n_full)
+        if private is None and req.prefix_batch is not None:
+            # Auto-cached prefix: reclaim OTHER idle cached prefixes first;
+            # if the pool is otherwise idle and the suffix's private pages
+            # still don't fit beside the prefix, no future release will
+            # ever help — reject instead of backpressuring forever.
+            while private is None and self._evict_idle_prefix(
+                    exclude=req.prefix_id):
+                private = self.allocator.alloc(n_pages - n_full)
+            if (private is None
+                    and not any(r is not None for r in self.slots)
+                    and not self._swapped):
+                self.pending.get()
+                req.done = True
+                req.error = (
+                    f"rejected: prefix+suffix needs {n_pages} pages and "
+                    "cannot fit the page pool even with the cache empty")
+                self._dropped.append(req)
+                _shared_consume(req)
+                return True
         if private is None:
             return False  # pool exhausted — backpressure
         self.pending.get()
@@ -450,7 +573,11 @@ class PagedServingEngine(ServingEngine):
         self.slot_pages[slot] = pages
         self._host_len[slot] = total_len
         self.slots[slot] = req
+        self._slot_prefix[slot] = req.prefix_id
+        if req.prefix_id in self._prefix_refs:
+            self._prefix_refs[req.prefix_id] += 1
         self._mark_admitted(slot)
+        _shared_consume(req)
         return True
 
     def _mark_admitted(self, slot: int) -> None:
@@ -463,6 +590,11 @@ class PagedServingEngine(ServingEngine):
         # occupant (a prefix-cached base request would decode with the
         # stale adapter) and _live_adapter_idx never gates off again.
         super()._release(slot)
+        pid = self._slot_prefix[slot]
+        if pid is not None:
+            self._slot_prefix[slot] = None
+            if pid in self._prefix_refs:
+                self._prefix_refs[pid] -= 1
         self.allocator.free(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self._host_len[slot] = 0
@@ -499,7 +631,8 @@ class PagedServingEngine(ServingEngine):
                 self._dropped.append(req)
                 _shared_consume(req)
                 continue
-            if req.adapter is not None and req.prefix_id is not None:
+            if req.adapter is not None and (req.prefix_id is not None
+                                            or req.prefix_batch is not None):
                 # A shared prefix's KV was prefilled by the BASE model;
                 # splicing an adapter suffix onto it would silently decode
                 # against mismatched context. Refuse instead.
@@ -510,6 +643,23 @@ class PagedServingEngine(ServingEngine):
                 self._dropped.append(req)
                 _shared_consume(req)
                 continue
+            if (req.prefix_batch is not None and req.prefix_id is not None
+                    and req.prefix_id not in self._prefixes):
+                # Auto-resolved pid evicted while this request waited in
+                # backpressure (refcount was still 0): re-resolve.
+                req.prefix_id = None
+            if req.prefix_batch is not None and req.prefix_id is None:
+                state = self._resolve_auto_prefix(req)
+                if state == "wait":
+                    return  # backpressure: retry once slots/pages free
+                if state == "reject":
+                    self.pending.get()
+                    req.done = True
+                    req.error = ("rejected: prefix exceeds the page pool "
+                                 "even with the cache empty")
+                    self._dropped.append(req)
+                    _shared_consume(req)
+                    continue
             if req.prefix_id is not None:
                 if not self._admit_prefix(req, slot):
                     return  # backpressure
@@ -790,6 +940,10 @@ class PagedServingEngine(ServingEngine):
                                                      self.pages_per_seq)):
                 got = self.allocator.alloc(1)
                 if got is None:
+                    # An idle cached prefix is the cheapest page source —
+                    # evict before swap-preempting an active request.
+                    if self._evict_idle_prefix():
+                        continue
                     victim = (self._pick_victim()
                               if self.preemption == "swap" else None)
                     only_active = sum(

@@ -510,6 +510,12 @@ class Request:
     # set, ``batch`` holds ONLY the suffix (e.g. the user question) — the
     # prompt prefix (system + media) comes from the shared cached pages.
     prefix_id: Any = None
+    # Paged engine only: AUTOMATIC prefix caching. When set, ``batch``
+    # again holds only the suffix; the engine content-hashes this batch
+    # (serve/paged.batch_signature), reuses an already-cached prefix on a
+    # hit, and registers it on a miss (LRU-evicted under capacity or page
+    # pressure). Mutually exclusive with ``prefix_id``.
+    prefix_batch: Any = None
     # Multi-LoRA serving (models/lm/mlora.py): name of the adapter this
     # request decodes with; None = base model. The engine must have been
     # built with the matching adapter registry.
@@ -554,6 +560,9 @@ class Request:
     def __post_init__(self):
         if self.grammar is not None and self.choices:
             raise ValueError("'choices' and 'grammar' are mutually exclusive")
+        if self.prefix_id is not None and self.prefix_batch is not None:
+            raise ValueError(
+                "'prefix_id' and 'prefix_batch' are mutually exclusive")
 
     @property
     def has_sampling_controls(self) -> bool:
@@ -580,6 +589,9 @@ def clone_request(req: Request) -> Request:
         presence_penalty=req.presence_penalty,
         frequency_penalty=req.frequency_penalty,
         min_tokens=req.min_tokens, prefix_id=req.prefix_id,
+        # An already-resolved auto-prefix request carries both fields;
+        # siblings share the resolved pid (post_init forbids carrying both).
+        prefix_batch=req.prefix_batch if req.prefix_id is None else None,
         adapter=req.adapter,
         choices=[list(c) for c in req.choices] if req.choices else None,
         grammar=grammar, prompt_len=req.prompt_len,
@@ -707,6 +719,15 @@ class ServingEngine:
                 return
             req = self.pending.get()
             if req.cancelled:
+                req.done = True
+                self._dropped.append(req)
+                _shared_consume(req)
+                continue
+            if req.prefix_id is not None or req.prefix_batch is not None:
+                # Silently decoding the suffix as a full prompt would be
+                # wrong output, not degraded output — refuse loudly.
+                req.error = ("prefix caching (prefix_id/prefix_batch) "
+                             "requires the paged engine")
                 req.done = True
                 self._dropped.append(req)
                 _shared_consume(req)
