@@ -429,6 +429,101 @@ def bench_train_adapter(lm_params_int8, runs: int = 6) -> float:
     return times[len(times) // 2] * 1000.0
 
 
+def bench_train_packed(lm_params_int8, runs: int = 3, cfg=None) -> dict:
+    """Packed vs padded stage-1 throughput on the SAME four image
+    conversations (mixed text lengths 48..224): the static splice pads
+    every row to the full 2048-token context (models/splice.py), so the
+    padded step runs (4, 2048) through the 7B while the packed step
+    (train/dataset.PackedCollator + segment-ID block-causal attention)
+    fits all four conversations in ONE (1, 2048) row. Same samples, same
+    supervision, ~4x fewer LM token-slots — this measures how much of
+    that comes back as real step time on the chip.
+
+    Returns {padded samples/s, packed samples/s, speedup}."""
+    import numpy as np
+    import optax
+
+    from videollamb_tpu.config import ModelConfig
+    from videollamb_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import (
+        causal_lm_loss,
+        measure_block_tokens,
+        videollamb_forward,
+    )
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.train.dataset import Collator, PackedCollator
+
+    cfg = cfg or ModelConfig()
+    k1, k2, _ = jax.random.split(jax.random.PRNGKey(13), 3)
+    frozen = {
+        "video_tower": init_vision_params(k1, cfg.vision, dtype=jnp.bfloat16),
+        "lm": lm_params_int8,
+    }
+    proj = init_rmt_r_params(k2, cfg.bridge, cfg.lm.hidden_size,
+                             dtype=jnp.bfloat16)
+    tx = optax.adamw(1e-3)
+
+    rng = np.random.default_rng(0)
+    img_size = cfg.vision.image_size
+    lens = (48, 96, 160, 224)
+
+    def make_samples(seed):
+        out = []
+        r = np.random.default_rng(seed)
+        for n in lens:
+            ids = rng.integers(4, cfg.lm.vocab_size, size=n).astype(np.int32)
+            ids[1] = IMAGE_TOKEN_INDEX
+            labels = ids.copy()
+            labels[: n // 2] = IGNORE_INDEX
+            out.append({
+                "input_ids": ids, "labels": labels,
+                "image": r.normal(size=(3, img_size, img_size)).astype(np.float32),
+            })
+        return out
+
+    block = measure_block_tokens(dict(frozen, mm_projector=proj), cfg,
+                                 "image")
+    col_pad = Collator(max_length=cfg.max_length)
+    col_pack = PackedCollator(max_length=cfg.max_length, block_tokens=block,
+                              k_max=len(lens), rows_bucket=1)
+
+    @jax.jit
+    def step(frozen, proj, opt, batch):
+        def loss_fn(p):
+            logits, spliced = videollamb_forward(
+                dict(frozen, mm_projector=p), cfg, batch, remat=True,
+                attn_impl="chunked")
+            return causal_lm_loss(logits, spliced.labels)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(proj)
+        updates, opt = tx.update(grads, opt, proj)
+        return optax.apply_updates(proj, updates), opt, loss
+
+    def measure(collator):
+        opt = tx.init(proj)
+        p, opt, loss = step(frozen, proj, opt, collator(make_samples(1)))
+        float(loss)
+        times = []
+        for i in range(runs):
+            batch = collator(make_samples(i + 2))
+            jax.block_until_ready(batch.images)
+            t0 = time.perf_counter()
+            p, opt, loss = step(frozen, p, opt, batch)
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return len(lens) / times[len(times) // 2]
+
+    padded = measure(col_pad)
+    packed = measure(col_pack)
+    return {
+        "train_padded_samples_s": round(padded, 2),
+        "train_packed_samples_s": round(packed, 2),
+        "train_pack_speedup": round(packed / padded, 2),
+    }
+
+
 def main():
     extra = {}
     tok_s = None
@@ -499,6 +594,10 @@ def main():
                 bench_train_adapter(params7b), 1)
         except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
             extra["train_adapter_error"] = type(e).__name__
+        try:
+            extra.update(bench_train_packed(params7b))
+        except Exception as e:  # noqa: BLE001
+            extra["train_packed_error"] = type(e).__name__
     # Free the 7B before the encoder run.
     del params7b
     jax.clear_caches()

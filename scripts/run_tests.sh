@@ -30,7 +30,7 @@ test_generate_parity.py test_paged.py test_serving.py test_server.py \
 test_streaming_incremental.py test_mistral.py test_assembly_all_projectors.py \
 test_ring_attention.py test_speculative.py test_trainer.py test_llama.py \
 test_retro.py test_mlora.py test_rope_scaling.py test_retention.py \
-test_constrained.py"
+test_constrained.py test_packed_training.py"
 
 # The parity dress rehearsal is one ~5-min test (torch reference generate
 # + a fresh full-model XLA compile) — it gets its OWN shard (index NSHARDS)

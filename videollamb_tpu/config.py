@@ -363,3 +363,9 @@ class TrainConfig:
     save_total_limit: int = 1
     logging_steps: int = 1
     output_dir: str = "./checkpoints"
+    # Packed-sequence training (train/dataset.PackedCollator): several
+    # conversations per row under segment-ID block-causal attention. Each
+    # step consumes per_device_batch_size * pack_factor samples packed into
+    # per_device_batch_size rows (padding waste becomes extra throughput).
+    pack_sequences: bool = False
+    pack_factor: int = 2

@@ -20,7 +20,11 @@ from videollamb_tpu.config import ModelConfig
 from videollamb_tpu.constants import IGNORE_INDEX
 from videollamb_tpu.models.bridge.rmt_r import rmt_r_video_forward
 from videollamb_tpu.models.lm.llama import embed_tokens, llama_forward
-from videollamb_tpu.models.splice import SplicedBatch, splice_multimodal
+from videollamb_tpu.models.splice import (
+    SplicedBatch,
+    splice_multimodal,
+    splice_multimodal_packed,
+)
 from videollamb_tpu.models.vision.clip_vit import vision_encode
 
 Params = Dict[str, Any]
@@ -240,6 +244,13 @@ class MultimodalBatch(NamedTuple):
     # Host-side only — must stay None inside jitted train steps (the
     # modality strings are not pytree leaves).
     blocks: Optional[Tuple[Tuple[str, jax.Array], ...]] = None
+    # Packed-sequence training (train/dataset.PackedCollator): several
+    # conversations share one row. segment_ids numbers them 1..S per row
+    # (0 = padding); with packing, ``videos`` is 6-D (B, K, T_v, C, H, W)
+    # — the k-th video binds the k-th sentinel — and video_block_mask
+    # (B, K) marks which of the K block slots are real.
+    segment_ids: Optional[jax.Array] = None  # (B, T) int32
+    video_block_mask: Optional[jax.Array] = None  # (B, K) bool
 
 
 def prepare_multimodal_embeds(
@@ -290,6 +301,69 @@ def prepare_multimodal_embeds(
         batch.input_ids, batch.attention_mask, batch.labels,
         text_embeds, x_embeds, x_mask, cfg.max_length,
     )
+
+
+def prepare_packed_embeds(
+    params: Params,
+    cfg: ModelConfig,
+    batch: MultimodalBatch,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[SplicedBatch, jax.Array, jax.Array]:
+    """Packed-row prepare: encode each row's K video blocks, splice with
+    segment tracking. Returns (spliced, segment_ids (B, L), position_ids
+    (B, L)). Requires batch.segment_ids; videos, when present, are 6-D
+    (B, K, T_v, C, H, W) with video_block_mask (B, K)."""
+    text_embeds = embed_tokens(params["lm"], batch.input_ids)
+    b = batch.input_ids.shape[0]
+    lm_d = text_embeds.shape[-1]
+
+    if batch.videos is not None:
+        bb, k = batch.videos.shape[:2]
+        flat = batch.videos.reshape((bb * k,) + batch.videos.shape[2:])
+        tok, msk = encode_videos(
+            params, cfg, flat, deterministic=deterministic, rng=rng
+        )
+        x_embeds = tok.reshape((bb, k) + tok.shape[1:])
+        x_mask = msk.reshape((bb, k) + msk.shape[1:])
+        if batch.video_block_mask is not None:
+            x_mask = x_mask & batch.video_block_mask[:, :, None].astype(bool)
+    elif batch.images is not None:
+        bb, k = batch.images.shape[:2]
+        flat = batch.images.reshape((bb * k,) + batch.images.shape[2:])
+        tok, msk = encode_images(params, cfg, flat, deterministic=deterministic)
+        x_embeds = tok.reshape((bb, k) + tok.shape[1:])
+        x_mask = msk.reshape((bb, k) + msk.shape[1:])
+        if batch.video_block_mask is not None:
+            x_mask = x_mask & batch.video_block_mask[:, :, None].astype(bool)
+    else:
+        x_embeds = jnp.zeros((b, 1, 1, lm_d), text_embeds.dtype)
+        x_mask = jnp.zeros((b, 1, 1), bool)
+
+    return splice_multimodal_packed(
+        batch.input_ids, batch.attention_mask, batch.labels,
+        batch.segment_ids, text_embeds, x_embeds, x_mask, cfg.max_length,
+    )
+
+
+def measure_block_tokens(params: Params, cfg: ModelConfig,
+                         modality: str = "video") -> int:
+    """Spliced tokens one media block expands to — the packing budget unit
+    (train.dataset.PackedCollator). Shape-only: jax.eval_shape traces the
+    encoder without running it."""
+    img = cfg.vision.image_size
+    if modality == "video":
+        dummy = jax.ShapeDtypeStruct((1, cfg.num_frames, 3, img, img),
+                                     jnp.float32)
+        out = jax.eval_shape(
+            lambda p, v: encode_videos(p, cfg, v), params, dummy
+        )
+    else:
+        dummy = jax.ShapeDtypeStruct((1, 3, img, img), jnp.float32)
+        out = jax.eval_shape(
+            lambda p, v: encode_images(p, cfg, v), params, dummy
+        )
+    return int(out[0].shape[1])
 
 
 @partial(jax.jit, static_argnames=("cfg", "deterministic"))
@@ -351,7 +425,21 @@ def videollamb_forward(
     remat: bool = False,
     attn_impl: str = "auto",
 ) -> Tuple[jax.Array, SplicedBatch]:
-    """Full multimodal forward -> (logits (B, L, V), spliced batch)."""
+    """Full multimodal forward -> (logits (B, L, V), spliced batch).
+
+    Batches carrying ``segment_ids`` take the packed-row route: block-causal
+    segment attention + per-segment RoPE positions, so several packed
+    conversations train exactly as if each had its own row."""
+    if batch.segment_ids is not None:
+        spliced, seg, pos = prepare_packed_embeds(
+            params, cfg, batch, deterministic=deterministic, rng=rng
+        )
+        logits = llama_forward(
+            params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
+            position_ids=pos, remat=remat, attn_impl=attn_impl,
+            segment_ids=seg,
+        )
+        return logits, spliced
     spliced = prepare_multimodal_embeds(
         params, cfg, batch, deterministic=deterministic, rng=rng
     )

@@ -155,6 +155,7 @@ def _layer(
     key_valid: jax.Array,  # (B, S) bool
     attn_impl: str = "auto",
     aidx: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,  # (B, S) packed-row segments
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer (no cache, causal). Returns (hidden, k, v)."""
     b, s, d = x.shape
@@ -169,7 +170,7 @@ def _layer(
 
     attn = multihead_attention(
         q, k, v, causal=True, k_mask=key_valid, impl=attn_impl,
-        window=cfg.sliding_window,
+        window=cfg.sliding_window, segment_ids=segment_ids,
     )
     attn = _lproj(lp, "o_proj", attn.reshape(b, s, d), aidx)
     x = x + attn
@@ -193,6 +194,7 @@ def _run_layers(
     remat: bool = False,
     attn_impl: str = "auto",
     aidx: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,  # packed rows (no-cache only)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Scan the stacked layers. With a cache, each layer merges its fresh
     k/v into the cache slice and attends over the full cache buffer."""
@@ -200,7 +202,7 @@ def _run_layers(
     if cache is None:
         def body(hidden, lp):
             hidden, _, _ = _layer(lp, cfg, hidden, cos, sin, mask, attn_impl,
-                                  aidx)
+                                  aidx, segment_ids)
             return hidden, None
 
         fn = jax.checkpoint(body) if remat else body
@@ -272,11 +274,15 @@ def llama_forward(
     remat: bool = False,
     attn_impl: str = "auto",
     adapter_idx: Optional[jax.Array] = None,  # (B,) multi-LoRA row adapters
+    segment_ids: Optional[jax.Array] = None,  # (B, S) packed-row segments
 ) -> jax.Array:
     """Full-sequence forward (training / no-cache prefill) -> (B, S, V) logits.
 
     ``attn_impl``: 'auto' (flash kernel on TPU, dense on CPU) or 'chunked'
-    (differentiable online-softmax — use for training long sequences)."""
+    (differentiable online-softmax — use for training long sequences).
+    ``segment_ids`` switches attention to block-causal packed-row masking
+    (each segment attends only within itself); pass per-segment position
+    ids alongside so RoPE restarts per conversation."""
     b, s, _ = inputs_embeds.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
@@ -285,7 +291,7 @@ def llama_forward(
     valid = attention_mask.astype(bool)
     x, _ = _run_layers(
         params, cfg, inputs_embeds, cos, sin, valid, remat=remat,
-        attn_impl=attn_impl, aidx=adapter_idx,
+        attn_impl=attn_impl, aidx=adapter_idx, segment_ids=segment_ids,
     )
     return _final(params, cfg, x)
 

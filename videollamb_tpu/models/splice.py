@@ -50,6 +50,7 @@ def _splice_one(
     text_embeds: jax.Array,  # (T, D)
     x_embeds: jax.Array,  # (K, N, D) visual blocks (padded)
     x_mask: jax.Array,  # (K, N) bool
+    segment_ids: jax.Array,  # (T,) int32 (zeros when unpacked)
     max_len: int,
 ) -> tuple:
     t = input_ids.shape[0]
@@ -102,12 +103,25 @@ def _splice_one(
     labels = jnp.full((max_len,), IGNORE_INDEX, jnp.int32)
     labels = labels.at[text_target].set(text_labels.astype(jnp.int32), mode="drop")
 
+    # Segment ids ride the same scatters: text tokens keep their segment,
+    # visual block k inherits the segment of the sentinel it replaces
+    # (packed-training support; all-zero for unpacked batches).
+    seg_out = jnp.zeros((max_len,), jnp.int32)
+    seg_out = seg_out.at[text_target].set(
+        segment_ids.astype(jnp.int32), mode="drop"
+    )
+    sent_seg = segment_ids[jnp.clip(sent_pos, 0, t - 1)]  # (K,) seg of sentinel k
+    x_seg = jnp.broadcast_to(sent_seg[:, None], x_target.shape)
+    seg_out = seg_out.at[x_target.reshape(-1)].set(
+        x_seg.reshape(-1), mode="drop"
+    )
+
     total = (
         jnp.sum(text_valid.astype(jnp.int32)) - num_sent + jnp.sum(n_used)
     )
     length = jnp.minimum(total, max_len)
     attn = jnp.arange(max_len, dtype=jnp.int32) < length
-    return embeds, attn, labels, length
+    return embeds, attn, labels, length, seg_out
 
 
 @partial(jax.jit, static_argnames=("max_len",))
@@ -132,8 +146,8 @@ def splice_multimodal(
     if x_embeds.ndim == 3:
         x_embeds = x_embeds[:, None]
         x_mask = x_mask[:, None]
-    embeds, attn, out_labels, lengths = jax.vmap(
-        _splice_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+    embeds, attn, out_labels, lengths, _ = jax.vmap(
+        _splice_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
     )(
         input_ids.astype(jnp.int32),
         attention_mask.astype(bool),
@@ -141,6 +155,68 @@ def splice_multimodal(
         text_embeds,
         x_embeds,
         x_mask.astype(bool),
+        jnp.zeros_like(input_ids, dtype=jnp.int32),
         max_len,
     )
     return SplicedBatch(embeds=embeds, attention_mask=attn, labels=out_labels, lengths=lengths)
+
+
+def packed_position_ids(segment_ids: jax.Array) -> jax.Array:
+    """Per-segment position ids for packed rows: positions restart at 0 at
+    the start of each contiguous segment run. (B, L) int32 -> (B, L)."""
+    l = segment_ids.shape[-1]
+    idx = jnp.arange(l, dtype=jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.full_like(segment_ids[..., :1], -1), segment_ids[..., :-1]], -1
+    )
+    starts = jnp.where(segment_ids != prev, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, starts, axis=-1)
+    return idx - run_start
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def splice_multimodal_packed(
+    input_ids: jax.Array,  # (B, T)
+    attention_mask: jax.Array,  # (B, T) bool/int
+    labels: Optional[jax.Array],  # (B, T) or None
+    segment_ids: jax.Array,  # (B, T) int32: 1..S per sample, 0 = padding
+    text_embeds: jax.Array,  # (B, T, D)
+    x_embeds: jax.Array,  # (B, K, N, D)
+    x_mask: jax.Array,  # (B, K, N) bool
+    max_len: int,
+) -> tuple:
+    """Packed-row splice: like ``splice_multimodal`` but each row carries
+    several independent conversations distinguished by ``segment_ids``.
+    Visual tokens inherit the segment of the sentinel they replace; output
+    position ids restart at each segment (RoPE sees each conversation
+    from position 0, exactly as if it were its own row).
+
+    Returns (SplicedBatch, spliced_segment_ids (B, L), position_ids (B, L)).
+    No reference counterpart: the reference pads every row to the batch max
+    (train.py:827-872); packing is the TPU-side static-shape answer to the
+    padding waste that padding-to-max creates.
+    """
+    if labels is None:
+        labels = jnp.where(attention_mask.astype(bool), input_ids, IGNORE_INDEX)
+    if x_embeds.ndim == 3:
+        x_embeds = x_embeds[:, None]
+        x_mask = x_mask[:, None]
+    embeds, attn, out_labels, lengths, seg_out = jax.vmap(
+        _splice_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
+    )(
+        input_ids.astype(jnp.int32),
+        attention_mask.astype(bool),
+        labels.astype(jnp.int32),
+        text_embeds,
+        x_embeds,
+        x_mask.astype(bool),
+        segment_ids.astype(jnp.int32),
+        max_len,
+    )
+    # Padding scatter slots keep segment 0; mask them out of attention via
+    # the attn mask — but normalize: positions past `lengths` are seg 0.
+    seg_out = jnp.where(attn, seg_out, 0)
+    pos_out = packed_position_ids(seg_out)
+    spliced = SplicedBatch(embeds=embeds, attention_mask=attn,
+                           labels=out_labels, lengths=lengths)
+    return spliced, seg_out, pos_out

@@ -40,8 +40,15 @@ def multihead_attention(
     scale: Optional[float] = None,
     window: Optional[int] = None,  # sliding-window size (causal only)
     impl: str = "auto",
+    segment_ids: Optional[jax.Array] = None,  # (B, S) int; Sq == Skv
 ) -> jax.Array:
-    """Returns (B, Sq, H, Dh) in q's dtype."""
+    """Returns (B, Sq, H, Dh) in q's dtype.
+
+    ``segment_ids`` enables packed-sequence attention: token i may attend
+    to token j only when segment_ids[b, i] == segment_ids[b, j] (composed
+    with causal/k_mask). Requires Sq == Skv (training / no-cache forward —
+    the packed-training path; the reference pads instead of packing, so
+    this is a TPU-side extension with no reference counterpart)."""
     b, sq, h, dh = q.shape
     hkv = k.shape[2]
     if scale is None:
@@ -49,6 +56,10 @@ def multihead_attention(
 
     if impl == "auto":
         impl = "pallas" if _backend() == "tpu" else "xla"
+    if segment_ids is not None and impl == "pallas":
+        # The flash kernel has no segment lane; the chunked online-softmax
+        # path computes identical math with block-diagonal masking.
+        impl = "chunked"
 
     if impl == "pallas" and window is None:
         # Kernel layout is (B, H, S, Dh); GQA by repeating kv heads (the
@@ -66,10 +77,11 @@ def multihead_attention(
 
     if impl == "chunked":
         return _chunked_attention(q, k, v, causal=causal, k_mask=k_mask,
-                                  scale=scale, window=window)
+                                  scale=scale, window=window,
+                                  segment_ids=segment_ids)
 
     return _xla_attention(q, k, v, causal=causal, k_mask=k_mask, scale=scale,
-                          window=window)
+                          window=window, segment_ids=segment_ids)
 
 
 def _grouped_scores(q, k, scale):
@@ -79,7 +91,8 @@ def _grouped_scores(q, k, scale):
     ) * scale
 
 
-def _xla_attention(q, k, v, *, causal, k_mask, scale, window=None):
+def _xla_attention(q, k, v, *, causal, k_mask, scale, window=None,
+                   segment_ids=None):
     b, sq, h, dh = q.shape
     hkv = k.shape[2]
     g = h // hkv
@@ -95,6 +108,8 @@ def _xla_attention(q, k, v, *, causal, k_mask, scale, window=None):
             mask &= (q_pos - jnp.arange(skv)[None, :] < window)[None]
     if k_mask is not None:
         mask &= k_mask[:, None, :]
+    if segment_ids is not None:
+        mask &= segment_ids[:, :, None] == segment_ids[:, None, :]
     s = jnp.where(mask[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     out = jnp.einsum(
@@ -104,7 +119,7 @@ def _xla_attention(q, k, v, *, causal, k_mask, scale, window=None):
 
 
 def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
-                       block_kv: int = 512):
+                       block_kv: int = 512, segment_ids=None):
     """Online-softmax over KV chunks via lax.scan — flash-attention math in
     pure JAX (differentiable; activation memory O(Sq * block_kv))."""
     b, sq, h, dh = q.shape
@@ -119,6 +134,12 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
     km = jnp.ones((b, skv), bool) if k_mask is None else k_mask.astype(bool)
     km = jnp.pad(km, ((0, 0), (0, pad)))
+    seg_k_c = None
+    if segment_ids is not None:
+        # Pad with -1 so padding never matches a real segment id.
+        seg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad)),
+                      constant_values=-1)
+        seg_k_c = seg.reshape(b, n_chunks, bkv).transpose(1, 0, 2)
 
     qg = q.reshape(b, sq, hkv, g, dh)
     q_pos = jnp.arange(sq) + (skv - sq)
@@ -130,7 +151,10 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
 
     def step(carry, xs):
         m_prev, l_prev, acc = carry
-        kc, vc, mc, ci = xs
+        if segment_ids is not None:
+            kc, vc, mc, ci, segc = xs
+        else:
+            kc, vc, mc, ci = xs
         s = _grouped_scores(qg, kc, scale)  # (B,Hkv,G,Sq,bkv)
         k_pos = ci * bkv + jnp.arange(bkv)
         valid = mc[:, None, :] & jnp.ones((b, sq, bkv), bool)
@@ -138,6 +162,8 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
             valid &= (q_pos[:, None] >= k_pos[None, :])[None]
             if window is not None:
                 valid &= (q_pos[:, None] - k_pos[None, :] < window)[None]
+        if segment_ids is not None:
+            valid &= segment_ids[:, :, None] == segc[:, None, :]
         s = jnp.where(valid[:, None, None], s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -161,7 +187,10 @@ def _chunked_attention(q, k, v, *, causal, k_mask, scale, window=None,
     # backward), keeping activation memory O(Sq*bkv) as advertised.
     # prevent_cse=False is safe (and recommended) under lax.scan.
     step = jax.checkpoint(step, prevent_cse=False)
-    (m_f, l_f, acc), _ = jax.lax.scan(step, (m0, l0, acc0), (k_c, v_c, m_c, idx_c))
+    xs = (k_c, v_c, m_c, idx_c)
+    if segment_ids is not None:
+        xs = xs + (seg_k_c,)
+    (m_f, l_f, acc), _ = jax.lax.scan(step, (m0, l0, acc0), xs)
 
     out = acc / jnp.where(l_f == 0.0, 1.0, l_f)
     out = out.astype(q.dtype).transpose(0, 3, 1, 2, 4)  # (B,Sq,Hkv,G,Dh)

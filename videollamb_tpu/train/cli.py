@@ -66,6 +66,11 @@ def parse_args():
     p.add_argument("--lora_enable", action="store_true")
     p.add_argument("--lora_r", type=int, default=128)
     p.add_argument("--lora_alpha", type=int, default=256)
+    p.add_argument("--pack_sequences", action="store_true",
+                   help="pack several conversations per row (segment-ID "
+                        "block-causal attention; each step trains "
+                        "pack_factor x the samples at the same shape)")
+    p.add_argument("--pack_factor", type=int, default=2)
     return p.parse_args()
 
 
@@ -145,6 +150,8 @@ def main():
         logging_steps=args.logging_steps,
         output_dir=args.output_dir,
         rmt_loss=args.rmt_loss,
+        pack_sequences=args.pack_sequences,
+        pack_factor=args.pack_factor,
     )
     dcfg = DataConfig(
         data_path=args.data_path,

@@ -19,7 +19,7 @@ import json
 import os
 import random
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -228,6 +228,129 @@ class Collator:
         return MultimodalBatch(
             input_ids=ids, attention_mask=mask, labels=labels,
             videos=videos, images=images,
+        )
+
+
+@dataclass
+class PackedCollator:
+    """Pack several conversations into each row (packed-sequence training).
+
+    The reference pads every row to the batch max (train.py:827-872), so
+    short conversations burn most of their FLOPs on padding. Packing is the
+    TPU-native answer: rows keep one static shape while several samples
+    share it, separated by segment ids — attention is block-causal per
+    segment (ops/attention.multihead_attention segment_ids) and RoPE
+    positions restart per segment (models/splice.splice_multimodal_packed),
+    so training math is exactly what each sample would see in its own row.
+
+    Budgeting is POST-splice: each media sentinel expands to
+    ``block_tokens`` spliced tokens (measure with
+    models.assembly.measure_block_tokens). First-fit-decreasing packing
+    under (max_length, k_max blocks); the packed row count pads up to a
+    multiple of ``rows_bucket`` so XLA sees a stable batch shape.
+
+    A sample longer than the whole budget gets its own row and truncates in
+    the splice — the reference's truncation semantics
+    (llava_arch.py:610-613). Batches must be modality-homogeneous, which
+    the modality-grouped sampler already guarantees; anyres image stacks
+    cannot be packed (their splice geometry is per-row) and raise."""
+
+    pad_token_id: int = 0
+    bucket: int = 128
+    max_length: int = 2048
+    block_tokens: int = 0
+    k_max: int = 4
+    rows_bucket: int = 8
+
+    def _cost(self, s: Dict[str, Any]) -> Tuple[int, int]:
+        ids = np.asarray(s["input_ids"])
+        nb = int((ids < 0).sum())
+        return len(ids) - nb + nb * max(self.block_tokens, 1), nb
+
+    def pack(self, samples: Sequence[Dict[str, Any]]) -> List[List[int]]:
+        """First-fit decreasing -> list of rows, each a list of sample
+        indices (ascending, so segment order == dataset order)."""
+        meta = [self._cost(s) for s in samples]
+        order = sorted(range(len(samples)), key=lambda i: -meta[i][0])
+        bins: List[Dict[str, Any]] = []
+        for i in order:
+            c, nb = meta[i]
+            for b in bins:
+                if (b["cost"] + c <= self.max_length
+                        and b["nb"] + nb <= self.k_max):
+                    b["items"].append(i)
+                    b["cost"] += c
+                    b["nb"] += nb
+                    break
+            else:
+                bins.append({"items": [i], "cost": c, "nb": nb})
+        return [sorted(b["items"]) for b in bins]
+
+    def __call__(self, samples: Sequence[Dict[str, Any]]) -> MultimodalBatch:
+        if any("image" in s and np.asarray(s["image"]).ndim == 4
+               for s in samples):
+            raise ValueError("anyres image stacks cannot be packed")
+        has_video = any("video" in s for s in samples)
+        has_image = any("image" in s for s in samples)
+        if has_video and has_image:
+            raise ValueError("packed batches must be modality-homogeneous")
+
+        rows = self.pack(samples)
+        b = _round_up(len(rows), self.rows_bucket)
+        t_raw = max(sum(len(samples[i]["input_ids"]) for i in row)
+                    for row in rows)
+        t = min(_round_up(t_raw, self.bucket), self.max_length)
+
+        ids = np.full((b, t), self.pad_token_id, np.int32)
+        labels = np.full((b, t), IGNORE_INDEX, np.int32)
+        mask = np.zeros((b, t), np.int32)
+        seg = np.zeros((b, t), np.int32)
+
+        k_max = max((sum(1 for i in row if "video" in samples[i]
+                         or "image" in samples[i]) for row in rows),
+                    default=0)
+        videos = images = block_mask = None
+        if has_video:
+            tv = max(s["video"].shape[0] for s in samples if "video" in s)
+            shape = next(s["video"].shape for s in samples if "video" in s)
+            videos = np.zeros((b, max(k_max, 1), tv) + shape[1:], np.float32)
+            block_mask = np.zeros((b, max(k_max, 1)), bool)
+        elif has_image:
+            shape = next(s["image"].shape for s in samples if "image" in s)
+            images = np.zeros((b, max(k_max, 1)) + shape, np.float32)
+            block_mask = np.zeros((b, max(k_max, 1)), bool)
+
+        for r, row in enumerate(rows):
+            cur = 0
+            blk = 0
+            for si, i in enumerate(row):
+                s = samples[i]
+                n = min(len(s["input_ids"]), t - cur)
+                if n <= 0:
+                    break
+                ids[r, cur:cur + n] = np.asarray(s["input_ids"])[:n]
+                labels[r, cur:cur + n] = np.asarray(s["labels"])[:n]
+                # The segment's first label must be IGNORE: the shifted LM
+                # loss would otherwise train the PREVIOUS segment's last
+                # token to predict it (conversation prompts are already
+                # masked, but enforce the invariant regardless).
+                labels[r, cur] = IGNORE_INDEX
+                mask[r, cur:cur + n] = 1
+                seg[r, cur:cur + n] = si + 1
+                cur += n
+                if videos is not None and "video" in s:
+                    videos[r, blk, : s["video"].shape[0]] = s["video"]
+                    block_mask[r, blk] = True
+                    blk += 1
+                elif images is not None and "image" in s:
+                    images[r, blk] = s["image"]
+                    block_mask[r, blk] = True
+                    blk += 1
+
+        return MultimodalBatch(
+            input_ids=ids, attention_mask=mask, labels=labels,
+            videos=videos, images=images, segment_ids=seg,
+            video_block_mask=block_mask,
         )
 
 

@@ -184,7 +184,26 @@ class Trainer:
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.dataset = dataset
-        self.collator = collator or Collator(max_length=model_cfg.max_length)
+        if train_cfg.pack_sequences and (train_cfg.rmt_loss
+                                         or step_factory is not None):
+            # The retro (per-segment-loss) path and the alternative step
+            # factories (seq-parallel, pipeline) splice without segment
+            # routing — packing under them would silently cross-attend.
+            raise ValueError("pack_sequences is incompatible with rmt_loss "
+                             "and custom step factories")
+        if collator is not None:
+            self.collator = collator
+        elif train_cfg.pack_sequences:
+            from videollamb_tpu.models.assembly import measure_block_tokens
+            from videollamb_tpu.train.dataset import PackedCollator
+
+            self.collator = PackedCollator(
+                max_length=model_cfg.max_length,
+                block_tokens=measure_block_tokens(params, model_cfg),
+                rows_bucket=max(1, train_cfg.per_device_batch_size),
+            )
+        else:
+            self.collator = Collator(max_length=model_cfg.max_length)
         self.mesh = mesh
         self.log_fn = log_fn or (lambda m: print(m, flush=True))
         # Multi-host data parallelism (reference: llava_trainer.py:59-146
@@ -198,7 +217,10 @@ class Trainer:
             1, n_devices if mesh is None else mesh.shape.get("data", 1)
         )
         self.global_batch = global_batch
-        steps_per_epoch = max(1, len(dataset) // global_batch)
+        samples_per_step = global_batch * (
+            max(1, train_cfg.pack_factor) if train_cfg.pack_sequences else 1
+        )
+        steps_per_epoch = max(1, len(dataset) // samples_per_step)
         self.total_steps = steps_per_epoch * train_cfg.num_train_epochs
 
         self.tx = create_optimizer(train_cfg, self.total_steps, params)
@@ -248,6 +270,11 @@ class Trainer:
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         start_step = int(self.state.step)
         local_batch = max(1, self.global_batch // self.process_count)
+        if self.train_cfg.pack_sequences:
+            # Packing: each step consumes pack_factor x the samples, packed
+            # into (about) local_batch rows — same compiled step shape, more
+            # data per step.
+            local_batch *= max(1, self.train_cfg.pack_factor)
         for epoch in range(self.train_cfg.num_train_epochs):
             order = self._batch_order(epoch)
             num_batches = len(order) // local_batch
