@@ -246,11 +246,15 @@ class MultimodalBatch(NamedTuple):
     blocks: Optional[Tuple[Tuple[str, jax.Array], ...]] = None
     # Packed-sequence training (train/dataset.PackedCollator): several
     # conversations share one row. segment_ids numbers them 1..S per row
-    # (0 = padding); with packing, ``videos`` is 6-D (B, K, T_v, C, H, W)
-    # — the k-th video binds the k-th sentinel — and video_block_mask
-    # (B, K) marks which of the K block slots are real.
+    # (0 = padding). With packing, the k-th SENTINEL slot of a row binds
+    # block k: ``videos`` is 6-D (B, K, T_v, C, H, W) with
+    # video_block_mask (B, K) marking which slots hold a video, and
+    # packed ``images`` are 5-D (B, K, C, H, W) with image_block_mask.
+    # Slots true in neither mask insert nothing (a sentinel with no
+    # media); a batch may carry both arrays (mixed video+image packing).
     segment_ids: Optional[jax.Array] = None  # (B, T) int32
     video_block_mask: Optional[jax.Array] = None  # (B, K) bool
+    image_block_mask: Optional[jax.Array] = None  # (B, K) bool
 
 
 def prepare_multimodal_embeds(
@@ -318,24 +322,44 @@ def prepare_packed_embeds(
     b = batch.input_ids.shape[0]
     lm_d = text_embeds.shape[-1]
 
+    vtok = vmsk = itok = imsk = None
     if batch.videos is not None:
         bb, k = batch.videos.shape[:2]
         flat = batch.videos.reshape((bb * k,) + batch.videos.shape[2:])
         tok, msk = encode_videos(
             params, cfg, flat, deterministic=deterministic, rng=rng
         )
-        x_embeds = tok.reshape((bb, k) + tok.shape[1:])
-        x_mask = msk.reshape((bb, k) + msk.shape[1:])
+        vtok = tok.reshape((bb, k) + tok.shape[1:])
+        vmsk = msk.reshape((bb, k) + msk.shape[1:])
         if batch.video_block_mask is not None:
-            x_mask = x_mask & batch.video_block_mask[:, :, None].astype(bool)
-    elif batch.images is not None:
+            vmsk = vmsk & batch.video_block_mask[:, :, None].astype(bool)
+    if batch.images is not None:
         bb, k = batch.images.shape[:2]
         flat = batch.images.reshape((bb * k,) + batch.images.shape[2:])
         tok, msk = encode_images(params, cfg, flat, deterministic=deterministic)
-        x_embeds = tok.reshape((bb, k) + tok.shape[1:])
-        x_mask = msk.reshape((bb, k) + msk.shape[1:])
-        if batch.video_block_mask is not None:
-            x_mask = x_mask & batch.video_block_mask[:, :, None].astype(bool)
+        itok = tok.reshape((bb, k) + tok.shape[1:])
+        imsk = msk.reshape((bb, k) + msk.shape[1:])
+        blk = (batch.image_block_mask if batch.image_block_mask is not None
+               else batch.video_block_mask)
+        if blk is not None:
+            imsk = imsk & blk[:, :, None].astype(bool)
+
+    if vtok is not None and itok is not None:
+        # Mixed video+image packing: the k-th slot of a row is a video OR
+        # an image (disjoint block masks), so after padding both token
+        # grids to a common width the masked sum selects per slot.
+        n = max(vtok.shape[2], itok.shape[2])
+        vtok = jnp.pad(vtok, ((0, 0), (0, 0), (0, n - vtok.shape[2]), (0, 0)))
+        vmsk = jnp.pad(vmsk, ((0, 0), (0, 0), (0, n - vmsk.shape[2])))
+        itok = jnp.pad(itok, ((0, 0), (0, 0), (0, n - itok.shape[2]), (0, 0)))
+        imsk = jnp.pad(imsk, ((0, 0), (0, 0), (0, n - imsk.shape[2])))
+        x_embeds = (vtok * vmsk[..., None].astype(vtok.dtype)
+                    + itok * imsk[..., None].astype(itok.dtype))
+        x_mask = vmsk | imsk
+    elif vtok is not None:
+        x_embeds, x_mask = vtok, vmsk
+    elif itok is not None:
+        x_embeds, x_mask = itok, imsk
     else:
         x_embeds = jnp.zeros((b, 1, 1, lm_d), text_embeds.dtype)
         x_mask = jnp.zeros((b, 1, 1), bool)
