@@ -176,6 +176,76 @@ def test_packer_coverage_budget_and_first_label():
     assert int(np.asarray(batch.video_block_mask).sum()) == len(samples)
 
 
+def test_packer_pinned_shape_and_carry():
+    """fixed_rows mode: every batch is exactly (fixed_rows, max_length)
+    with k_max block slots; overflow samples carry into the next call
+    instead of growing the batch (ADVICE r3: SPMD-stable packed shape)."""
+    rng = np.random.default_rng(2)
+    vid = rng.normal(size=(4, 3, 8, 8)).astype(np.float32)
+    col = PackedCollator(max_length=64, block_tokens=40, k_max=1,
+                         fixed_rows=2, fixed_frames=4)
+    # Four samples, each ~(10 - 1 + 40) = 49 tokens with one video block:
+    # only one fits per row -> 4 rows packed, 2 emitted, 2 carried.
+    samples = [_fake_sample(rng, 10, vid.copy()) for _ in range(4)]
+    b1 = col(samples)
+    assert b1.input_ids.shape == (2, 64)
+    assert b1.videos.shape[:3] == (2, 1, 4)
+    assert len(col._carry) == 2
+    # Next call drains the carry first.
+    b2 = col([_fake_sample(rng, 10, vid.copy()) for _ in range(2)])
+    assert b2.input_ids.shape == (2, 64)
+    assert len(col._carry) == 2
+    b3 = col([])
+    assert b3.input_ids.shape == (2, 64)
+    assert not col._carry
+    total = sum(int(np.asarray(b.video_block_mask).sum())
+                for b in (b1, b2, b3))
+    assert total == 6  # every sample trained exactly once
+
+
+def test_packer_carry_waits_for_matching_modality():
+    rng = np.random.default_rng(4)
+    vid = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    img = rng.normal(size=(3, 8, 8)).astype(np.float32)
+    col = PackedCollator(max_length=64, block_tokens=40,
+                         block_tokens_image=40, k_max=1, fixed_rows=1)
+    col([_fake_sample(rng, 10, vid.copy()) for _ in range(2)])
+    assert len(col._carry) == 1  # one video sample deferred
+    s_i = _fake_sample(rng, 10)
+    s_i["image"] = img
+    s_i["input_ids"][1] = -200
+    b_img = col([s_i])  # image batch: video carry must NOT join it
+    assert len(col._carry) == 1
+    assert b_img.image_block_mask is not None
+    assert b_img.video_block_mask is None  # ADVICE r3: correct mask field
+    b_vid = col([])  # empty call drains the video carry
+    assert b_vid.videos is not None
+    assert not col._carry
+
+
+def test_packer_per_modality_budget_and_sentinel_guard():
+    rng = np.random.default_rng(6)
+    vid = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    col = PackedCollator(max_length=256, block_tokens=100,
+                         block_tokens_image=10)
+    s_v = _fake_sample(rng, 10, vid)
+    assert col._cost(s_v)[0] == 10 - 1 + 100
+    s_i = _fake_sample(rng, 10)
+    s_i["image"] = rng.normal(size=(3, 8, 8)).astype(np.float32)
+    s_i["input_ids"][1] = -200
+    assert col._cost(s_i)[0] == 10 - 1 + 10
+    # Sentinel/media mismatch raises instead of silently mis-binding the
+    # next sample's media (ADVICE r3).
+    s_bad = _fake_sample(rng, 10, vid.copy())
+    s_bad["input_ids"][3] = VIDEO_TOKEN_INDEX  # second sentinel, one video
+    with pytest.raises(ValueError, match="sentinel"):
+        col._cost(s_bad)
+    s_bad2 = _fake_sample(rng, 10)  # no media, but a stray sentinel
+    s_bad2["input_ids"][1] = VIDEO_TOKEN_INDEX
+    with pytest.raises(ValueError, match="sentinel"):
+        col._cost(s_bad2)
+
+
 def test_packer_rejects_mixed_and_anyres():
     rng = np.random.default_rng(0)
     vid = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
@@ -397,12 +467,17 @@ def test_trainer_packs_end_to_end(tmp_path):
     logs = []
     trainer = Trainer(cfg, tcfg, params, ds, log_fn=logs.append)
     trainer.global_batch = 2  # 8 virtual devices would outsize the dataset
+    trainer.collator.fixed_rows = 2  # pinned row count follows global_batch
     state = trainer.train()
     # 8 samples / (2 rows * pack_factor 2) = 2 steps.
     steps = [l for l in logs if "loss" in l]
     assert int(state.step) == 2
     assert all(np.isfinite(l["loss"]) for l in steps)
     assert trainer.collator.block_tokens > 0
+    # The auto-built collator carries per-modality budgets and a pinned
+    # shape (ADVICE r3: modality budgets + SPMD-stable packed row count).
+    assert trainer.collator.block_tokens_image is not None
+    assert trainer.collator.fixed_frames == 8
 
 
 def test_trainer_rejects_packing_with_rmt_loss(tmp_path):

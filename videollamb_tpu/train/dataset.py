@@ -18,7 +18,7 @@ import copy
 import json
 import os
 import random
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -244,10 +244,22 @@ class PackedCollator:
     so training math is exactly what each sample would see in its own row.
 
     Budgeting is POST-splice: each media sentinel expands to
-    ``block_tokens`` spliced tokens (measure with
-    models.assembly.measure_block_tokens). First-fit-decreasing packing
-    under (max_length, k_max blocks); the packed row count pads up to a
-    multiple of ``rows_bucket`` so XLA sees a stable batch shape.
+    ``block_tokens`` spliced tokens for video samples and
+    ``block_tokens_image`` for image/audio samples (measure each with
+    models.assembly.measure_block_tokens — audio fbanks travel as
+    'image'). First-fit-decreasing packing under (max_length, k_max
+    blocks); the packed row count pads up to a multiple of
+    ``rows_bucket`` so XLA sees a stable batch shape.
+
+    **Pinned-shape mode** (``fixed_rows`` set): every batch is exactly
+    ``fixed_rows`` rows x ``max_length`` tokens x ``k_max`` block slots
+    (and ``fixed_frames`` frames when given), so the compiled train step
+    sees ONE shape and multi-host data parallelism stays SPMD-consistent
+    (each process emits the same row count regardless of how its slice
+    packed). Rows beyond ``fixed_rows`` are not dropped: their samples
+    carry over into the next call (``self._carry``); trailing carry at
+    epoch end is the same few-samples loss as the reference sampler's
+    drop-last.
 
     A sample longer than the whole budget gets its own row and truncates in
     the splice — the reference's truncation semantics
@@ -259,13 +271,32 @@ class PackedCollator:
     bucket: int = 128
     max_length: int = 2048
     block_tokens: int = 0
+    block_tokens_image: Optional[int] = None
     k_max: int = 4
     rows_bucket: int = 8
+    fixed_rows: Optional[int] = None
+    fixed_frames: Optional[int] = None
+    _carry: List[Dict[str, Any]] = field(default_factory=list)
 
     def _cost(self, s: Dict[str, Any]) -> Tuple[int, int]:
         ids = np.asarray(s["input_ids"])
         nb = int((ids < 0).sum())
-        return len(ids) - nb + nb * max(self.block_tokens, 1), nb
+        media = int("video" in s or "image" in s)
+        if nb != media:
+            # The k-th sentinel of a row binds media block k: a sample with
+            # more sentinels than media (or media without a sentinel) would
+            # silently bind the NEXT sample's media to its extra sentinel.
+            raise ValueError(
+                f"sample has {nb} media sentinel(s) but {media} media "
+                "array(s); packing binds sentinels to blocks positionally"
+            )
+        if "video" in s:
+            block = self.block_tokens
+        else:
+            block = (self.block_tokens_image
+                     if self.block_tokens_image is not None
+                     else self.block_tokens)
+        return len(ids) - nb + nb * max(block, 1), nb
 
     def pack(self, samples: Sequence[Dict[str, Any]]) -> List[List[int]]:
         """First-fit decreasing -> list of rows, each a list of sample
@@ -290,28 +321,54 @@ class PackedCollator:
         if any("image" in s and np.asarray(s["image"]).ndim == 4
                for s in samples):
             raise ValueError("anyres image stacks cannot be packed")
+        if self.fixed_rows is not None and self._carry:
+            # Carry joins only a modality-compatible batch (the grouped
+            # sampler alternates video/image megabatches); otherwise it
+            # keeps waiting.
+            cv = any("video" in s for s in self._carry)
+            ci = any("image" in s for s in self._carry)
+            nv = any("video" in s for s in samples)
+            ni = any("image" in s for s in samples)
+            if not ((cv and ni) or (ci and nv)):
+                carried, self._carry = self._carry, []
+                samples = carried + list(samples)
         has_video = any("video" in s for s in samples)
         has_image = any("image" in s for s in samples)
         if has_video and has_image:
             raise ValueError("packed batches must be modality-homogeneous")
 
         rows = self.pack(samples)
-        b = _round_up(len(rows), self.rows_bucket)
-        t_raw = max(sum(len(samples[i]["input_ids"]) for i in row)
-                    for row in rows)
-        t = min(_round_up(t_raw, self.bucket), self.max_length)
+        if self.fixed_rows is not None:
+            if len(rows) > self.fixed_rows:
+                # Poorly-packing samples defer to the next batch instead of
+                # growing this one past the compiled step shape.
+                self._carry = [samples[i] for row in rows[self.fixed_rows:]
+                               for i in row]
+                rows = rows[: self.fixed_rows]
+            b = self.fixed_rows
+            t = self.max_length
+        else:
+            b = _round_up(len(rows), self.rows_bucket)
+            t_raw = max(sum(len(samples[i]["input_ids"]) for i in row)
+                        for row in rows)
+            t = min(_round_up(t_raw, self.bucket), self.max_length)
 
         ids = np.full((b, t), self.pad_token_id, np.int32)
         labels = np.full((b, t), IGNORE_INDEX, np.int32)
         mask = np.zeros((b, t), np.int32)
         seg = np.zeros((b, t), np.int32)
 
-        k_max = max((sum(1 for i in row if "video" in samples[i]
-                         or "image" in samples[i]) for row in rows),
-                    default=0)
+        if self.fixed_rows is not None:
+            k_max = self.k_max
+        else:
+            k_max = max((sum(1 for i in row if "video" in samples[i]
+                             or "image" in samples[i]) for row in rows),
+                        default=0)
         videos = images = block_mask = None
         if has_video:
             tv = max(s["video"].shape[0] for s in samples if "video" in s)
+            if self.fixed_frames is not None:
+                tv = max(tv, self.fixed_frames)
             shape = next(s["video"].shape for s in samples if "video" in s)
             videos = np.zeros((b, max(k_max, 1), tv) + shape[1:], np.float32)
             block_mask = np.zeros((b, max(k_max, 1)), bool)
@@ -350,7 +407,8 @@ class PackedCollator:
         return MultimodalBatch(
             input_ids=ids, attention_mask=mask, labels=labels,
             videos=videos, images=images, segment_ids=seg,
-            video_block_mask=block_mask,
+            video_block_mask=block_mask if videos is not None else None,
+            image_block_mask=block_mask if images is not None else None,
         )
 
 

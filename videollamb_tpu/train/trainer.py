@@ -191,19 +191,6 @@ class Trainer:
             # routing — packing under them would silently cross-attend.
             raise ValueError("pack_sequences is incompatible with rmt_loss "
                              "and custom step factories")
-        if collator is not None:
-            self.collator = collator
-        elif train_cfg.pack_sequences:
-            from videollamb_tpu.models.assembly import measure_block_tokens
-            from videollamb_tpu.train.dataset import PackedCollator
-
-            self.collator = PackedCollator(
-                max_length=model_cfg.max_length,
-                block_tokens=measure_block_tokens(params, model_cfg),
-                rows_bucket=max(1, train_cfg.per_device_batch_size),
-            )
-        else:
-            self.collator = Collator(max_length=model_cfg.max_length)
         self.mesh = mesh
         self.log_fn = log_fn or (lambda m: print(m, flush=True))
         # Multi-host data parallelism (reference: llava_trainer.py:59-146
@@ -217,6 +204,32 @@ class Trainer:
             1, n_devices if mesh is None else mesh.shape.get("data", 1)
         )
         self.global_batch = global_batch
+
+        if collator is not None:
+            self.collator = collator
+        elif train_cfg.pack_sequences:
+            from videollamb_tpu.models.assembly import measure_block_tokens
+            from videollamb_tpu.train.dataset import PackedCollator
+
+            # The packing budget is per modality: image/audio blocks expand
+            # to a different spliced-token count than video blocks, and the
+            # modality-grouped sampler delivers image-only batches from a
+            # mixed dataset. The packed batch shape is PINNED (rows = this
+            # process's row slice, t = max_length, k = k_max, frames from
+            # the dataset config) so every step compiles once and row
+            # counts agree across processes; overflow samples carry to the
+            # next step inside the collator.
+            data_cfg = getattr(dataset, "cfg", None)
+            self.collator = PackedCollator(
+                max_length=model_cfg.max_length,
+                block_tokens=measure_block_tokens(params, model_cfg, "video"),
+                block_tokens_image=measure_block_tokens(
+                    params, model_cfg, "image"),
+                fixed_rows=max(1, global_batch // self.process_count),
+                fixed_frames=getattr(data_cfg, "num_frames", None),
+            )
+        else:
+            self.collator = Collator(max_length=model_cfg.max_length)
         samples_per_step = global_batch * (
             max(1, train_cfg.pack_factor) if train_cfg.pack_sequences else 1
         )
