@@ -255,6 +255,84 @@ def main(argv=None) -> dict:
             emitted += min(8, int(inv_h[i]) + 1)
     out["grammar_device_sampled_tok_s"] = round(
         emitted / (time.perf_counter() - t_first), 1) if t_first else 0.0
+
+    # (f) choice-set constraints on device (round 4): the MC-eval path.
+    # Choice tries are prewarmed (every state uploaded at table build) so
+    # the scan NEVER freezes; rows reset to the trie root each scan (real
+    # MC decodes finish in 1-3 tokens — this measures the steady-state
+    # cost of keeping choice batches in the k-step loop).
+    from videollamb_tpu.serve.constrained import ChoiceTable, TokenTrie
+
+    letter_ids = [[40 + j] for j in range(5)]  # five single-token options
+    letter_ids += [[40 + j, 50 + j] for j in range(3)]  # multi-token tails
+    ct = ChoiceTable(TokenTrie(letter_ids), eos_token_id=2)
+    cdt = device_table_for(ct, cfg.vocab_size)
+    root_slot = cdt.slot(ct.start)
+    cslots = jnp.full((B,), root_slot, jnp.int32)
+    cremaining = jnp.full((B,), 8, jnp.int32)
+    logits, cache = jnp.array(logits0), jax.tree.map(jnp.array, cache0)
+    toks, logits, cache, inv, fro = greedy_decode_steps_grammar(
+        pwrap, cfgns, logits, cache, 8, cdt.costs, cdt.next_sid,
+        cdt.sid2slot, cslots, cremaining)
+    float(jnp.sum(logits))
+    t0 = time.perf_counter()
+    for _ in range(args.steps // 8):
+        toks, logits, cache, inv, fro = greedy_decode_steps_grammar(
+            pwrap, cfgns, logits, cache, 8, cdt.costs, cdt.next_sid,
+            cdt.sid2slot, cslots, cremaining)
+        np.asarray(toks)
+    out["choices_device_tok_s"] = round(
+        (args.steps // 8) * 8 * B / (time.perf_counter() - t0), 1)
+
+    # (g) grammar + count-dependent sampling CONTROLS in one scan (round
+    # 4): penalties/bias/min_tokens with guaranteed-valid JSON, no host
+    # path. Table warm from (d)/(e).
+    from videollamb_tpu.serve.server import (
+        sampled_decode_steps_grammar_controls,
+    )
+
+    bias = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    pres = jnp.full((B,), 0.3, jnp.float32)
+    freq = jnp.full((B,), 0.5, jnp.float32)
+    counts0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    min_left = jnp.full((B,), 4, jnp.int32)
+    rng = jax.random.PRNGKey(5)
+    cons = [json_constraint(Tok(), token_strs=strs) for _ in range(B)]
+    logits, cache = jnp.array(logits0), jax.tree.map(jnp.array, cache0)
+    t_first = None
+    emitted = 0
+    for it in range(args.steps // 8):
+        slots = []
+        ok = True
+        for c in cons:
+            s = dt.slot(c.node) if c.node is not None else 0
+            if s is None:
+                ok = False
+                break
+            slots.append(s)
+        if not ok:
+            break
+        (toks, logits, cache, inv, fro,
+         rng) = sampled_decode_steps_grammar_controls(
+            pwrap, cfgns, logits, cache, 8, rng, temps, zk, op,
+            bias, pres, freq, counts0, min_left,
+            dt.costs, dt.next_sid, dt.sid2slot,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(remaining0), eos=2)
+        toks_h, inv_h = np.asarray(toks), np.asarray(inv)
+        if t_first is None:  # first call compiles; time the rest
+            t_first = time.perf_counter()
+            emitted = 0
+        for i, c in enumerate(cons):
+            for t in toks_h[i][: min(8, int(inv_h[i]) + 1)]:
+                if c.node is None:
+                    break
+                c.advance(int(t))
+                if c.node is not None:
+                    dt.slot(c.node)
+            emitted += min(8, int(inv_h[i]) + 1)
+    out["grammar_controls_device_tok_s"] = round(
+        emitted / (time.perf_counter() - t_first), 1) if t_first else 0.0
     print(json.dumps(out))
     return out
 

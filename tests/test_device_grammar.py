@@ -14,8 +14,22 @@ import jax
 import jax.numpy as jnp
 
 from videollamb_tpu.serve.device_grammar import DeviceTable, device_table_for
+from videollamb_tpu.serve import grammar as grammar_mod
 from videollamb_tpu.serve.grammar import GrammarTable, json_constraint
 from test_grammar import EOS, PIECES, _decode, _token_strs
+
+
+@pytest.fixture(autouse=True)
+def _fresh_content_cache():
+    """The content-keyed table cache (grammar.cached_grammar_table) makes
+    every json_constraint(_Tok(), token_strs=strs) in this module share
+    ONE table — which is the production behavior under test, but these
+    tests also rely on per-TEST freshness (cold-table freeze/rewind paths,
+    the deliberately-poisoned pool in the exhaustion test). Clear between
+    tests; within a test, requests still share the table."""
+    grammar_mod._CONTENT_TABLE_CACHE.clear()
+    yield
+    grammar_mod._CONTENT_TABLE_CACHE.clear()
 
 
 @pytest.fixture(scope="module")

@@ -84,12 +84,16 @@ class ChoiceConstraint:
     prefix of another choice.
     """
 
-    def __init__(self, trie: TokenTrie, eos_token_id: Optional[int] = None):
+    def __init__(self, trie: TokenTrie, eos_token_id: Optional[int] = None,
+                 table: Optional["ChoiceTable"] = None):
         self.trie = trie
         self.node: Optional[int] = 0  # None after a finished/dead path
         self.eos = (eos_token_id
                     if eos_token_id is not None and eos_token_id >= 0
                     else None)
+        # Device-scan ride-along (engines attach an engine-cached
+        # ChoiceTable; None keeps the per-step host-mask path).
+        self.table = table
 
     def mask(self, vocab_size: int) -> np.ndarray:
         """(V,) bool — True where the next token is allowed."""
@@ -109,6 +113,64 @@ class ChoiceConstraint:
         """True when a full choice has been emitted (EOS off a leaf lands
         here too: the trie has no EOS edge, so the cursor dies)."""
         return self.node is None or self.trie.done(self.node)
+
+
+class ChoiceTable:
+    """Device-grammar protocol over a TokenTrie (serve/device_grammar.py).
+
+    Choice sets are tiny automata (an MC letter set is ~6 nodes), so they
+    ride the same HBM state pool as JSON grammars: sids are trie node ids,
+    ``expand`` yields (allowed tokens, end nodes, closing costs), and the
+    closing cost of a node is the minimum tokens to a complete choice
+    (0 at a leaf — a complete choice has been emitted, so EOS is allowed
+    there, the prefix-choice escape hatch of :class:`ChoiceConstraint`).
+    Unlike grammars every state is enumerable up front: ``prewarm_sids``
+    lets the DeviceTable upload the whole trie at creation, so the choice
+    scan NEVER freezes. Engines cache one table per choice-set signature,
+    so a batch of same-choice requests (the MC-eval shape) shares one
+    table and stays in the device k-step loop.
+    """
+
+    def __init__(self, trie: TokenTrie, eos_token_id: int):
+        if eos_token_id is None or eos_token_id < 0:
+            raise ValueError("device choice tables need a real EOS id")
+        self.trie = trie
+        self.eos = int(eos_token_id)
+        self.start = 0
+        self.machine = self  # DeviceTable calls table.machine.cost(state)
+        n = len(trie.children)
+        cost = [0] * n
+        # Trie children are created after their parent (strictly larger
+        # ids), so one reverse sweep sees every child before its parent.
+        for node in range(n - 1, 0 - 1, -1):
+            if trie.is_leaf[node]:
+                cost[node] = 0
+            else:
+                cost[node] = min(1 + cost[c]
+                                 for c in trie.children[node].values())
+        self._cost = cost
+        # A finished row needs no further tokens; min_tokens mirrors the
+        # GrammarTable attr the engines use to extend budgets.
+        self.min_tokens = cost[0]
+        self.prewarm_sids = tuple(range(n))
+        self.preferred_cap = n + 1  # slot 0 is the reserved FREE row
+        self.preferred_sid_cap = max(n, 1)
+
+    def state(self, sid: int) -> int:
+        return sid
+
+    def cost(self, st: int) -> int:
+        return self._cost[st]
+
+    def is_end(self, sid: int) -> bool:
+        return self.trie.done(sid)
+
+    def expand(self, sid: int):
+        items = sorted(self.trie.children[sid].items())
+        allowed = np.asarray([t for t, _ in items], np.int64)
+        ends = np.asarray([c for _, c in items], np.int64)
+        costs = np.asarray([self._cost[c] for _, c in items], np.int64)
+        return allowed, ends, costs
 
 
 def tokenize_choice(tokenizer, text: str) -> List[int]:

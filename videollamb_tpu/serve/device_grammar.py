@@ -93,10 +93,21 @@ class DeviceTable:
 
 
 def device_table_for(table, vocab_size: int) -> DeviceTable:
-    """One DeviceTable per GrammarTable, cached on the table (shared by
-    every request/engine using that tokenizer+grammar)."""
+    """One DeviceTable per grammar/choice table, cached on the table
+    (shared by every request/engine using that tokenizer+grammar).
+
+    Tables exposing ``preferred_cap``/``preferred_sid_cap`` (choice tries
+    — a handful of states) get a right-sized pool instead of the 192-row
+    grammar default, and ``prewarm_sids`` uploads every state at creation
+    so their scans never freeze."""
     dt = getattr(table, "_device_table", None)
     if dt is None or dt.V != int(vocab_size):
-        dt = DeviceTable(table, vocab_size)
+        dt = DeviceTable(
+            table, vocab_size,
+            cap=getattr(table, "preferred_cap", 192),
+            sid_cap=getattr(table, "preferred_sid_cap", 8192),
+        )
+        for sid in getattr(table, "prewarm_sids", ()):
+            dt.slot(sid)
         table._device_table = dt
     return dt

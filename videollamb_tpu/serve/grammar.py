@@ -516,6 +516,49 @@ def token_strings(tokenizer) -> List[Optional[str]]:
     return strs
 
 
+# Second-level grammar-table cache, keyed by CONTENT (grammar key + eos +
+# the token strings themselves). The first level lives on the tokenizer
+# instance; this level makes equal-content tokenizers — fresh wrapper
+# objects around the same vocab, one per request in some CLIs — share ONE
+# table object. Table identity matters beyond memory: the engines' device
+# setup (server._grammar_device_setup) requires every constrained slot in
+# a batch to ride the SAME table, so without this cache multi-request
+# batches built from distinct tokenizer objects silently fell back to the
+# per-step host-mask path (~4x slower; docs/PERFORMANCE.md).
+_CONTENT_TABLE_CACHE: dict = {}
+_CONTENT_TABLE_CACHE_CAP = 64
+
+
+def cached_grammar_table(tokenizer, key, build, token_strs=None):
+    """Two-level table lookup shared by every constraint factory
+    (json/regex/schema). ``key`` identifies the grammar (mode, pattern,
+    schema dump...); ``build(strs, eos)`` constructs the table on a full
+    miss. The instance level costs one dict lookup; the content level
+    hashes the token-string tuple (~1 ms at 32k vocab) once per request
+    admission — noise next to table construction (seconds)."""
+    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
+    if cache is None:
+        cache = {}
+        try:
+            tokenizer._videollamb_grammar_tables = cache
+        except (AttributeError, TypeError):
+            pass
+    table = cache.get(key)
+    if table is None:
+        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
+        strs = (list(token_strs) if token_strs is not None
+                else token_strings(tokenizer))
+        ckey = (key, eos, tuple(strs))
+        table = _CONTENT_TABLE_CACHE.get(ckey)
+        if table is None:
+            table = build(strs, eos)
+            if len(_CONTENT_TABLE_CACHE) >= _CONTENT_TABLE_CACHE_CAP:
+                _CONTENT_TABLE_CACHE.clear()
+            _CONTENT_TABLE_CACHE[ckey] = table
+        cache[key] = table
+    return table
+
+
 def json_constraint(
     tokenizer,
     *,
@@ -524,25 +567,16 @@ def json_constraint(
     token_strs: Optional[Sequence[Optional[str]]] = None,
 ) -> GrammarConstraint:
     """Build a JSON-mode constraint; the (expensive) table is cached on
-    the tokenizer object, so repeat requests share transitions."""
+    the tokenizer object AND content-keyed across tokenizer objects
+    (cached_grammar_table), so repeat requests share transitions and
+    batches share one table."""
     if mode not in ("json_object", "json"):
         raise ValueError(f"unknown grammar mode {mode!r}")
-    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
-    if cache is None:
-        cache = {}
-        try:
-            tokenizer._videollamb_grammar_tables = cache
-        except (AttributeError, TypeError):
-            pass
-    key = (mode, max_depth)
-    table = cache.get(key)
-    if table is None:
-        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
-        strs = list(token_strs) if token_strs is not None else token_strings(
-            tokenizer)
-        table = GrammarTable(
+    table = cached_grammar_table(
+        tokenizer, (mode, max_depth),
+        lambda strs, eos: GrammarTable(
             strs, eos,
             JsonMachine(top_object=(mode == "json_object"),
-                        max_depth=max_depth))
-        cache[key] = table
+                        max_depth=max_depth)),
+        token_strs=token_strs)
     return GrammarConstraint(table)

@@ -314,6 +314,62 @@ def paged_sampled_decode_steps_grammar(
     return out.T, logits, cache, invalid_at, frozen_logits, rng
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "total_pages", "filter_topkp",
+                          "top_k", "eos"),
+         donate_argnames=("cache",))
+def paged_sampled_decode_steps_grammar_controls(
+    params: Params, cfg, logits: jax.Array, cache: PagedKVCache, k: int,
+    total_pages: int, rng: jax.Array, temps: jax.Array, top_ks: jax.Array,
+    top_ps: jax.Array, bias: jax.Array, pres: jax.Array, freq: jax.Array,
+    counts0: jax.Array, min_left: jax.Array, pool_costs: jax.Array,
+    pool_next: jax.Array, sid2slot: jax.Array, slots0: jax.Array,
+    remaining0: jax.Array, eos: int, adapter_idx=None,
+    filter_topkp: bool = True, top_k: int = 0,
+):
+    """Paged twin of serve/server.sampled_decode_steps_grammar_controls:
+    grammar mask + count-dependent control adjustments + sample_rows per
+    step over the page pool (counts and grammar state carried on device,
+    rng carried; same op order as the dense scan)."""
+    from videollamb_tpu.serve.server import _lp_transpose
+
+    rowix = jnp.arange(logits.shape[0])
+
+    def body(carry, step):
+        (logits, cache, rng, counts, slot, remaining, invalid_at,
+         frozen_logits) = carry
+        adj = bias - freq[:, None] * counts - pres[:, None] * (counts > 0)
+        if eos >= 0:
+            adj = adj.at[:, eos].add(
+                jnp.where(step < min_left, np.float32(-1e9), 0.0))
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(
+            grammar_mask_logits(logits + adj, slot, remaining, pool_costs),
+            sub, temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
+        counts = counts.at[rowix, nxt].add(1.0)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None])
+        logits2, cache = paged_decode_step(
+            params["lm"], cfg.lm, tok_embeds, cache, total_pages,
+            adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        return (logits2, cache, rng, counts, new_slot, remaining - 1,
+                invalid_at, frozen_logits), out
+
+    b = logits.shape[0]
+    init = (logits, cache, rng, counts0, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, rng, _, _, _, invalid_at, frozen_logits), out = (
+        jax.lax.scan(body, init, jnp.arange(k, dtype=jnp.int32)))
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits, rng
+    return out.T, logits, cache, invalid_at, frozen_logits, rng
+
+
 @jax.jit
 def _paged_fix_frozen(logits, cache: PagedKVCache, frozen_mask,
                       frozen_logits, garbage):
@@ -912,6 +968,36 @@ class PagedServingEngine(ServingEngine):
         else:
             (toks, self.logits, self.cache, invalid_at, frozen_logits,
              self.rng) = paged_sampled_decode_steps_grammar(*args, **kw)
+            lp = None
+        self._host_len += k  # frozen rows rewound by _grammar_fix
+        return toks, lp, invalid_at, frozen_logits
+
+    def _grammar_scan_controls(self, k: int, dt, slots0, remaining0,
+                               top_k: int = 0):
+        from videollamb_tpu.serve.server import (
+            build_control_tensors,
+            slot_sampling_vectors,
+        )
+
+        vecs = slot_sampling_vectors(self.slots)
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        ctrl = build_control_tensors(self.slots, self.cfg.lm.vocab_size)
+        bias, pres, freq, counts0, min_left = (jnp.asarray(c) for c in ctrl)
+        args = (self.params, self.cfg, self.logits, self.cache, k,
+                self.total_pages, self.rng, temps, top_ks, top_ps, bias,
+                pres, freq, counts0, min_left, dt.costs, dt.next_sid,
+                dt.sid2slot, jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(eos=self.eos if self.eos is not None else -1,
+                  adapter_idx=self._live_adapter_idx(),
+                  filter_topkp=self._needs_filter(vecs))
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = paged_sampled_decode_steps_grammar_controls(
+                *args, top_k=top_k, **kw)
+        else:
+            (toks, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = paged_sampled_decode_steps_grammar_controls(
+                *args, **kw)
             lp = None
         self._host_len += k  # frozen rows rewound by _grammar_fix
         return toks, lp, invalid_at, frozen_logits

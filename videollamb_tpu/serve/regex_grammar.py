@@ -532,22 +532,11 @@ def regex_constraint(tokenizer, pattern: str, *,
     from videollamb_tpu.serve.grammar import (
         GrammarConstraint,
         GrammarTable,
-        token_strings,
+        cached_grammar_table,
     )
 
-    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
-    if cache is None:
-        cache = {}
-        try:
-            tokenizer._videollamb_grammar_tables = cache
-        except (AttributeError, TypeError):
-            pass
-    key = ("regex", pattern)
-    table = cache.get(key)
-    if table is None:
-        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
-        strs = (list(token_strs) if token_strs is not None
-                else token_strings(tokenizer))
-        table = GrammarTable(strs, eos, RegexMachine(pattern))
-        cache[key] = table
+    table = cached_grammar_table(
+        tokenizer, ("regex", pattern),
+        lambda strs, eos: GrammarTable(strs, eos, RegexMachine(pattern)),
+        token_strs=token_strs)
     return GrammarConstraint(table)

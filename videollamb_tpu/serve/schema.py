@@ -46,7 +46,6 @@ from videollamb_tpu.serve.grammar import (
     GrammarConstraint,
     GrammarTable,
     JsonMachine,
-    token_strings,
 )
 
 
@@ -681,24 +680,18 @@ def alternation_constraint(
 ) -> GrammarConstraint:
     """Constraint matching ANY of the given schemas (tables cached on the
     tokenizer by the canonical dump of the schema list)."""
-    key = ("alt_schema", json.dumps(list(schemas), sort_keys=True), max_depth)
-    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
-    if cache is None:
-        cache = {}
-        try:
-            tokenizer._videollamb_grammar_tables = cache
-        except (AttributeError, TypeError):
-            pass
-    table = cache.get(key)
-    if table is None:
+    from videollamb_tpu.serve.grammar import cached_grammar_table
+
+    def build(strs, eos):
         machines = [SchemaMachine(compile_schema(s), max_depth=max_depth)
                     for s in schemas]
         machine = machines[0] if len(machines) == 1 else AltMachine(machines)
-        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
-        strs = list(token_strs) if token_strs is not None else token_strings(
-            tokenizer)
-        table = GrammarTable(strs, eos, machine)
-        cache[key] = table
+        return GrammarTable(strs, eos, machine)
+
+    table = cached_grammar_table(
+        tokenizer,
+        ("alt_schema", json.dumps(list(schemas), sort_keys=True), max_depth),
+        build, token_strs=token_strs)
     return GrammarConstraint(table)
 
 
@@ -711,20 +704,13 @@ def schema_constraint(
 ) -> GrammarConstraint:
     """Build a schema-enforcing constraint; tables are cached on the
     tokenizer keyed by the canonical schema dump (shared across requests)."""
-    key = ("json_schema", json.dumps(schema, sort_keys=True), max_depth)
-    cache = getattr(tokenizer, "_videollamb_grammar_tables", None)
-    if cache is None:
-        cache = {}
-        try:
-            tokenizer._videollamb_grammar_tables = cache
-        except (AttributeError, TypeError):
-            pass
-    table = cache.get(key)
-    if table is None:
-        machine = SchemaMachine(compile_schema(schema), max_depth=max_depth)
-        eos = int(getattr(tokenizer, "eos_token_id", None) or 2)
-        strs = list(token_strs) if token_strs is not None else token_strings(
-            tokenizer)
-        table = GrammarTable(strs, eos, machine)
-        cache[key] = table
+    from videollamb_tpu.serve.grammar import cached_grammar_table
+
+    table = cached_grammar_table(
+        tokenizer,
+        ("json_schema", json.dumps(schema, sort_keys=True), max_depth),
+        lambda strs, eos: GrammarTable(
+            strs, eos,
+            SchemaMachine(compile_schema(schema), max_depth=max_depth)),
+        token_strs=token_strs)
     return GrammarConstraint(table)

@@ -474,6 +474,71 @@ def sampled_decode_steps_grammar(
     return out.T, logits, cache, invalid_at, frozen_logits, rng
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "k", "filter_topkp", "top_k", "eos"),
+         donate_argnames=("cache",))
+def sampled_decode_steps_grammar_controls(
+    params: Params, cfg, logits: jax.Array, cache: KVCache, k: int,
+    rng: jax.Array, temps: jax.Array, top_ks: jax.Array, top_ps: jax.Array,
+    bias: jax.Array, pres: jax.Array, freq: jax.Array, counts0: jax.Array,
+    min_left: jax.Array, pool_costs: jax.Array, pool_next: jax.Array,
+    sid2slot: jax.Array, slots0: jax.Array, remaining0: jax.Array,
+    eos: int, adapter_idx=None, filter_topkp: bool = True, top_k: int = 0,
+):
+    """Grammar constraints AND count-dependent sampling controls in ONE
+    device scan — the last decode class that used to leave the k-step
+    loop (JSON mode + penalties, constrained rows with logit_bias...).
+    Per step: adjusted = logits + bias - freq*counts - pres*[count>0]
+    (EOS softly suppressed under min_tokens), then the budget-aware
+    grammar mask, then the shared sample_rows draw (temp==0 rows argmax —
+    all-greedy control batches ride the same graph), then the machine
+    transition. Masking composes with the adjustments exactly as the host
+    path's additive (logits + cmask + adj): the -inf mask excludes the
+    same token set regardless of finite adjustments, and grammar forced
+    closing still beats the soft (-1e9) EOS suppression. Counts are
+    carried on device; freeze-garbage steps may pollute them, but callers
+    rebuild counts from committed tokens each sync so nothing persists.
+    Logprobs (``top_k`` > 0) report the BASE distribution. Returns
+    (tokens, [logprob data,] logits, cache, invalid_at, frozen_logits,
+    rng)."""
+    rowix = jnp.arange(logits.shape[0])
+
+    def body(carry, step):
+        (logits, cache, rng, counts, slot, remaining, invalid_at,
+         frozen_logits) = carry
+        adj = bias - freq[:, None] * counts - pres[:, None] * (counts > 0)
+        if eos >= 0:
+            adj = adj.at[:, eos].add(
+                jnp.where(step < min_left, np.float32(-1e9), 0.0))
+        rng, sub = jax.random.split(rng)
+        nxt = sample_rows(
+            grammar_mask_logits(logits + adj, slot, remaining, pool_costs),
+            sub, temps, top_ks, top_ps, filter_topkp=filter_topkp)
+        out = (nxt,) + logprobs_of(logits, nxt, top_k) if top_k else nxt
+        counts = counts.at[rowix, nxt].add(1.0)
+        new_slot, invalid_at = grammar_transition(
+            nxt, slot, invalid_at, step, k, pool_next, sid2slot)
+        tok_embeds = embed_tokens(params["lm"], nxt[:, None]).astype(
+            cache.k.dtype)
+        logits2, cache = llama_decode_step(params["lm"], cfg.lm, tok_embeds,
+                                           cache, adapter_idx=adapter_idx)
+        frozen_logits = jnp.where((invalid_at == step)[:, None],
+                                  logits2, frozen_logits)
+        carry = (logits2, cache, rng, counts, new_slot, remaining - 1,
+                 invalid_at, frozen_logits)
+        return carry, out
+
+    b = logits.shape[0]
+    init = (logits, cache, rng, counts0, slots0, remaining0,
+            jnp.full((b,), k, jnp.int32), jnp.zeros_like(logits))
+    (logits, cache, rng, _, _, _, invalid_at, frozen_logits), out = (
+        jax.lax.scan(body, init, jnp.arange(k, dtype=jnp.int32)))
+    if top_k:
+        toks, lp = _lp_transpose(out)
+        return toks, lp, logits, cache, invalid_at, frozen_logits, rng
+    return out.T, logits, cache, invalid_at, frozen_logits, rng
+
+
 @jax.jit
 def _fix_frozen_rows(logits, cache, frozen_mask, frozen_logits, garbage):
     """Restore frozen rows after a grammar scan: logits from the last
@@ -491,10 +556,10 @@ class Request:
     max_new_tokens: int = 128
     temperature: float = 0.0
     top_p: float = 1.0
-    # Sampling controls (OpenAI surface + common extensions). Requests
-    # carrying any of these decode on the per-step path (the adjustments
-    # depend on the generated counts); control-free batches keep the
-    # device k-step loop. Semantics (vLLM-convention, documented in
+    # Sampling controls (OpenAI surface + common extensions). The device
+    # k-step scans carry the generated-token counts, so control-carrying
+    # requests stay in the device loop (with or without a grammar/choice
+    # constraint). Semantics (vLLM-convention, documented in
     # docs/SERVING.md): adjusted = logits + logit_bias
     #   - presence_penalty * 1[count > 0] - frequency_penalty * count,
     # counts over GENERATED tokens only; EOS is suppressed (softly, so
@@ -522,7 +587,9 @@ class Request:
     adapter: Optional[str] = None
     # Constrained decoding (serve/constrained.py): token-id sequences the
     # output must be one of (host CLIs tokenize strings into these).
-    # Constrained rows decode one step per host sync (per-step masks).
+    # Choice tries ride the device grammar scan when every constrained
+    # slot shares one choice-set signature (the MC-eval shape); mixed
+    # tables fall back to per-step host masks.
     choices: Optional[List[List[int]]] = None
     # Grammar-constrained decoding (serve/grammar.py): a pre-built
     # GrammarConstraint (the tokenizer lives host-side, so CLIs/HTTP build
@@ -841,10 +908,34 @@ class ServingEngine:
             return
         if not req.choices:
             return
-        from videollamb_tpu.serve.constrained import ChoiceConstraint, TokenTrie
+        from videollamb_tpu.serve.constrained import (
+            ChoiceConstraint,
+            ChoiceTable,
+            TokenTrie,
+        )
 
-        trie = TokenTrie(req.choices)
-        req._constraint = ChoiceConstraint(trie, eos_token_id=self.eos)
+        # Choice tables are cached per choice-set SIGNATURE: a batch of
+        # same-choice requests (the constrained MC-eval shape — every row
+        # offers the same option letters) then shares ONE table and rides
+        # the device grammar scan instead of per-step host masks.
+        table = None
+        trie = None
+        if self.eos is not None and self.eos >= 0:
+            sig = tuple(tuple(int(t) for t in c) for c in req.choices)
+            cache = getattr(self, "_choice_tables", None)
+            if cache is None:
+                cache = self._choice_tables = {}
+            table = cache.get(sig)
+            if table is None:
+                if len(cache) >= 256:  # bound the per-engine table cache
+                    cache.clear()
+                table = cache[sig] = ChoiceTable(TokenTrie(req.choices),
+                                                 self.eos)
+            trie = table.trie
+        if trie is None:
+            trie = TokenTrie(req.choices)
+        req._constraint = ChoiceConstraint(trie, eos_token_id=self.eos,
+                                           table=table)
         req.max_new_tokens = max(req.max_new_tokens, trie.max_len)
 
     def _live_adapter_idx(self):
@@ -1128,17 +1219,21 @@ class ServingEngine:
                 )
             return self._commit_k_tokens(np.asarray(toks), lp_host, k, dropped)
 
-        if k > 1 and no_controls:
-            # Grammar-constrained rows can stay in the device loop: state
-            # tables live in HBM (serve/device_grammar.py) and the scan
-            # masks/transitions by state slot — no per-token host sync.
-            # Sampled batches route through the sampled grammar scan
-            # (guaranteed-valid JSON with temperature, still on device);
-            # logprob extraction rides either scan (base distribution).
+        if k > 1:
+            # Constrained rows can stay in the device loop: state tables
+            # (JSON grammars AND choice-set tries) live in HBM
+            # (serve/device_grammar.py) and the scan masks/transitions by
+            # state slot — no per-token host sync. Sampled batches route
+            # through the sampled grammar scan (guaranteed-valid JSON with
+            # temperature, still on device); count-dependent sampling
+            # controls ride the combined grammar+controls scan; logprob
+            # extraction rides any of them (base distribution).
             setup = self._grammar_device_setup()
             if setup is not None:
-                return self._step_device_grammar(k, setup, dropped,
-                                                 sampled=not all_greedy)
+                return self._step_device_grammar(
+                    k, setup, dropped,
+                    sampled=not all_greedy or not no_controls,
+                    with_controls=not no_controls)
 
         if k > 1 and unconstrained:
             # Sampled (or mixed greedy/sampled) batches stay in the device
@@ -1204,26 +1299,27 @@ class ServingEngine:
 
     def _grammar_device_setup(self):
         """(DeviceTable, slots0, remaining0) when every constrained slot
-        is a GrammarConstraint on ONE shared table and the HBM pool has
-        room; None -> the per-step host-mask path. Unconstrained rows ride
-        the reserved FREE slot 0."""
+        rides ONE shared device table — a GrammarConstraint's grammar
+        table or a ChoiceConstraint's choice trie (both speak the
+        serve/device_grammar protocol) — and the HBM pool has room; None
+        -> the per-step host-mask path. Unconstrained rows ride the
+        reserved FREE slot 0."""
         from videollamb_tpu.serve.device_grammar import (
             FREE_REMAINING,
             device_table_for,
         )
-        from videollamb_tpu.serve.grammar import GrammarConstraint
 
         table = None
         for r in self.slots:
             c = getattr(r, "_constraint", None) if r is not None else None
             if c is None:
                 continue
-            if not isinstance(c, GrammarConstraint) or c.node is None:
+            if getattr(c, "table", None) is None or c.node is None:
                 return None
             if table is None:
                 table = c.table
             elif c.table is not table:
-                return None  # mixed grammars in one batch: host path
+                return None  # mixed tables in one batch: host path
         if table is None:
             return None
         dt = device_table_for(table, self.cfg.lm.vocab_size)
@@ -1276,6 +1372,30 @@ class ServingEngine:
          self.rng) = sampled_decode_steps_grammar(*args, **kw)
         return toks, None, invalid_at, frozen_logits
 
+    def _grammar_scan_controls(self, k: int, dt, slots0, remaining0,
+                               top_k: int = 0):
+        """Grammar + sampling-controls twin of _grammar_scan (counts AND
+        grammar state carried on device). Overridden by the paged engine."""
+        vecs = slot_sampling_vectors(self.slots)
+        temps, top_ks, top_ps = (jnp.asarray(v) for v in vecs)
+        ctrl = build_control_tensors(self.slots, self.cfg.lm.vocab_size)
+        bias, pres, freq, counts0, min_left = (jnp.asarray(c) for c in ctrl)
+        args = (self.params, self.cfg, self.logits, self.cache, k, self.rng,
+                temps, top_ks, top_ps, bias, pres, freq, counts0, min_left,
+                dt.costs, dt.next_sid, dt.sid2slot,
+                jnp.asarray(slots0), jnp.asarray(remaining0))
+        kw = dict(eos=self.eos if self.eos is not None else -1,
+                  adapter_idx=self._live_adapter_idx(),
+                  filter_topkp=self._needs_filter(vecs))
+        if top_k:
+            (toks, lp, self.logits, self.cache, invalid_at, frozen_logits,
+             self.rng) = sampled_decode_steps_grammar_controls(
+                *args, top_k=top_k, **kw)
+            return toks, lp, invalid_at, frozen_logits
+        (toks, self.logits, self.cache, invalid_at, frozen_logits,
+         self.rng) = sampled_decode_steps_grammar_controls(*args, **kw)
+        return toks, None, invalid_at, frozen_logits
+
     def _grammar_fix(self, frozen: np.ndarray, frozen_logits,
                      garbage: np.ndarray) -> None:
         """Repair frozen rows post-scan (logits restore + length rewind)."""
@@ -1284,14 +1404,21 @@ class ServingEngine:
             jnp.asarray(garbage))
 
     def _step_device_grammar(self, k: int, setup, dropped,
-                             sampled: bool = False) -> List[Request]:
+                             sampled: bool = False,
+                             with_controls: bool = False) -> List[Request]:
         """k-step decode with on-device grammar enforcement; commits the
         valid prefixes, then repairs rows that froze on a first-visit
         state (logits restore + cache-length rewind — see
         greedy_decode_steps_grammar). ``sampled`` routes through the
-        sampled scan (grammar mask + sample_rows per step)."""
+        sampled scan (grammar mask + sample_rows per step);
+        ``with_controls`` through the combined grammar+controls scan."""
         dt, slots0, remaining0 = setup
-        scan = self._grammar_scan_sampled if sampled else self._grammar_scan
+        if with_controls:
+            scan = self._grammar_scan_controls
+        elif sampled:
+            scan = self._grammar_scan_sampled
+        else:
+            scan = self._grammar_scan
         top_k = TOP_LOGPROBS_K if self._wants_logprobs() else 0
         toks, lp, invalid_at, frozen_logits = scan(k, dt, slots0, remaining0,
                                                    top_k)
