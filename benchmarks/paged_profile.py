@@ -55,6 +55,10 @@ def main(argv=None) -> dict:
         total_pages = None
 
     engine, cfg, params = make_engine(LoadArgs())
+    def emit(k, v):
+        out[k] = v
+        print(json.dumps({k: v}), flush=True)
+
     out = {"ctx": cfg.max_length, "page_size": engine.page_size,
            "total_pages": engine.total_pages,
            "pages_per_seq": engine.pages_per_seq}
@@ -87,8 +91,8 @@ def main(argv=None) -> dict:
             engine.run_until_drained(k=8)
         return float(np.median(ts))
 
-    out["admit_text_s"] = round(time_admissions(reqs, args.reps), 4)
-    out["admit_video_s"] = round(time_admissions(vreqs, args.reps), 4)
+    emit("admit_text_s", round(time_admissions(reqs, args.reps), 4))
+    emit("admit_video_s", round(time_admissions(vreqs, args.reps), 4))
 
     # --- step cost at full occupancy.
     for i in range(args.slots):
@@ -100,10 +104,17 @@ def main(argv=None) -> dict:
     for _ in range(nsteps):
         engine.step(k=4)
     jax.block_until_ready(engine.logits)
-    out["step_k4_s"] = round((time.perf_counter() - t0) / nsteps, 4)
+    emit("step_k4_s", round((time.perf_counter() - t0) / nsteps, 4))
     out["step_ms_per_token_row"] = round(
         1000 * out["step_k4_s"] / 4, 2)
     engine.run_until_drained(k=8)
+    # Free the engine pool before the standalone allocations (the two
+    # together exceeded HBM next to the 7B weights — first run OOMed).
+    page_size, total_pages, pps = (engine.page_size, engine.total_pages,
+                                   engine.pages_per_seq)
+    del engine
+    import gc
+    gc.collect()
 
     # --- paged_insert standalone (the pool-copy hypothesis): insert a
     # prompt_len-token single cache into pools of growing size.
@@ -115,10 +126,9 @@ def main(argv=None) -> dict:
 
     single = init_kv_cache(cfg.lm, 1, cfg.max_length, jnp.bfloat16)
     single = single._replace(length=jnp.asarray([args.prompt_len]))
-    pps = engine.pages_per_seq
-    for total in (engine.total_pages // 4, engine.total_pages):
+    for total in (total_pages // 4, total_pages):
         cache = init_paged_cache(cfg.lm, args.slots, total,
-                                 page_size=engine.page_size,
+                                 page_size=page_size,
                                  pages_per_seq=pps, quantize=True)
         ids = np.full((pps,), 0, np.int32)
         ids[: pps] = np.arange(1, pps + 1)
@@ -130,8 +140,8 @@ def main(argv=None) -> dict:
         for _ in range(args.reps):
             c2 = f(cache, single)
             jax.block_until_ready(c2.k_pages)
-        out[f"paged_insert_p{total}_s"] = round(
-            (time.perf_counter() - t0) / args.reps, 4)
+        emit(f"paged_insert_p{total}_s", round(
+            (time.perf_counter() - t0) / args.reps, 4))
 
     # --- chunked_prefill standalone at the spliced prompt shape.
     from videollamb_tpu.models.lm.llama import chunked_prefill
@@ -152,8 +162,8 @@ def main(argv=None) -> dict:
         for _ in range(args.reps):
             logits, c2 = f(emb, mask, sc, length)
             jax.block_until_ready(logits)
-        out[f"chunked_prefill_{tag}_s"] = round(
-            (time.perf_counter() - t0) / args.reps, 4)
+        emit(f"chunked_prefill_{tag}_s", round(
+            (time.perf_counter() - t0) / args.reps, 4))
 
     print(json.dumps(out))
     return out

@@ -73,7 +73,9 @@ def _proj(kernel, x: jax.Array) -> jax.Array:
         m = 1
         for s in lead:
             m *= s
-        if jax.default_backend() == "tpu" and m <= 64:
+        from videollamb_tpu.ops.attention import use_tpu_kernels
+
+        if use_tpu_kernels() and m <= 64:
             x2 = x.reshape(m, x.shape[-1])
             pad = 8 - m % 8 if m % 8 else 0
             if pad:

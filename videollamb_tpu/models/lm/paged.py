@@ -51,18 +51,31 @@ TRASH_PAGE = 0
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: jax.Array  # (L, H_kv, total_pages, page_size, Dh); int8 if quantized
-    v_pages: jax.Array  # (L, H_kv, total_pages, page_size, Dh)
+    # bf16 pools are HEAD-MAJOR (L, H_kv, total_pages, page_size, Dh) —
+    # the stock Pallas kernel's layout. int8 pools are TOKEN-MAJOR
+    # (L, total_pages, page_size, H_kv*Dh) with per-token scales
+    # (L, total_pages, page_size, H_kv) — the gathered int8 kernel's
+    # layout (ops/gathered_paged_attention.py). ``token_major`` /
+    # ``page_axis`` discriminate by ndim.
+    k_pages: jax.Array
+    v_pages: jax.Array
     page_table: jax.Array  # (B_slots, pages_per_seq) int32 logical page ids
     lengths: jax.Array  # (B_slots,) int32 tokens written per slot
-    # int8 KV quantization (halves pool HBM + decode KV bandwidth): per-token
-    # per-head absmax scales, trailing dim 1 (stock QuantizedTensor layout).
-    k_scales: Optional[jax.Array] = None  # (L, H_kv, total_pages, page_size, 1)
+    k_scales: Optional[jax.Array] = None
     v_scales: Optional[jax.Array] = None
 
     @property
+    def token_major(self) -> bool:
+        return self.k_pages.ndim == 4
+
+    @property
+    def page_axis(self) -> int:
+        """Axis of the total_pages dim in k_pages/v_pages (and scales)."""
+        return 1 if self.token_major else 2
+
+    @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages.shape[2 if self.token_major else 3]
 
     @property
     def pages_per_seq(self) -> int:
@@ -70,7 +83,7 @@ class PagedKVCache(NamedTuple):
 
 
 def total_pages_of(cache: PagedKVCache, cfg: LlamaConfig) -> int:
-    return cache.k_pages.shape[2]
+    return cache.k_pages.shape[cache.page_axis]
 
 
 def init_paged_cache(
@@ -84,19 +97,28 @@ def init_paged_cache(
 ) -> PagedKVCache:
     """``total_pages`` logical pages shared by all slots (page 0 = trash).
 
-    ``quantize=True`` stores int8 pages + per-token absmax scales."""
+    ``quantize=True`` stores int8 pages + per-token absmax scales in the
+    TOKEN-MAJOR layout ``(L, P, page, H_kv*Dh)`` with scales ``(L, P,
+    page, H_kv)`` — a token's every head contiguous, which is what the
+    gathered int8 decode kernel (ops/gathered_paged_attention.py) DMAs as
+    a direct matmul operand. bf16 pools keep the head-major layout
+    ``(L, H_kv, P, page, Dh)`` the stock Pallas kernel requires."""
     pps = pages_per_seq or total_pages
-    shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, total_pages,
-             page_size, cfg.head_dim)
     if quantize:
+        kd = cfg.num_key_value_heads * cfg.head_dim
+        shape = (cfg.num_hidden_layers, total_pages, page_size, kd)
         return PagedKVCache(
             k_pages=jnp.zeros(shape, jnp.int8),
             v_pages=jnp.zeros(shape, jnp.int8),
             page_table=jnp.full((num_slots, pps), TRASH_PAGE, jnp.int32),
             lengths=jnp.zeros((num_slots,), jnp.int32),
-            k_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
-            v_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            k_scales=jnp.zeros(shape[:-1] + (cfg.num_key_value_heads,),
+                               jnp.float32),
+            v_scales=jnp.zeros(shape[:-1] + (cfg.num_key_value_heads,),
+                               jnp.float32),
         )
+    shape = (cfg.num_hidden_layers, cfg.num_key_value_heads, total_pages,
+             page_size, cfg.head_dim)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
@@ -126,6 +148,32 @@ def _scatter_pages(
 
     ids = page_ids[skip_pages:n_copy]  # logical == physical (layer-major)
 
+    if cache.token_major:  # int8 token-major pool
+        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+            get_quantization_scales, to_int8,
+        )
+
+        def tm_rows(dense):
+            # dense (L, s_single, H_kv, Dh) -> (L, n, page, H_kv, Dh)
+            return dense[:, skip_pages * page: n_copy * page].reshape(
+                l_layers, n_copy - skip_pages, page, h_kv, dh)
+
+        k_src, v_src = tm_rows(single.k[:, 0]), tm_rows(single.v[:, 0])
+        ks = get_quantization_scales(k_src.astype(jnp.float32))  # (...,1)
+        vs = get_quantization_scales(v_src.astype(jnp.float32))
+        k_i8 = to_int8(k_src.astype(jnp.float32), ks).reshape(
+            l_layers, n_copy - skip_pages, page, h_kv * dh)
+        v_i8 = to_int8(v_src.astype(jnp.float32), vs).reshape(
+            l_layers, n_copy - skip_pages, page, h_kv * dh)
+        return cache._replace(
+            k_pages=cache.k_pages.at[:, ids].set(
+                k_i8.astype(cache.k_pages.dtype), mode="drop"),
+            v_pages=cache.v_pages.at[:, ids].set(
+                v_i8.astype(cache.v_pages.dtype), mode="drop"),
+            k_scales=cache.k_scales.at[:, ids].set(ks[..., 0], mode="drop"),
+            v_scales=cache.v_scales.at[:, ids].set(vs[..., 0], mode="drop"),
+        )
+
     def rows_of(dense):
         # dense: (L, s_single, H_kv, Dh) -> (L, H_kv, n_copy-skip, page, Dh)
         src = dense[:, skip_pages * page: n_copy * page].reshape(
@@ -136,23 +184,9 @@ def _scatter_pages(
         return pool.at[:, :, ids].set(src.astype(pool.dtype), mode="drop")
 
     k_src, v_src = rows_of(single.k[:, 0]), rows_of(single.v[:, 0])
-    k_scales, v_scales = cache.k_scales, cache.v_scales
-    if cache.k_scales is not None:
-        from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
-            get_quantization_scales, to_int8,
-        )
-
-        ks = get_quantization_scales(k_src.astype(jnp.float32))
-        vs = get_quantization_scales(v_src.astype(jnp.float32))
-        k_scales = cache.k_scales.at[:, :, ids].set(ks, mode="drop")
-        v_scales = cache.v_scales.at[:, :, ids].set(vs, mode="drop")
-        k_src = to_int8(k_src.astype(jnp.float32), ks)
-        v_src = to_int8(v_src.astype(jnp.float32), vs)
     return cache._replace(
         k_pages=scatter(cache.k_pages, k_src),
         v_pages=scatter(cache.v_pages, v_src),
-        k_scales=k_scales,
-        v_scales=v_scales,
     )
 
 
@@ -200,7 +234,11 @@ def gather_slot_pages(cache: PagedKVCache, page_ids: jax.Array):
     so recompiles are bounded by log2(pages_per_seq). Returns the raw page
     contents ``(k, v, k_scales, v_scales)`` — int8 pages stay int8 with
     their scales, so a swap-out/swap-in round trip through host memory is
-    bit-exact."""
+    bit-exact. The page dim sits at ``cache.page_axis`` in each returned
+    array (1 token-major, 2 head-major)."""
+    if cache.token_major:
+        return (cache.k_pages[:, page_ids], cache.v_pages[:, page_ids],
+                cache.k_scales[:, page_ids], cache.v_scales[:, page_ids])
     k = cache.k_pages[:, :, page_ids]
     v = cache.v_pages[:, :, page_ids]
     ks = cache.k_scales[:, :, page_ids] if cache.k_scales is not None else None
@@ -222,6 +260,17 @@ def insert_raw_pages(
     Padded entries write their garbage into the trash page. No
     requantization happens — int8 pages and their scales are restored
     verbatim."""
+    if cache.token_major:
+        return cache._replace(
+            k_pages=cache.k_pages.at[:, page_ids].set(
+                k_src.astype(cache.k_pages.dtype), mode="drop"),
+            v_pages=cache.v_pages.at[:, page_ids].set(
+                v_src.astype(cache.v_pages.dtype), mode="drop"),
+            k_scales=cache.k_scales.at[:, page_ids].set(
+                k_scales, mode="drop"),
+            v_scales=cache.v_scales.at[:, page_ids].set(
+                v_scales, mode="drop"),
+        )
     cache = cache._replace(
         k_pages=cache.k_pages.at[:, :, page_ids].set(
             k_src.astype(cache.k_pages.dtype), mode="drop"),
@@ -265,9 +314,15 @@ def paged_decode_step(
     Each row's token lands at (page_table[row, len//page], len%page); the
     caller must have a real page allocated there (the engine allocates
     ahead). Returns (logits (B, V), cache with lengths+1)."""
+    from videollamb_tpu.ops.gathered_paged_attention import (
+        _pick_ppb,
+        attend_token_major_int8_stats,
+    )
+    from videollamb_tpu.parallel.kernel_partition import (
+        gathered_paged_attention_int8_spmd as gathered_paged_attention_int8,
+    )
     from videollamb_tpu.ops.paged_attention_stats import (
         attend_paged_with_stats_xla,
-        attend_pool_int8_stats,
         merge_one_token,
         paged_attention_with_stats,
     )
@@ -289,23 +344,23 @@ def paged_decode_step(
     kp, vp = cache.k_pages, cache.v_pages
     kp_s, vp_s = cache.k_scales, cache.v_scales
     quantized = kp_s is not None
-    # Dispatch (regimes measured on v5e at 7B; round-3 continuation
-    # remeasured the whole envelope): int8 pages ALWAYS take the
-    # shared-pool int8 MXU path. The original heuristic kept the stock
-    # Pallas kernel for big pools on the theory that reading only active
-    # pages wins there — measured false at every practical shape: the
-    # kernel's (1, B, H_kv) grid overhead grows with BOTH slots and
-    # context (59.8 ms/step at 24x512ctx, 107.6 at 8x3072ctx) while
-    # pool-int8 measures 27.7 and 30.7 ms/step at the same shapes
-    # (aggregate 867 vs 401 and 261 vs 74 tok/s). Pool-int8 compute does
-    # grow with B x total_pages, so extreme pools (many slots x very long
-    # contexts) eventually need a better kernel — docs/PERFORMANCE.md has
-    # the sweep. Short bf16 contexts prefer the XLA gather; long bf16
-    # contexts keep the stock kernel (gather materializes the pool in
-    # float).
-    on_tpu = jax.default_backend() == "tpu"
-    use_pool_int8 = quantized
-    use_kernel = (on_tpu and dh % 128 == 0 and not use_pool_int8
+    # Dispatch (regimes measured on v5e at 7B): int8 pools are
+    # token-major and take the GATHERED int8 kernel
+    # (ops/gathered_paged_attention.py) — each slot reads only its own
+    # pages with all heads packed into one MXU matmul per block, so
+    # compute and bandwidth track sum_b len_b (the r3 pool-int8 path
+    # cost B x pool; the stock kernel cost a (1, B, H_kv) matvec grid —
+    # docs/PERFORMANCE.md has the sweep). Off-TPU (tests) and non-128
+    # head dims use the XLA statement of the same contract. Short bf16
+    # contexts prefer the XLA gather; long bf16 contexts keep the stock
+    # kernel (gather materializes the pool in float).
+    from videollamb_tpu.ops.attention import use_tpu_kernels
+
+    on_tpu = use_tpu_kernels()
+    gathered_ppb = _pick_ppb(pps, page) if quantized else 1
+    use_gathered_kernel = (quantized and on_tpu and dh % 128 == 0
+                           and (gathered_ppb * page) % 32 == 0)
+    use_kernel = (on_tpu and dh % 128 == 0 and not quantized
                   and pps >= 16)
     block = 8
     while pps % block:
@@ -330,8 +385,13 @@ def paged_decode_step(
         def layer_pool(pool):
             return jax.lax.dynamic_index_in_dim(pool, l, 0, keepdims=False)
 
-        if use_pool_int8:
-            o_old, m_old, l_old = attend_pool_int8_stats(
+        if quantized and use_gathered_kernel:
+            o_old, m_old, l_old = gathered_paged_attention_int8(
+                q, layer_pool(kp), layer_pool(vp), cache.page_table, pos,
+                layer_pool(kp_s), layer_pool(vp_s),
+                pages_per_block=gathered_ppb)
+        elif quantized:
+            o_old, m_old, l_old = attend_token_major_int8_stats(
                 q, layer_pool(kp), layer_pool(vp), cache.page_table, pos,
                 layer_pool(kp_s), layer_pool(vp_s))
         elif use_kernel:
@@ -373,18 +433,20 @@ def paged_decode_step(
         hidden = hidden + _lproj(lp, "down_proj", gate * up, adapter_idx)
 
         # Stack this layer's fresh K/V for the single post-loop scatter.
-        k_vals = k_new.transpose(1, 0, 2)  # (H_kv, B, Dh)
-        v_vals = v_new.transpose(1, 0, 2)
-        if quantized:
+        if quantized:  # token-major: (B, H_kv*Dh) rows + (B, H_kv) scales
             from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
                 get_quantization_scales, to_int8,
             )
 
-            ks = get_quantization_scales(k_vals.astype(jnp.float32))
-            vs = get_quantization_scales(v_vals.astype(jnp.float32))
-            k_vals = to_int8(k_vals.astype(jnp.float32), ks).astype(kp.dtype)
-            v_vals = to_int8(v_vals.astype(jnp.float32), vs).astype(vp.dtype)
-            return hidden, (k_vals, v_vals, ks, vs)
+            ks = get_quantization_scales(k_new.astype(jnp.float32))
+            vs = get_quantization_scales(v_new.astype(jnp.float32))
+            k_vals = to_int8(k_new.astype(jnp.float32), ks).astype(
+                kp.dtype).reshape(b, h_kv * dh)
+            v_vals = to_int8(v_new.astype(jnp.float32), vs).astype(
+                vp.dtype).reshape(b, h_kv * dh)
+            return hidden, (k_vals, v_vals, ks[..., 0], vs[..., 0])
+        k_vals = k_new.transpose(1, 0, 2)  # (H_kv, B, Dh)
+        v_vals = v_new.transpose(1, 0, 2)
         return hidden, (k_vals.astype(kp.dtype), v_vals.astype(vp.dtype))
 
     n_layers = cfg.num_hidden_layers
@@ -410,14 +472,26 @@ def paged_decode_step(
                     (layer, 0, write_logical[i], write_off[i], 0))
         return pool
 
+    def scatter_tm(pool, vals):
+        # vals: (L, B, last) -> token-major pool (L, P, page, last)
+        for i in range(b):
+            for layer in range(n_layers):
+                upd = vals[layer, i][None, None, None, :]
+                pool = jax.lax.dynamic_update_slice(
+                    pool, upd.astype(pool.dtype),
+                    (layer, write_logical[i], write_off[i], 0))
+        return pool
+
     if quantized:
         k_vals, v_vals, ks, vs = fresh
-        kp_s = scatter(kp_s, ks)
-        vp_s = scatter(vp_s, vs)
+        kp_s = scatter_tm(kp_s, ks)
+        vp_s = scatter_tm(vp_s, vs)
+        kp = scatter_tm(kp, k_vals)
+        vp = scatter_tm(vp, v_vals)
     else:
         k_vals, v_vals = fresh
-    kp = scatter(kp, k_vals)
-    vp = scatter(vp, v_vals)
+        kp = scatter(kp, k_vals)
+        vp = scatter(vp, v_vals)
     return logits, PagedKVCache(
         k_pages=kp, v_pages=vp,
         page_table=cache.page_table, lengths=cache.lengths + 1,

@@ -74,7 +74,9 @@ def _clip_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     head_dim = d // num_heads
     scale = head_dim**-0.5
 
-    if jax.default_backend() == "tpu":
+    from videollamb_tpu.ops.attention import use_tpu_kernels
+
+    if use_tpu_kernels():
         # Packed layout end to end: q/k/v stay (B, N, D) as the GEMMs
         # produce them; the kernel lane-slices heads internally — zero
         # relayouts in the whole spatial block (ops/spatial_attention.py).
@@ -103,7 +105,9 @@ def _use_fused_temporal(cfg: VisionConfig, t: int) -> bool:
     """Fused Pallas temporal attention: TPU only, and only when the head
     pack (t * heads) lands on whole sublane tiles (always true for the
     production tower: 8 * 16 = 128)."""
-    if not jax.default_backend() == "tpu":
+    from videollamb_tpu.ops.attention import use_tpu_kernels
+
+    if not use_tpu_kernels():
         return False
     return (t * cfg.num_attention_heads) % 8 == 0
 

@@ -30,6 +30,20 @@ def _backend() -> str:
     return jax.default_backend()
 
 
+def use_tpu_kernels() -> bool:
+    """One switch for every Pallas-attention dispatch. False on
+    non-TPU backends, and force-off via VIDEOLLAMB_FORCE_XLA_ATTN=1 —
+    needed by tools/aot_memory.py: topology-only AOT compiles cannot
+    emit custom_partitioning ops (no runtime to host the callbacks), so
+    the memory certificate uses the XLA statements, a strict upper
+    bound on the kernels' live memory."""
+    import os
+
+    if os.environ.get("VIDEOLLAMB_FORCE_XLA_ATTN") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def multihead_attention(
     q: jax.Array,  # (B, Sq, H, Dh)
     k: jax.Array,  # (B, Skv, Hkv, Dh)
@@ -55,7 +69,7 @@ def multihead_attention(
         scale = 1.0 / math.sqrt(dh)
 
     if impl == "auto":
-        impl = "pallas" if _backend() == "tpu" else "xla"
+        impl = "pallas" if use_tpu_kernels() else "xla"
     if segment_ids is not None and impl == "pallas":
         # The flash kernel has no segment lane; the chunked online-softmax
         # path computes identical math with block-diagonal masking.
@@ -67,9 +81,12 @@ def multihead_attention(
         if hkv != h:
             k = jnp.repeat(k, h // hkv, axis=2)
             v = jnp.repeat(v, h // hkv, axis=2)
-        from videollamb_tpu.ops.flash_attention import flash_attention
+        # Via the custom_partitioning wrapper: GSPMD configs shard batch
+        # and heads instead of erroring on the Mosaic call
+        # (parallel/kernel_partition.py).
+        from videollamb_tpu.parallel.kernel_partition import flash_attention_spmd
 
-        out = flash_attention(
+        out = flash_attention_spmd(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), k_mask, causal=causal, scale=scale,
         )

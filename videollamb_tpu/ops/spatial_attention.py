@@ -76,8 +76,15 @@ def spatial_core_packed(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) ->
     lowers a 64-lane slice of a VMEM tile without a relayout copy —
     verified on v5e). Kills the 4 per-layer (B, N, H, e) <-> (B, H, N, e)
     relayouts of the split-layout path: measured 6.75 vs 10.04 ms per
-    ViT-L layer at batch 256, bit-identical output."""
-    return fused_spatial_core_packed(q, k, v, heads=heads)
+    ViT-L layer at batch 256, bit-identical output.
+
+    Routed through the custom_partitioning wrapper so GSPMD configs
+    (FSDP / FSDP+TP via jit-with-shardings) can shard the batch dim and
+    split D by whole heads instead of erroring on the Mosaic call
+    (parallel/kernel_partition.py)."""
+    from videollamb_tpu.parallel.kernel_partition import spatial_core_packed_spmd
+
+    return spatial_core_packed_spmd(q, k, v, heads)
 
 
 def _scp_fwd(q, k, v, heads):

@@ -166,7 +166,11 @@ def temporal_attention(
     d = x.shape[-1]
     e = d // num_heads
     xt, q, k, v = _ln_qkv(x, temporal_embedding, ln, attn, eps)
-    o = fused_temporal_core(
+    # Routed through the custom_partitioning wrapper so GSPMD configs can
+    # shard batch / split d by whole heads (parallel/kernel_partition.py).
+    from videollamb_tpu.parallel.kernel_partition import fused_temporal_core_spmd
+
+    o = fused_temporal_core_spmd(
         q * (e**-0.5), k, v, num_heads=num_heads, block_n=block_n
     )
     return xt + _dense(attn["out_proj"], o)

@@ -821,14 +821,23 @@ class PagedServingEngine(ServingEngine):
         ids = np.full((bucket,), TRASH_PAGE, np.int32)
         ids[:n_data] = self.slot_pages[slot][:n_data]
         k, v, ks, vs = gather_slot_pages(self.cache, jnp.asarray(ids))
+        pax = self.cache.page_axis  # page dim in the gathered arrays
+
+        def trim(a):
+            if a is None:
+                return None
+            sl = [slice(None)] * a.ndim
+            sl[pax] = slice(None, n_data)
+            return np.asarray(a)[tuple(sl)]
+
         ent = {
             "req": req,
             "len": length,
             "n": n_data,
-            "k": np.asarray(k)[:, :, :n_data],
-            "v": np.asarray(v)[:, :, :n_data],
-            "ks": np.asarray(ks)[:, :, :n_data] if ks is not None else None,
-            "vs": np.asarray(vs)[:, :, :n_data] if vs is not None else None,
+            "k": trim(k),
+            "v": trim(v),
+            "ks": trim(ks),
+            "vs": trim(vs),
             "logits": np.asarray(self.logits[slot]),
             "adapter": int(self._adapter_host[slot]),
         }
@@ -862,12 +871,16 @@ class PagedServingEngine(ServingEngine):
             ids = np.full((bucket,), TRASH_PAGE, np.int32)
             ids[:n] = pages[:n]
 
+            pax = self.cache.page_axis
+
             def pad(a):
-                if a is None or a.shape[2] == bucket:
+                if a is None or a.shape[pax] == bucket:
                     return None if a is None else jnp.asarray(a)
-                padded = np.zeros(a.shape[:2] + (bucket,) + a.shape[3:],
-                                  a.dtype)
-                padded[:, :, :n] = a
+                padded = np.zeros(a.shape[:pax] + (bucket,)
+                                  + a.shape[pax + 1:], a.dtype)
+                sl = [slice(None)] * a.ndim
+                sl[pax] = slice(None, n)
+                padded[tuple(sl)] = a
                 return jnp.asarray(padded)
 
             self.cache = insert_raw_pages(

@@ -245,12 +245,19 @@ class Trainer:
             # trainer's optimizer, return a ready (jitted) step fn.
             self.step_fn = step_factory(model_cfg, self.tx, train_cfg)
         else:
+            # Donating the state lets XLA reuse the old params/opt-state
+            # buffers for the new ones — without it the step holds TWO
+            # copies of the optimizer state at its peak, which is the
+            # difference between the 7B stage-2 recipe fitting a v5e-8
+            # and not (certified by tools/aot_memory.py). The loop never
+            # touches the old state after the call.
             self.step_fn = jax.jit(
                 make_train_step(
                     model_cfg, self.tx,
                     remat=train_cfg.gradient_checkpointing,
                     rmt_loss=train_cfg.rmt_loss,
-                )
+                ),
+                donate_argnums=(0,),
             )
 
     def _batch_order(self, epoch: int) -> List[int]:
