@@ -142,3 +142,16 @@ def test_single_device_passthrough():
     out = jax.jit(_packed_spmd())(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gathered_wrapper_constructs_for_mha_and_gqa():
+    """Building the gathered-int8 partitioning declaration must work for
+    BOTH head layouts: MHA (groups == 1 — the 7B serving config; its "g"
+    factor must not be declared, regression for the serving-load crash)
+    and GQA (groups > 1)."""
+    from videollamb_tpu.parallel.kernel_partition import _gathered_int8
+
+    _gathered_int8.cache_clear()
+    for groups in (1, 4):
+        wrapped = _gathered_int8(2, groups, 128)
+        assert wrapped is not None

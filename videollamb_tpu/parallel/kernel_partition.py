@@ -264,11 +264,14 @@ def _gathered_int8(pages_per_block: int, groups: int, dh: int):
     qdims = ("b", qh, "dh")
     pool = ("p", "pg", ("hk", "dh2"))
     scales = ("p", "pg", "hk")
+    # "g" only exists as a factor when query heads are grouped (GQA);
+    # declaring an unused factor in need_replication_factors is an error.
+    repl = ("dh", "p", "pg", "pps", "dh2") + (("g",) if groups > 1 else ())
     return make_partitioned(
         full,
         [qdims, pool, pool, ("b", "pps"), ("b",), scales, scales],
         [qdims, ("b", qh), ("b", qh)],
-        replicate=("dh", "p", "pg", "pps", "g", "dh2"),
+        replicate=repl,
         factor_sizes=(
             {"dh2": dh, "g": groups} if groups > 1 else {"dh2": dh}),
     )
