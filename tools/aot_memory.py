@@ -136,6 +136,7 @@ def certify(ctx: int, frames: int, batch: int, topology: str = "v5e:2x4"):
         create_optimizer,
         create_train_state,
         make_train_step,
+        trainable_mask,
     )
 
     cfg = ModelConfig(max_length=ctx)
@@ -158,7 +159,12 @@ def certify(ctx: int, frames: int, batch: int, topology: str = "v5e:2x4"):
         st_sh = _state_shardings(state_shape, params_shape, specs, mesh)
         b_sh = batch_sharding(mesh)
         step = jax.jit(
-            make_train_step(cfg, tx, remat=True),
+            # Stage-2 trainable set: towers frozen (trainable_mask stops
+            # gradients into them — without it autodiff saves every ViT
+            # layer's attention probs for a gradient the optimizer zeroes,
+            # ~19 GB f32 at batch 8 x 16 frames, a guaranteed OOM).
+            make_train_step(cfg, tx, remat=True,
+                            mask=trainable_mask(tcfg, params_shape)),
             in_shardings=(st_sh, b_sh, None),
             donate_argnums=(0,),
         )

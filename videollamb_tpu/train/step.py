@@ -61,38 +61,61 @@ def _adamw(cfg: TrainConfig, schedule: optax.Schedule) -> optax.GradientTransfor
     )
 
 
+def param_labels(cfg: TrainConfig, p: Params):
+    """Per-leaf optimizer-group labels ('train' / 'projector' / 'frozen').
+
+    One source of truth shared by create_optimizer (which maps labels to
+    transforms) and trainable_mask (which stops gradients INTO frozen
+    subtrees so autodiff never saves their activations)."""
+    if cfg.tune_mode == "lora":
+        # Train only LoRA adapters (+ projector, matching the reference
+        # LoRA recipe where mm_projector stays trainable).
+        def leaf_label(path, _):
+            keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+            if "mm_projector" in keys:
+                return ("projector" if cfg.mm_projector_lr is not None
+                        else "train")
+            if any(isinstance(k, str) and "_lora_" in k for k in keys):
+                return "train"
+            return "frozen"
+
+        return jax.tree_util.tree_map_with_path(leaf_label, p)
+
+    # Label top-level subtrees: projector vs rest vs frozen.
+    labels = {}
+    for key in p:
+        if cfg.tune_mode == "adapter":
+            labels[key] = "train" if key == "mm_projector" else "frozen"
+        elif key == "mm_projector" and cfg.mm_projector_lr is not None:
+            labels[key] = "projector"
+        elif key in ("video_tower", "image_tower"):
+            labels[key] = "frozen"  # towers are frozen in the prod recipe
+        else:
+            labels[key] = "train"
+    return {k: jax.tree.map(lambda _: v, p[k]) for k, v in labels.items()}
+
+
+def trainable_mask(cfg: TrainConfig, params: Params):
+    """Boolean pytree (True = trainable) from the optimizer's own labels.
+
+    Passed to make_train_step so frozen subtrees are stop_gradient-ed
+    BEFORE the forward: without it, value_and_grad differentiates through
+    the frozen vision tower (the reference freezes via requires_grad=False,
+    llava/train/train.py:1029-1062, so its backward never touches the
+    tower), saving every ViT layer's attention activations for a gradient
+    that the optimizer then multiplies by zero — measured as the
+    difference between the stage-2 step fitting a v5e-8 and not
+    (tools/aot_memory.py)."""
+    return jax.tree.map(lambda l: l != "frozen", param_labels(cfg, params))
+
+
 def create_optimizer(
     cfg: TrainConfig, total_steps: int, params: Params
 ) -> optax.GradientTransformation:
     base = lr_schedule(cfg, total_steps)
 
     def label_fn(p):
-        if cfg.tune_mode == "lora":
-            # Train only LoRA adapters (+ projector, matching the reference
-            # LoRA recipe where mm_projector stays trainable).
-            def leaf_label(path, _):
-                keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-                if "mm_projector" in keys:
-                    return ("projector" if cfg.mm_projector_lr is not None
-                            else "train")
-                if any(isinstance(k, str) and "_lora_" in k for k in keys):
-                    return "train"
-                return "frozen"
-
-            return jax.tree_util.tree_map_with_path(leaf_label, p)
-
-        # Label top-level subtrees: projector vs rest vs frozen.
-        labels = {}
-        for key in p:
-            if cfg.tune_mode == "adapter":
-                labels[key] = "train" if key == "mm_projector" else "frozen"
-            elif key == "mm_projector" and cfg.mm_projector_lr is not None:
-                labels[key] = "projector"
-            elif key in ("video_tower", "image_tower"):
-                labels[key] = "frozen"  # towers are frozen in the prod recipe
-            else:
-                labels[key] = "train"
-        return {k: jax.tree.map(lambda _: v, p[k]) for k, v in labels.items()}
+        return param_labels(cfg, p)
 
     transforms = {"train": _adamw(cfg, base), "frozen": optax.set_to_zero()}
     if cfg.mm_projector_lr is not None:
@@ -121,17 +144,26 @@ def make_train_step(
     remat: bool = True,
     attn_impl: str = "chunked",
     rmt_loss: bool = False,
+    mask: Any = None,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
     Default attention is the differentiable chunked/online-softmax impl (the
     training replacement for CUDA flash-attn backward). ``rmt_loss`` selects
-    the retro path (per-segment LM loss, train/retro.py)."""
+    the retro path (per-segment LM loss, train/retro.py). ``mask`` — the
+    trainable_mask(cfg, params) bool pytree — stops gradients into frozen
+    subtrees so autodiff prunes their backward entirely (a frozen tower's
+    activations are never saved; grads for frozen leaves come back as
+    zeros, which the optimizer's set_to_zero group expected anyway)."""
 
     def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if mask is not None:
+                params = jax.tree.map(
+                    lambda t, x: x if t else jax.lax.stop_gradient(x),
+                    mask, params)
             if rmt_loss:
                 from videollamb_tpu.train.retro import retro_loss
 

@@ -251,11 +251,19 @@ class Trainer:
             # difference between the 7B stage-2 recipe fitting a v5e-8
             # and not (certified by tools/aot_memory.py). The loop never
             # touches the old state after the call.
+            from videollamb_tpu.train.step import trainable_mask
+
             self.step_fn = jax.jit(
                 make_train_step(
                     model_cfg, self.tx,
                     remat=train_cfg.gradient_checkpointing,
                     rmt_loss=train_cfg.rmt_loss,
+                    # Frozen subtrees (towers; everything but the projector
+                    # in adapter mode) are stop_gradient-ed so their
+                    # backward is pruned — matches the reference's
+                    # requires_grad=False freezing, where clip_grad_norm
+                    # and activation memory never see the frozen parts.
+                    mask=trainable_mask(train_cfg, params),
                 ),
                 donate_argnums=(0,),
             )
