@@ -115,3 +115,52 @@ def test_lora_params_shard_on_mesh(base_params):
     ref = _logits(params, ids)
     out = _logits(sharded, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_qlora_int8_base_training(base_params):
+    """QLoRA: LoRA adapters on an int8-quantized frozen base train through
+    the full step (trainable_mask stops gradients into the int8 leaves)."""
+    from videollamb_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
+    from videollamb_tpu.models.assembly import MultimodalBatch
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.lm.quant import quantize_llama_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+    from videollamb_tpu.train.step import (
+        create_optimizer, create_train_state, make_train_step, trainable_mask,
+    )
+
+    mcfg = ModelConfig.tiny(max_length=128)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    lm = jax.tree.map(jnp.copy, base_params["lm"])
+    params = {
+        "video_tower": init_vision_params(k1, mcfg.vision),
+        "mm_projector": init_rmt_r_params(k2, mcfg.bridge, mcfg.lm.hidden_size),
+        "lm": quantize_llama_params(lm),
+    }
+    params = add_lora_params(params, mcfg.lm, r=4, alpha=8,
+                             rng=jax.random.PRNGKey(6))
+    tcfg = TrainConfig(tune_mode="lora", warmup_ratio=0.0)
+    tx = create_optimizer(tcfg, total_steps=10, params=params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(mcfg, tx, remat=False, attn_impl="xla",
+                                   mask=trainable_mask(tcfg, params)))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, mcfg.lm.vocab_size, size=(1, 10)).astype(np.int32)
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    batch = MultimodalBatch(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.ones((1, 10), jnp.int32),
+        labels=jnp.asarray(np.where(np.ones((1, 10), bool), ids, IGNORE_INDEX)),
+        videos=jnp.asarray(rng.normal(size=(1, 8, 3, 56, 56)).astype(np.float32)),
+        images=None,
+    )
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # int8 base untouched; adapters moved.
+    np.testing.assert_array_equal(
+        np.asarray(params["lm"]["layers"]["q_proj"]["q"]),
+        np.asarray(state.params["lm"]["layers"]["q_proj"]["q"]))
+    db = np.abs(np.asarray(params["lm"]["layers"]["q_proj_lora_b"])
+                - np.asarray(state.params["lm"]["layers"]["q_proj_lora_b"]))
+    assert db.max() > 0

@@ -42,7 +42,11 @@ def add_lora_params(
     scale = alpha / r
     keys = jax.random.split(rng, len(targets))
     for key, name in zip(keys, targets):
-        kernel = layers[name]  # (L, d_in, d_out)
+        kernel = layers[name]  # (L, d_in, d_out) — bf16 array or int8
+        # QLoRA: adapters ride an int8/int4-quantized frozen base (the
+        # reference's bnb 4-bit + peft recipe, llava/train/train.py:896-986).
+        if isinstance(kernel, dict) and "q" in kernel:
+            kernel = kernel["q"]
         l, d_in, d_out = kernel.shape
         # Kaiming-ish init for A (scaled by alpha/r), zeros for B.
         a = jax.random.normal(key, (l, d_in, r), dtype) * (scale / math.sqrt(d_in))

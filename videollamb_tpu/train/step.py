@@ -159,11 +159,13 @@ def make_train_step(
     def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
-            if mask is not None:
-                params = jax.tree.map(
-                    lambda t, x: x if t else jax.lax.stop_gradient(x),
-                    mask, params)
+        leaves, treedef = jax.tree.flatten(state.params)
+        if mask is not None:
+            mleaves = jax.tree.leaves(mask)
+        else:
+            mleaves = [True] * len(leaves)
+
+        def compute_loss(params):
             if rmt_loss:
                 from videollamb_tpu.train.retro import retro_loss
 
@@ -178,13 +180,32 @@ def make_train_step(
             loss, n = causal_lm_loss(logits, spliced.labels)
             return loss, n
 
-        (loss, n_tokens), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # Differentiate ONLY the trainable leaves: frozen leaves enter as
+        # stop_gradient constants, so their backward is pruned and int8
+        # (QLoRA base) leaves never reach grad's dtype check.
+        def loss_fn(train_leaves):
+            it = iter(train_leaves)
+            full = [next(it) if m else jax.lax.stop_gradient(x)
+                    for m, x in zip(mleaves, leaves)]
+            return compute_loss(jax.tree.unflatten(treedef, full))
+
+        train_leaves = [x for m, x in zip(mleaves, leaves) if m]
+        (loss, n_tokens), tgrads = jax.value_and_grad(
+            loss_fn, has_aux=True)(train_leaves)
+        # Reassemble a full-structure grad tree (zeros at frozen leaves —
+        # the optimizer's set_to_zero group; XLA folds the add-zero away).
+        it = iter(tgrads)
+        grads = jax.tree.unflatten(
+            treedef, [next(it) if m else jnp.zeros_like(x)
+                      for m, x in zip(mleaves, leaves)])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
             "tokens": n_tokens,
-            "grad_norm": optax.global_norm(grads),
+            # Trainable-leaf norm only — matches the reference, where
+            # clip_grad_norm never sees requires_grad=False params.
+            "grad_norm": optax.global_norm(tgrads),
         }
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
