@@ -370,3 +370,71 @@ def test_allocator_fuzz_invariants():
         p = next(iter(live))
         alloc.free([p] * live.pop(p))
     assert alloc.free_pages == total - 1
+
+
+@pytest.mark.parametrize("quantize", [False, True], ids=["bf16", "int8"])
+def test_fused_admit_matches_split_path(tiny, quantize):
+    """fused_admit (one-dispatch admission) must produce the same pool
+    contents, page table, lengths, and logits row as the split
+    chunked_prefill + paged_insert path, for both pool layouts and for
+    prompts shorter and longer than one chunk."""
+    from videollamb_tpu.models.lm.llama import chunked_prefill
+    from videollamb_tpu.models.lm.paged import fused_admit
+
+    cfg, params = tiny
+    lm = {"lm": params["lm"]}["lm"]
+    page, pps, total_pages = 16, 6, 13
+    chunk = 32
+    rng = np.random.default_rng(3)
+    for prompt_len in (9, 71):  # < 1 chunk; 3 chunks with ragged tail
+        s_pad = 96
+        embeds = jnp.asarray(rng.normal(
+            size=(1, s_pad, cfg.lm.hidden_size)).astype(np.float32))
+        mask = jnp.zeros((1, s_pad), jnp.int32).at[0, :prompt_len].set(1)
+        embeds = embeds * mask[..., None]
+        n_pages = -(-prompt_len // page)
+        page_ids = np.full((pps,), TRASH_PAGE, np.int32)
+        page_ids[:n_pages] = np.arange(1, n_pages + 1)
+
+        # Split path.
+        split_pool = init_paged_cache(cfg.lm, 2, total_pages, page, pps,
+                                      jnp.float32, quantize=quantize)
+        single = init_kv_cache(cfg.lm, 1, s_pad, jnp.float32)
+        lg, single = chunked_prefill(lm, cfg.lm, embeds, mask, single,
+                                     chunk=chunk, lengths=prompt_len)
+        split_pool = paged_insert(split_pool, single, jnp.asarray(1),
+                                  jnp.asarray(page_ids), total_pages)
+        split_logits = jnp.zeros((2, cfg.lm.vocab_size)).at[1].set(lg[0])
+
+        # Fused path.
+        fused_pool = init_paged_cache(cfg.lm, 2, total_pages, page, pps,
+                                      jnp.float32, quantize=quantize)
+        fused_pool, fused_logits = fused_admit(
+            lm, cfg.lm,
+            embeds, mask, jnp.asarray([prompt_len], jnp.int32),
+            fused_pool, jnp.zeros((2, cfg.lm.vocab_size)), jnp.asarray(1),
+            jnp.asarray(page_ids), total_pages, chunk=chunk)
+
+        np.testing.assert_allclose(np.asarray(fused_logits),
+                                   np.asarray(split_logits), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(fused_pool.page_table),
+                                      np.asarray(split_pool.page_table))
+        np.testing.assert_array_equal(np.asarray(fused_pool.lengths),
+                                      np.asarray(split_pool.lengths))
+        # Pool contents on the REAL pages (trash page accumulates garbage
+        # in a path-dependent order; exclude it).
+        pax = split_pool.page_axis
+        real = np.arange(1, n_pages + 1)
+
+        def pages_of(pool, arr):
+            sl = [slice(None)] * arr.ndim
+            sl[pax] = real
+            return np.asarray(arr)[tuple(sl)]
+
+        for name in ("k_pages", "v_pages") + (
+                ("k_scales", "v_scales") if quantize else ()):
+            np.testing.assert_allclose(
+                pages_of(fused_pool, getattr(fused_pool, name)),
+                pages_of(split_pool, getattr(split_pool, name)),
+                rtol=2e-5, atol=2e-5, err_msg=name)

@@ -226,6 +226,80 @@ def paged_insert(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "total_pages", "chunk"),
+         donate_argnames=("cache", "all_logits"))
+def fused_admit(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,  # (1, S_pad, D) right-padded splice buffer
+    attention_mask: jax.Array,  # (1, S_pad)
+    lengths: jax.Array,  # (1,) int32 actual prompt length
+    cache: PagedKVCache,
+    all_logits: jax.Array,  # (num_slots, V) engine logits (donated)
+    slot: jax.Array,  # () int32
+    page_ids: jax.Array,  # (pages_per_seq,) int32; unused = TRASH_PAGE
+    total_pages: int,
+    chunk: int = 256,
+    adapter_idx: Optional[jax.Array] = None,
+) -> Tuple[PagedKVCache, jax.Array]:
+    """One-dispatch admission: chunked prefill + page insert + logits row.
+
+    The split admission path (prepare splice -> init_kv_cache ->
+    chunked_prefill -> paged_insert -> logits set) costs one host->device
+    dispatch PER PHASE — ~26-46 ms each through the TPU tunnel regardless
+    of compute, ~200-350 ms per admission, which at 4 req/s alone
+    saturates the engine (benchmarks/admission_profile.py has the
+    breakdown; the serving-load TTFT collapse follows). This fuses
+    everything after the splice into ONE jitted graph: a
+    ``lax.while_loop`` over ``chunk``-token windows keeps prefill compute
+    proportional to the ACTUAL prompt length (the property chunked_prefill
+    existed for) while the requant + pool scatter + page-table install +
+    engine-logits row ride the same dispatch.
+
+    Returns (pool cache, engine logits) — both donated in."""
+    from videollamb_tpu.models.lm.llama import init_kv_cache, llama_extend
+
+    b, s_pad, d = inputs_embeds.shape
+    pad = (-s_pad) % chunk
+    if pad:
+        # Chunk windows must tile the buffer exactly: a clamped
+        # dynamic_slice on the tail would re-read (and re-write at WRONG
+        # positions) the previous window's tokens.
+        inputs_embeds = jnp.pad(inputs_embeds, ((0, 0), (0, pad), (0, 0)))
+        attention_mask = jnp.pad(attention_mask, ((0, 0), (0, pad)))
+    s_cache = s_pad + pad
+    single = init_kv_cache(cfg, b, s_cache, inputs_embeds.dtype)
+    extend = llama_extend.__wrapped__  # trace inline (no inner dispatch)
+
+    def run_chunk(i, single):
+        e = jax.lax.dynamic_slice(inputs_embeds, (0, i * chunk, 0),
+                                  (b, chunk, d))
+        m = jax.lax.dynamic_slice(attention_mask, (0, i * chunk), (b, chunk))
+        return extend(params, cfg, e, m, single, adapter_idx=adapter_idx)
+
+    logits0, single = run_chunk(jnp.int32(0), single)  # prompts are >= 1 tok
+
+    def cond(carry):
+        i, _, _ = carry
+        return i * chunk < jnp.max(lengths)
+
+    def body(carry):
+        i, single, logits = carry
+        nxt, single = run_chunk(i, single)
+        alive = (lengths > i * chunk)[:, None]
+        return i + 1, single, jnp.where(alive, nxt, logits)
+
+    _, single, logits = jax.lax.while_loop(cond, body,
+                                           (jnp.int32(1), single, logits0))
+
+    cache = _scatter_pages(cache, single, page_ids, total_pages)
+    cache = cache._replace(
+        page_table=cache.page_table.at[slot].set(page_ids),
+        lengths=cache.lengths.at[slot].set(lengths[0]),
+    )
+    return cache, all_logits.at[slot].set(logits[0])
+
+
 @jax.jit
 def gather_slot_pages(cache: PagedKVCache, page_ids: jax.Array):
     """Gather pool pages for host offload (swap-out preemption).
@@ -377,19 +451,22 @@ def paged_decode_step(
         v_new = v[:, 0]
 
         # Layer l's page block: contiguous leading-dim slice (the pool is
-        # layer-major; the attention operand must be materialized either
-        # way — a contiguous slice beats the old strided layout by ~28%,
-        # and passing the FULL pool to the Pallas custom call is the
-        # pathological case: XLA materializes all L page ranges per layer,
-        # 242 ms/step measured).
+        # layer-major; an XLA attention operand must be materialized either
+        # way — a contiguous slice beats the old strided layout by ~28%).
+        # The GATHERED kernel instead takes the FULL pool + a layer index
+        # (scalar prefetch): the pool stays a scan constant in HBM and only
+        # the addressed pages are DMA'd — slicing it per layer materialized
+        # a ~134 MB copy per layer per step at 7B serving shapes. (The
+        # stock kernel still gets the slice; handing IT the full pool made
+        # XLA materialize every layer's page range, 242 ms/step measured.)
         def layer_pool(pool):
             return jax.lax.dynamic_index_in_dim(pool, l, 0, keepdims=False)
 
         if quantized and use_gathered_kernel:
             o_old, m_old, l_old = gathered_paged_attention_int8(
-                q, layer_pool(kp), layer_pool(vp), cache.page_table, pos,
+                q, kp, vp, cache.page_table, pos,
                 layer_pool(kp_s), layer_pool(vp_s),
-                pages_per_block=gathered_ppb)
+                pages_per_block=gathered_ppb, layer=l)
         elif quantized:
             o_old, m_old, l_old = attend_token_major_int8_stats(
                 q, layer_pool(kp), layer_pool(vp), cache.page_table, pos,

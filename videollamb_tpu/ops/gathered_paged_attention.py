@@ -65,22 +65,29 @@ MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 class _BlockCopies:
     """Async copies for one (slot, block): ``ppb`` K/V pages gathered by
-    page id from the token-major layer pool. Recreating the descriptor
-    later and calling wait() is the stock paged-attention pattern — the
-    semaphore carries the state. The tiny per-token scale tiles are NOT
-    manually DMA'd (their 32-lane minor dim violates Mosaic's 128-lane
-    slice alignment): the wrapper pre-gathers them with XLA and they ride
-    the automatic BlockSpec pipeline."""
+    page id from the token-major MULTI-LAYER pool at the scalar-prefetched
+    layer index. Recreating the descriptor later and calling wait() is the
+    stock paged-attention pattern — the semaphore carries the state. The
+    tiny per-token scale tiles are NOT manually DMA'd (their 32-lane minor
+    dim violates Mosaic's 128-lane slice alignment): the wrapper
+    pre-gathers them with XLA and they ride the automatic BlockSpec
+    pipeline. The pools stay full multi-layer operands so the per-layer
+    decode scan passes them as loop CONSTANTS — a per-layer
+    dynamic-slice operand would make XLA materialize a ~134 MB copy per
+    layer per step (the pool is in ANY/HBM space; only the addressed
+    pages ever move)."""
 
-    def __init__(self, pt_ref, kp_ref, vp_ref, kbuf, vbuf, k_sem, v_sem,
-                 b, i, ppb, pages_per_seq):
+    def __init__(self, pt_ref, layer, kp_ref, vp_ref, kbuf, vbuf, k_sem,
+                 v_sem, b, i, ppb, pages_per_seq):
         off = b * pages_per_seq + i * ppb
         self._copies = []
         for j in range(ppb):
             pid = pt_ref[off + j]
             self._copies += [
-                pltpu.make_async_copy(kp_ref.at[pid], kbuf.at[j], k_sem),
-                pltpu.make_async_copy(vp_ref.at[pid], vbuf.at[j], v_sem),
+                pltpu.make_async_copy(kp_ref.at[layer, pid], kbuf.at[j],
+                                      k_sem),
+                pltpu.make_async_copy(vp_ref.at[layer, pid], vbuf.at[j],
+                                      v_sem),
             ]
 
     def start(self):
@@ -94,7 +101,7 @@ class _BlockCopies:
 
 def _gathered_kernel(
     # scalar prefetch
-    len_ref, pt_ref, buf_ref, init_ref,
+    len_ref, pt_ref, buf_ref, init_ref, layer_ref,
     # inputs
     q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
     # outputs
@@ -108,8 +115,8 @@ def _gathered_kernel(
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     n_slots = pl.num_programs(0)
-    page = kp_ref.shape[1]
-    kd = kp_ref.shape[2]
+    page = kp_ref.shape[2]  # kp_ref: (L, P, page, kd)
+    kd = kp_ref.shape[3]
     h_kv = ks_ref.shape[2]
     h, dh = q_ref.shape
     t = ppb * page
@@ -142,8 +149,8 @@ def _gathered_kernel(
 
     def copies(b, i, slot):
         return _BlockCopies(
-            pt_ref, kp_ref, vp_ref, kbuf.at[slot], vbuf.at[slot],
-            k_sems.at[slot], v_sems.at[slot],
+            pt_ref, layer_ref[0], kp_ref, vp_ref, kbuf.at[slot],
+            vbuf.at[slot], k_sems.at[slot], v_sems.at[slot],
             b, i, ppb, pages_per_seq)
 
     @pl.when(i * t < length)
@@ -265,21 +272,35 @@ def _pick_ppb(pps: int, page: int, target_tokens: int = None) -> int:
 @functools.partial(jax.jit, static_argnames=("pages_per_block", "interpret"))
 def gathered_paged_attention_int8(
     q: jax.Array,  # (B, H, Dh) PRE-SCALED queries
-    k_pool: jax.Array,  # (P, page, H_kv*Dh) int8 — ONE layer, token-major
+    k_pool: jax.Array,  # (L, P, page, H_kv*Dh) int8 token-major, OR (P,...)
     v_pool: jax.Array,
     page_table: jax.Array,  # (B, pps) int32 logical page ids
     lengths: jax.Array,  # (B,) int32 resident tokens
-    k_scales: jax.Array,  # (P, page, H_kv) f32
+    k_scales: jax.Array,  # (P, page, H_kv) f32 — ONE layer
     v_scales: jax.Array,
     *,
     pages_per_block: int,
+    layer=None,  # () int32 — which pool layer to read; required for 4-D pools
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (out (B,H,Dh), m (B,H), l (B,H)) — the softmax-stats
     contract of ops/paged_attention_stats. Zero-length slots return
-    out=0, m=-inf, l=0."""
+    out=0, m=-inf, l=0.
+
+    The pools are passed FULL (all layers) with the layer selected by a
+    scalar-prefetch index: inside the per-layer decode scan this keeps
+    them loop constants in HBM. A per-layer dynamic-slice operand would
+    force XLA to materialize a pool-sized copy every layer (~134 MB at 7B
+    serving shapes — measured as the decode-step regression that made the
+    paged engine collapse under load). Single-layer (P, page, KD) pools
+    still work for direct callers/tests (layer defaults to 0)."""
     b, h, dh = q.shape
-    p_total, page, kd = k_pool.shape
+    if k_pool.ndim == 3:  # single-layer convenience form
+        k_pool = k_pool[None]
+        v_pool = v_pool[None]
+    _, p_total, page, kd = k_pool.shape
+    if layer is None:
+        layer = jnp.zeros((), jnp.int32)
     h_kv = k_scales.shape[2]
     assert kd == h_kv * dh, (kd, h_kv, dh)
     groups = h // h_kv
@@ -299,7 +320,7 @@ def gathered_paged_attention_int8(
     vs_g = vs_g.reshape(b, n_blocks, ppb, page, h_kv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec((None, h, dh), lambda b, i, *_: (b, 0, 0)),
@@ -343,6 +364,7 @@ def gathered_paged_attention_int8(
         page_table.reshape(-1),
         jnp.zeros((1,), jnp.int32),  # buffer index
         jnp.ones((1,), jnp.int32),  # init flag
+        jnp.asarray(layer, jnp.int32).reshape(1),
         q.astype(jnp.float32),
         k_pool, v_pool, ks_g, vs_g,
     )

@@ -252,24 +252,25 @@ def _gathered_int8(pages_per_block: int, groups: int, dh: int):
         gathered_paged_attention_int8,
     )
 
-    def full(q, kp, vp, table, lengths, ks, vs):
+    def full(q, kp, vp, table, lengths, ks, vs, layer):
         return gathered_paged_attention_int8(
             q, kp, vp, table, lengths, ks, vs,
-            pages_per_block=pages_per_block)
+            pages_per_block=pages_per_block, layer=layer[0])
 
     # One factor ``hk`` splits every head-proportional dim by whole KV
     # heads: q's H (= hk x g, query heads grouped contiguously per KV
     # head), the pools' packed H_kv*Dh feature dim, and the scales' H_kv.
     qh = ("hk", "g") if groups > 1 else "hk"
     qdims = ("b", qh, "dh")
-    pool = ("p", "pg", ("hk", "dh2"))
-    scales = ("p", "pg", "hk")
+    pool = ("l", "p", "pg", ("hk", "dh2"))  # FULL multi-layer pool
+    scales = ("p", "pg", "hk")  # one layer's scales
     # "g" only exists as a factor when query heads are grouped (GQA);
     # declaring an unused factor in need_replication_factors is an error.
-    repl = ("dh", "p", "pg", "pps", "dh2") + (("g",) if groups > 1 else ())
+    repl = ("dh", "l", "p", "pg", "pps", "dh2", "li") + (
+        ("g",) if groups > 1 else ())
     return make_partitioned(
         full,
-        [qdims, pool, pool, ("b", "pps"), ("b",), scales, scales],
+        [qdims, pool, pool, ("b", "pps"), ("b",), scales, scales, ("li",)],
         [qdims, ("b", qh), ("b", qh)],
         replicate=repl,
         factor_sizes=(
@@ -278,11 +279,20 @@ def _gathered_int8(pages_per_block: int, groups: int, dh: int):
 
 
 def gathered_paged_attention_int8_spmd(q, kp, vp, table, lengths, ks, vs,
-                                       *, pages_per_block: int):
+                                       *, pages_per_block: int, layer=None):
     """Gathered int8 paged decode attention, shardable on slots and on
     whole KV heads (q heads, pool features, and scale heads split
-    together)."""
+    together). ``kp``/``vp`` are the FULL multi-layer pools; ``layer``
+    selects the layer inside the kernel (scan constant — no per-layer
+    pool slice)."""
+    import jax.numpy as jnp
+
     h, dh = q.shape[1], q.shape[2]
     h_kv = ks.shape[2]
+    if kp.ndim == 3:
+        kp, vp = kp[None], vp[None]
+    if layer is None:
+        layer = jnp.zeros((), jnp.int32)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
     return _gathered_int8(pages_per_block, h // h_kv, dh)(
-        q, kp, vp, table, lengths, ks, vs)
+        q, kp, vp, table, lengths, ks, vs, layer)

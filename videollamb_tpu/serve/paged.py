@@ -61,6 +61,7 @@ from videollamb_tpu.models.lm.paged import (
     TRASH_PAGE,
     PageAllocator,
     PagedKVCache,
+    fused_admit,
     gather_slot_pages,
     init_paged_cache,
     insert_raw_pages,
@@ -763,23 +764,44 @@ class PagedServingEngine(ServingEngine):
                     aidx1 = jnp.asarray([val], jnp.int32)
                 self.adapter_idx = self.adapter_idx.at[slot].set(val)
                 self._adapter_host[slot] = val
+            page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
+            page_ids[: len(pages)] = pages
+            if not have_shared and shared is None:
+                # Fast path (the common case): splice -> ONE fused
+                # dispatch for chunked prefill + requant + page scatter +
+                # table row + engine-logits row (models/lm/paged.py
+                # fused_admit). The split path cost one tunnel round-trip
+                # per phase — the TTFT collapse under load
+                # (benchmarks/admission_profile.py).
+                self.cache, self.logits = fused_admit(
+                    self.params["lm"], self.cfg.lm,
+                    spliced.embeds.astype(self._dtype),
+                    spliced.attention_mask,
+                    jnp.asarray([prompt_len], jnp.int32),
+                    self.cache, self.logits, jnp.asarray(slot),
+                    jnp.asarray(page_ids), self.total_pages,
+                    adapter_idx=aidx1,
+                )
+                _shared_consume(req)
+                self._install_constraint(req)
+                self.slot_pages[slot] = pages
+                self._host_len[slot] = prompt_len
+                self.slots[slot] = req
+                self._mark_admitted(slot)
+                continue
             if not have_shared:
                 single = init_kv_cache(self.cfg.lm, 1, self.cfg.max_length,
                                        self._dtype)
-                # Chunked admission: one compiled extend shape for the
-                # whole engine lifetime, prefill compute proportional to
-                # the ACTUAL prompt length, not the padded splice buffer.
+                # Fork-group payer: the sibling requests need the dense
+                # single cache, so keep the split path here (rare).
                 logits, single = chunked_prefill(
                     self.params["lm"], self.cfg.lm,
                     spliced.embeds.astype(self._dtype),
                     spliced.attention_mask, single,
                     lengths=prompt_len, adapter_idx=aidx1,
                 )
-                if shared is not None:
-                    shared["data"] = (logits, single, prompt_len)
+                shared["data"] = (logits, single, prompt_len)
             _shared_consume(req)
-            page_ids = np.full((self.pages_per_seq,), TRASH_PAGE, np.int32)
-            page_ids[: len(pages)] = pages
             self.cache = paged_insert(
                 self.cache, single, jnp.asarray(slot), jnp.asarray(page_ids),
                 self.total_pages,
