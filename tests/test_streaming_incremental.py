@@ -450,3 +450,23 @@ def test_compaction_answers_depend_on_bridge_memory(tiny_chat):
     assert real != ablated, (
         "ablating the bridge memory did not change the post-compaction "
         "answer — pre-compaction history is not feeding responses")
+
+
+def test_stream_hour_bench_smoke():
+    """The hour-scale stream bench (benchmarks/stream_hour.py) runs on the
+    tiny config and reports bounded-state evidence: one state shape, open
+    frames under the cap, zero detector recompiles after warmup."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from benchmarks.stream_hour import run
+
+    out = run(minutes=0.75, cfg=ModelConfig.tiny(max_length=448), stride=4,
+              max_new_tokens=2, query_every_s=20)
+    assert out["stream_hour_frames"] == 45
+    assert out["stream_hour_state_shapes"] == 1
+    assert out["stream_hour_max_open_frames"] <= out["stream_hour_open_cap"]
+    assert out["stream_hour_ctx_len"] <= out["stream_hour_ctx_cap"]
+    assert out["stream_hour_recompiles_after_warmup"] == 0
+    assert out["stream_hour_fps"] > 0
