@@ -53,10 +53,11 @@ def step_variant(params, cfg, cache, mode: str, total_pages: int):
     kp, vp, kp_s, vp_s = (cache.k_pages, cache.v_pages, cache.k_scales,
                           cache.v_scales)
     ppb = _pick_ppb(pps, page)
-    attn_on = mode in ("full", "nowrite")
-    write_on = mode in ("full", "noattn")
+    attn_on = mode in ("full", "nowrite", "kwrite")
+    write_on = mode in ("full", "noattn", "kwrite")
+    kernel_write = mode == "kwrite"
 
-    def one_step(token_embeds, kp, vp, kp_s, vp_s, lengths, page_table):
+    def one_step(params, token_embeds, kp, vp, kp_s, vp_s, lengths, page_table):
         b = token_embeds.shape[0]
         pos = jnp.minimum(lengths, pps * page - 1)
         rows = jnp.arange(b)
@@ -133,18 +134,27 @@ def step_variant(params, cfg, cache, mode: str, total_pages: int):
                             (layer, write_logical[i], write_off[i], 0))
                 return pool
 
-            kp2, vp2 = chain(kp, k_vals), chain(vp, v_vals)
+            if kernel_write:
+                from videollamb_tpu.ops.paged_fresh_write import (
+                    paged_fresh_write,
+                )
+
+                kp2, vp2 = paged_fresh_write(
+                    kp, vp, k_vals.astype(jnp.int8), v_vals.astype(jnp.int8),
+                    write_logical, write_off)
+            else:
+                kp2, vp2 = chain(kp, k_vals), chain(vp, v_vals)
             kps2, vps2 = chain(kp_s, ks), chain(vp_s, vs)
         else:
             kp2, vp2, kps2, vps2 = kp, vp, kp_s, vp_s
         return logits, kp2, vp2, kps2, vps2, lengths + 1
 
-    @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-    def k_scan(tok, kp_, vp_, kps_, vps_, lengths, page_table):
+    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def k_scan(params, tok, kp_, vp_, kps_, vps_, lengths, page_table):
         def body(carry, _):
             tok, kp_, vp_, kps_, vps_, lengths = carry
             logits, kp_, vp_, kps_, vps_, lengths = one_step(
-                tok, kp_, vp_, kps_, vps_, lengths, page_table)
+                params, tok, kp_, vp_, kps_, vps_, lengths, page_table)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             tok = embed_tokens(params, nxt[:, None]).astype(jnp.bfloat16)
             return (tok, kp_, vp_, kps_, vps_, lengths), nxt
@@ -168,7 +178,7 @@ def main():
     total_pages = 1 + B * pps
     rng = np.random.default_rng(0)
     out = {}
-    for mode in ("min", "noattn", "nowrite", "full"):
+    for mode in ("min", "noattn", "nowrite", "full", "kwrite"):
         cache = init_paged_cache(cfg, B, total_pages, PAGE, pps,
                                  jnp.bfloat16, quantize=True)
         # Fill state: lengths mimic the load bench (192 text / ~770 video).
@@ -183,20 +193,29 @@ def main():
         kp_, vp_, kps_, vps_ = (cache.k_pages, cache.v_pages,
                                 cache.k_scales, cache.v_scales)
         toks, kp_, vp_, kps_, vps_, lengths = fn(
-            tok, kp_, vp_, kps_, vps_, lengths, page_table)  # compile
+            params, tok, kp_, vp_, kps_, vps_, lengths, page_table)  # compile
         jax.block_until_ready(toks)
         n = 6
-        t0 = time.perf_counter()
-        for _ in range(n):
+        per_call = []
+        for j in range(n):
+            # Distinct input per call + a scalar readback per call — the
+            # tunnel replays cached executions for identical (code,
+            # inputs) pairs, and only a readback proves the work ran.
+            tok_j = tok + jnp.bfloat16(1e-3) * (j + 1)
+            t0 = time.perf_counter()
             toks, kp_, vp_, kps_, vps_, lengths = fn(
-                tok, kp_, vp_, kps_, vps_, lengths, page_table)
-        jax.block_until_ready(toks)
-        ms = (time.perf_counter() - t0) / n / K_STEPS * 1000
+                params, tok_j, kp_, vp_, kps_, vps_, lengths, page_table)
+            int(jnp.sum(toks))
+            per_call.append(time.perf_counter() - t0)
+        per_call.sort()
+        ms = per_call[len(per_call) // 2] / K_STEPS * 1000
         out[f"{mode}_ms_per_step"] = round(ms, 2)
         del cache, kp_, vp_, kps_, vps_
         print(json.dumps({mode: out[f"{mode}_ms_per_step"]}), flush=True)
     out["attn_ms"] = round(out["full_ms_per_step"] - out["noattn_ms_per_step"], 2)
     out["write_ms"] = round(out["full_ms_per_step"] - out["nowrite_ms_per_step"], 2)
+    out["kwrite_saves_ms"] = round(
+        out["full_ms_per_step"] - out["kwrite_ms_per_step"], 2)
     out["weights_ms"] = out["min_ms_per_step"]
     print(json.dumps(out))
 

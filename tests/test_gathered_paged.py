@@ -218,3 +218,27 @@ def test_pick_ppb():
     assert _pick_ppb(3, 16) == 3
     assert _pick_ppb(1, 512) == 1
     assert _pick_ppb(8, 16) == 8
+
+
+def test_paged_fresh_write_kernel_parity():
+    """The in-place fresh-KV install kernel (interpret mode) matches the
+    XLA DUS-chain statement exactly, int8 in/out."""
+    from videollamb_tpu.ops.paged_fresh_write import (
+        paged_fresh_write, paged_fresh_write_xla,
+    )
+
+    L, B, P, page, KD = 4, 3, 9, 8, 256
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.integers(-127, 127, (L, P, page, KD)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 127, (L, P, page, KD)), jnp.int8)
+    fk = jnp.asarray(rng.integers(-127, 127, (L, B, KD)), jnp.int8)
+    fv = jnp.asarray(rng.integers(-127, 127, (L, B, KD)), jnp.int8)
+    wp = jnp.asarray([1, 4, 7], jnp.int32)
+    wo = jnp.asarray([0, 3, 7], jnp.int32)
+
+    k2, v2 = paged_fresh_write(jnp.array(kp), jnp.array(vp), fk, fv, wp, wo,
+                               interpret=True)
+    k3, v3 = paged_fresh_write_xla(kp, vp, fk, fv, np.asarray(wp),
+                                   np.asarray(wo))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k3))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))

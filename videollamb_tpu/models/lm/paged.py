@@ -561,10 +561,23 @@ def paged_decode_step(
 
     if quantized:
         k_vals, v_vals, ks, vs = fresh
+        # Scale rows (32-lane minor) stay on the XLA chain — their pools
+        # are 128x smaller, the copy is noise.
         kp_s = scatter_tm(kp_s, ks)
         vp_s = scatter_tm(vp_s, vs)
-        kp = scatter_tm(kp, k_vals)
-        vp = scatter_tm(vp, v_vals)
+        if use_gathered_kernel:
+            # One-dispatch install (ops/paged_fresh_write.py): the DUS
+            # chain is 2·B·L tiny ops whose dispatch cost dominates —
+            # 0.45 ms/step vs 0.22 ms for the kernel at serving-load
+            # shapes (benchmarks/paged_step_bisect.py).
+            from videollamb_tpu.ops.paged_fresh_write import paged_fresh_write
+
+            kp, vp = paged_fresh_write(
+                kp, vp, k_vals.astype(kp.dtype), v_vals.astype(vp.dtype),
+                write_logical, write_off)
+        else:
+            kp = scatter_tm(kp, k_vals)
+            vp = scatter_tm(vp, v_vals)
     else:
         k_vals, v_vals = fresh
         kp = scatter(kp, k_vals)
