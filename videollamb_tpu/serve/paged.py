@@ -415,6 +415,9 @@ class PagedServingEngine(ServingEngine):
             if adapter_registry is not None else None
         )
         self._adapter_host = np.full((num_slots,), -1, np.int32)
+        # Shape signatures whose host spliced-length formula has been
+        # verified against the device sum (see server._resolve_prompt_len).
+        self._len_verified: set = set()
         self.page_size = page_size
         # Default pool: enough for every slot to hold max_length + 512 —
         # dense-parity capacity; real deployments oversubscribe. Rounded up
@@ -439,6 +442,20 @@ class PagedServingEngine(ServingEngine):
         self.slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
         # Host mirror of per-slot lengths (avoids a device sync per step).
         self._host_len = np.zeros((num_slots,), np.int64)
+        # Host mirror of the page table. Host-side mutations (page growth,
+        # slot release) write HERE and mark the table dirty; _sync_table
+        # uploads the WHOLE fixed-shape table once before the next device
+        # dispatch. The old per-mutation ``.at[idx].set`` route compiled a
+        # fresh scatter (plus broadcast/concat/squeeze helpers) for every
+        # distinct update count and slot index — ~0.45 s each through the
+        # remote compile service, ~8 s of first-convoy stalls in the
+        # serving-load bench (the paged-TTFT collapse; measured 2026-08,
+        # benchmarks/serving_load.py). Device-side writers (fused_admit,
+        # paged_insert) keep writing their row in-graph; the mirror is
+        # updated to match so a later upload never clobbers them.
+        self._table_host = np.full((num_slots, self.pages_per_seq),
+                                   TRASH_PAGE, np.int32)
+        self._table_dirty = False
         self.slots: List[Optional[Request]] = [None] * num_slots
         self.logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
         import queue
@@ -629,6 +646,7 @@ class PagedServingEngine(ServingEngine):
         self._install_constraint(req)  # prefix requests constrain too
         self.slot_pages[slot] = pages
         self._host_len[slot] = total_len
+        self._table_host[slot] = page_ids  # device row set in-graph
         self.slots[slot] = req
         self._slot_prefix[slot] = req.prefix_id
         if req.prefix_id in self._prefix_refs:
@@ -640,6 +658,19 @@ class PagedServingEngine(ServingEngine):
     def _mark_admitted(self, slot: int) -> None:
         self._slot_seq[slot] = self._admit_seq
         self._admit_seq += 1
+
+    def _sync_table(self) -> None:
+        """Upload the host page-table/lengths mirror if host-side
+        mutations (releases, page growth) made it dirty. One fixed-shape
+        device_put — no data-dependent compiles — called before every
+        device dispatch that reads the cache (step top + pre-decode)."""
+        if not self._table_dirty:
+            return
+        self.cache = self.cache._replace(
+            page_table=jnp.asarray(self._table_host),
+            lengths=jnp.asarray(self._host_len.astype(np.int32)),
+        )
+        self._table_dirty = False
 
     def _release(self, slot: int) -> None:
         # Base release also clears the slot's multi-LoRA state — without
@@ -655,15 +686,67 @@ class PagedServingEngine(ServingEngine):
         self.allocator.free(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self._host_len[slot] = 0
-        self.cache = self.cache._replace(
-            page_table=self.cache.page_table.at[slot].set(TRASH_PAGE),
-            lengths=self.cache.lengths.at[slot].set(0),
-        )
+        # Mirror-only: the freed pages may be reallocated by the very next
+        # admission, so the TRASH row must land on device before the next
+        # decode dispatch — _sync_table at the top of step() guarantees it.
+        self._table_host[slot] = TRASH_PAGE
+        self._table_dirty = True
+
+    def _prefetch_admissions(self) -> None:
+        """Batch the per-admission device syncs of one admission convoy.
+
+        Every plain (non-prefix, non-fork-group) pending request that will
+        fit the free slots gets its splice DISPATCHED here (async), and
+        all splices whose spliced length is not host-known share ONE
+        device->host readback of their stacked mask sums. Under convoy
+        admission (all slots free at once — the common pattern when a
+        batch of same-length requests finishes together) the old
+        per-request ``int(jnp.sum(mask))`` sync serialized the pipeline
+        at one tunnel round trip per admission; this makes it one round
+        trip per convoy. Results ride ``req._spliced_cache`` and are
+        consumed by _admit's fast path."""
+        free = sum(r is None for r in self.slots)
+        if free <= 1 or self.pending.empty():
+            return
+        todo = []
+        for req in list(self.pending.queue)[:free]:
+            if (req.cancelled or req.prefix_id is not None
+                    or req.prefix_batch is not None
+                    or getattr(req, "_shared_prefill", None) is not None
+                    or getattr(req, "_spliced_cache", None) is not None):
+                continue
+            spliced = prepare_multimodal_embeds_fast(
+                self.params, self.cfg, req.batch, deterministic=True
+            )
+            hint = self._host_prompt_len(req)
+            if hint is not None and (hint[1] is None
+                                     or hint[1] in self._len_verified):
+                req._spliced_cache = (spliced, hint[0])
+            else:
+                todo.append((req, spliced,
+                             jnp.sum(spliced.attention_mask)))
+        if not todo:
+            return
+        sums = np.asarray(jnp.stack([s for _, _, s in todo]))  # ONE sync
+        for (req, spliced, _), val in zip(todo, sums):
+            prompt_len = int(val)
+            hint = self._host_prompt_len(req)
+            if hint is not None:
+                if hint[0] != prompt_len:
+                    raise RuntimeError(
+                        f"host spliced-length formula gave {hint[0]} but "
+                        f"the device splice produced {prompt_len} for "
+                        f"signature {hint[1]}; the request's prompt_len "
+                        "must be the row's attention-mask sum with "
+                        "exactly one media sentinel")
+                self._len_verified.add(hint[1])
+            req._spliced_cache = (spliced, prompt_len)
 
     def _admit(self) -> None:
         # Swapped requests resume first: they hold decode progress and
         # predate everything still pending (FCFS).
         self._readmit_swapped()
+        self._prefetch_admissions()
         while not self.pending.empty():
             slot = self._free_slot()
             if slot is None:
@@ -672,6 +755,7 @@ class PagedServingEngine(ServingEngine):
             if req.cancelled:
                 self.pending.get()
                 req.done = True
+                req._spliced_cache = None
                 self._dropped.append(req)
                 _shared_consume(req)
                 continue
@@ -685,6 +769,7 @@ class PagedServingEngine(ServingEngine):
                     if self.adapter_registry is not None
                     else "engine has no adapter registry")
                 req.done = True
+                req._spliced_cache = None
                 self._dropped.append(req)
                 _shared_consume(req)
                 continue
@@ -728,20 +813,19 @@ class PagedServingEngine(ServingEngine):
                 # the splice+prefill; reuse its result and prompt length.
                 logits, single, prompt_len = shared["data"]
                 spliced = None
+            elif getattr(req, "_spliced_cache", None) is not None:
+                # Convoy prefetch already spliced and resolved the length
+                # with one shared readback (_prefetch_admissions).
+                spliced, prompt_len = req._spliced_cache
             else:
                 spliced = prepare_multimodal_embeds_fast(
                     self.params, self.cfg, req.batch, deterministic=True
                 )
-                b = req.batch
-                text_only = (b.videos is None and b.images is None
-                             and b.blocks is None)
-                if text_only and req.prompt_len is not None:
-                    # Host-known hint (text-only: spliced length == mask
-                    # sum) saves the per-admission device sync.
-                    prompt_len = int(req.prompt_len)
-                else:
-                    prompt_len = int(np.asarray(
-                        jnp.sum(spliced.attention_mask)))
+                # Host-known length (text rows by contract, image rows by
+                # the verified-once splice formula) saves the
+                # per-admission device sync — the sync serializes the
+                # admission pipeline under load.
+                prompt_len = self._resolve_prompt_len(req, spliced)
             n_pages = self.allocator.pages_needed(prompt_len, self.page_size)
             if n_pages > self.pages_per_seq:
                 self.pending.get()
@@ -749,6 +833,7 @@ class PagedServingEngine(ServingEngine):
                 req.error = (
                     f"rejected: prompt needs {n_pages} pages, per-sequence "
                     f"budget is {self.pages_per_seq}")
+                req._spliced_cache = None
                 self._dropped.append(req)
                 _shared_consume(req)
                 continue
@@ -783,9 +868,11 @@ class PagedServingEngine(ServingEngine):
                     adapter_idx=aidx1,
                 )
                 _shared_consume(req)
+                req._spliced_cache = None  # free the prefetch's embeds
                 self._install_constraint(req)
                 self.slot_pages[slot] = pages
                 self._host_len[slot] = prompt_len
+                self._table_host[slot] = page_ids  # device row set in-graph
                 self.slots[slot] = req
                 self._mark_admitted(slot)
                 continue
@@ -810,6 +897,7 @@ class PagedServingEngine(ServingEngine):
             self._install_constraint(req)
             self.slot_pages[slot] = pages
             self._host_len[slot] = prompt_len
+            self._table_host[slot] = page_ids  # device row set in-graph
             self.slots[slot] = req
             self._mark_admitted(slot)
 
@@ -925,6 +1013,7 @@ class PagedServingEngine(ServingEngine):
             # Request object and were never touched — do NOT re-install.
             self.slot_pages[slot] = pages
             self._host_len[slot] = ent["len"]
+            self._table_host[slot] = row  # device row set above
             self.slots[slot] = req
             self._mark_admitted(slot)
             self.resumed += 1
@@ -1050,7 +1139,6 @@ class PagedServingEngine(ServingEngine):
         (``preemption='swap'``, the default): its pages are offloaded to
         host memory and it resumes — exact state, no recompute — once
         capacity frees. ``preemption='off'`` keeps the hard error."""
-        updates = []
         for i in range(self.num_slots):
             if self.slots[i] is None:
                 continue
@@ -1075,30 +1163,28 @@ class PagedServingEngine(ServingEngine):
                             "can be preempted; size the pool for at least "
                             "one full sequence plus headroom"
                         )
-                    # Drop this flush's pending table updates for the
-                    # victim — its pages (including any just allocated
-                    # above) are freed wholesale by the swap-out release,
-                    # and writing freed page ids into a TRASH'd table row
-                    # would alias another slot's next allocation.
-                    updates = [u for u in updates if u[0] != victim]
+                    # The victim's mirror row (including pages just grown
+                    # this flush) is TRASH'd wholesale by the swap-out
+                    # release, so freed page ids never alias another
+                    # slot's next allocation.
                     self._swap_out(victim)
                     continue  # retry the allocation (slot i may be gone)
                 j = len(self.slot_pages[i])
                 self.slot_pages[i].append(got[0])
-                updates.append((i, j, got[0]))
-        if updates:
-            table = self.cache.page_table
-            idx = np.asarray([(u[0], u[1]) for u in updates], np.int32)
-            vals = np.asarray([u[2] for u in updates], np.int32)
-            table = table.at[idx[:, 0], idx[:, 1]].set(jnp.asarray(vals))
-            self.cache = self.cache._replace(page_table=table)
+                self._table_host[i, j] = got[0]
+                self._table_dirty = True
 
     def step(self, k: int = 1) -> List[Request]:
+        # Flush releases from the previous step's commit BEFORE admission:
+        # fused_admit may reuse a freed slot's pages, and its in-graph row
+        # write only covers its own slot.
+        self._sync_table()
         self._admit()
         dropped = self._drain_dropped()
         if not any(self._active_mask()):
             return dropped
         self._ensure_pages(max(k, 1))
+        self._sync_table()
 
         all_greedy = all((r is None or r.temperature == 0.0) for r in self.slots)
         unconstrained = all(

@@ -623,6 +623,10 @@ class Request:
     # is committed host-side (after every k-step sync at most).
     on_token: Any = None
     cancelled: bool = False
+    # Engine-internal: convoy admission prefetch — (spliced, prompt_len)
+    # staged by PagedServingEngine._prefetch_admissions, consumed and
+    # cleared at admission.
+    _spliced_cache: Any = None
 
     def __post_init__(self):
         if self.grammar is not None and self.choices:
@@ -663,6 +667,41 @@ def clone_request(req: Request) -> Request:
         choices=[list(c) for c in req.choices] if req.choices else None,
         grammar=grammar, prompt_len=req.prompt_len,
         logprobs=req.logprobs, top_logprobs=req.top_logprobs)
+
+
+def spliced_prompt_len_host(cfg: ModelConfig, batch: MultimodalBatch,
+                            text_len: int) -> Optional[int]:
+    """Exact post-splice prompt length, computed on the HOST, for the
+    shapes serving admission actually sees — or None when the length is
+    only knowable on device.
+
+    ``text_len`` is the caller-asserted token count of the row
+    (``attention_mask`` sum, media sentinel included). The splice replaces
+    the one media sentinel with the bridge's visual tokens
+    (models/splice.py:_splice_one). For a single IMAGE through an
+    rmt-family projector the visual block is always tokens_per_frame
+    valid tokens (models/bridge/builder.py image branches emit an
+    all-ones mask over one pooled frame), so the spliced length is
+    ``text_len - 1 + tokens_per_frame``.
+
+    VIDEO rows return None: the rmt-family splice carries only the LAST
+    SceneTilling segment's tokens (models/bridge/rmt_r.py: tokens =
+    all_proj[-1], token_mask = seg_mask[-1]) and the last segment's valid
+    frame count depends on where the learned boundaries fall — only the
+    device knows. Engines batch those device syncs per admission convoy
+    instead (PagedServingEngine._prefetch_admissions). Mixed blocks,
+    anyres, batched rows, and non-rmt projector kinds also return None.
+    Engines verify the formula against the device sum once per shape
+    signature before trusting it (_resolve_prompt_len)."""
+    b = batch
+    if b.images is None or b.videos is not None or b.blocks is not None:
+        return None
+    if b.images.ndim != 4 or b.images.shape[0] != 1:
+        return None
+    br = cfg.bridge
+    if br.kind not in ("rmt_transformer", "rmt_r_transformer"):
+        return None
+    return min(text_len - 1 + br.tokens_per_frame, cfg.max_length)
 
 
 def share_prefill(reqs: List[Request]) -> None:
@@ -750,6 +789,9 @@ class ServingEngine:
         # engine passes adapter_idx=None — compiling the adapter-free
         # graph — whenever no ACTIVE slot carries an adapter.
         self._adapter_host = np.full((num_slots,), -1, np.int32)
+        # Shape signatures whose host spliced-length formula has been
+        # verified against the device sum (see _host_prompt_len).
+        self._len_verified: set = set()
         self.max_seq_len = max_seq_len or (cfg.max_length + 512)
         self.eos = eos_token_id
         self.rng = jax.random.PRNGKey(seed)
@@ -770,6 +812,47 @@ class ServingEngine:
         self._dropped: List[Request] = []
 
     # ------------------------------------------------------------------
+    def _host_prompt_len(self, req: Request):
+        """Host-known spliced prompt length for this request, if any.
+
+        Returns None (device sum required), or ``(length, sig)`` where
+        ``sig`` is None for exact-by-contract lengths (text-only rows:
+        spliced length == mask sum) and a shape signature for formula
+        lengths (simple video rows, spliced_prompt_len_host) that must be
+        verified against the device sum once before being trusted. The
+        per-admission device sync this removes is what serializes the
+        admission pipeline under load (~30-100 ms each through the TPU
+        tunnel — benchmarks/serving_load.py)."""
+        if req.prompt_len is None:
+            return None
+        b = req.batch
+        if b.videos is None and b.images is None and b.blocks is None:
+            return int(req.prompt_len), None
+        val = spliced_prompt_len_host(self.cfg, b, int(req.prompt_len))
+        if val is None:
+            return None
+        return val, (tuple(b.images.shape), int(req.prompt_len))
+
+    def _resolve_prompt_len(self, req: Request, spliced) -> int:
+        """Spliced prompt length: host arithmetic when available and
+        verified, the device mask sum otherwise (verifying the host
+        formula for its signature as a side effect)."""
+        hint = self._host_prompt_len(req)
+        if hint is not None and (hint[1] is None
+                                 or hint[1] in self._len_verified):
+            return hint[0]
+        prompt_len = int(np.asarray(jnp.sum(spliced.attention_mask)))
+        if hint is not None:
+            if hint[0] != prompt_len:
+                raise RuntimeError(
+                    f"host spliced-length formula gave {hint[0]} but the "
+                    f"device splice produced {prompt_len} for signature "
+                    f"{hint[1]}; the request's prompt_len must be the "
+                    "row's attention-mask sum with exactly one media "
+                    "sentinel")
+            self._len_verified.add(hint[1])
+        return prompt_len
+
     def submit(self, request: Request) -> None:
         self.pending.put(request)
 
@@ -838,16 +921,21 @@ class ServingEngine:
                 # Chunked admission: one compiled extend shape for the
                 # whole engine lifetime, prefill compute proportional to
                 # the ACTUAL prompt length, not the padded splice buffer.
-                # The host-known prompt_len hint (text-only rows: spliced
-                # length == mask sum) saves the per-admission device sync.
-                b = req.batch
-                text_only = (b.videos is None and b.images is None
-                             and b.blocks is None)
+                # The host-known length (text rows by contract, simple
+                # video rows by the verified-once splice formula) saves
+                # the per-admission device sync.
+                host_len = None
+                hint = self._host_prompt_len(req)
+                if hint is not None and (hint[1] is None
+                                         or hint[1] in self._len_verified):
+                    host_len = hint[0]
+                elif hint is not None:
+                    host_len = self._resolve_prompt_len(req, spliced)
                 logits, single = chunked_prefill(
                     self.params["lm"], self.cfg.lm,
                     spliced.embeds.astype(self._dtype),
                     spliced.attention_mask, single,
-                    lengths=req.prompt_len if text_only else None,
+                    lengths=host_len,
                     adapter_idx=aidx1,
                 )
                 if self.speculative == "draft":
@@ -859,7 +947,7 @@ class ServingEngine:
                         self.draft_lm, self.draft_cfg,
                         spliced.embeds.astype(self._dtype),
                         spliced.attention_mask, dsingle,
-                        lengths=req.prompt_len if text_only else None,
+                        lengths=host_len,
                     )
                 if shared is not None:
                     shared["data"] = ((logits, single, draft_single)
