@@ -188,20 +188,130 @@ def test_choice_device_paged(tiny):
     assert dev == dense
 
 
-def test_mixed_choice_signatures_fall_back(tiny):
-    """Two different choice sets in one batch -> distinct tables -> the
-    per-step host path; output must still be a valid choice each."""
+def test_combined_table_rebasing():
+    """CombinedDeviceTable invariants: member pools concatenated with
+    next_sid shifted into the global sid space (negative sentinels kept)
+    and sid2slot into the global slot space (-1 kept); global slot 0
+    stays the FREE row."""
+    from videollamb_tpu.serve.device_grammar import (
+        DEAD,
+        combined_table_for,
+        device_table_for,
+    )
+
+    t1 = ChoiceTable(TokenTrie([[5], [6, 7]]), eos_token_id=EOS)
+    t2 = ChoiceTable(TokenTrie([[9, 10], [11]]), eos_token_id=EOS)
+    d1 = device_table_for(t1, 16)
+    d2 = device_table_for(t2, 16)
+    ct = combined_table_for([d1, d2])
+    assert list(ct.slot_base) == [0, d1.cap]
+    assert list(ct.sid_base) == [0, d1.sid_cap]
+    costs = np.asarray(ct.costs)
+    np.testing.assert_array_equal(costs[: d1.cap], np.asarray(d1.costs))
+    np.testing.assert_array_equal(costs[d1.cap:], np.asarray(d2.costs))
+    nxt = np.asarray(ct.next_sid)
+    n2 = np.asarray(d2.next_sid)
+    shifted = np.where(n2 < 0, n2, n2 + d1.sid_cap)
+    np.testing.assert_array_equal(nxt[d1.cap:], shifted)
+    s2s = np.asarray(ct.sid2slot)
+    m2 = np.asarray(d2.sid2slot)
+    np.testing.assert_array_equal(
+        s2s[d1.sid_cap:], np.where(m2 < 0, m2, m2 + d1.cap))
+    # Global FREE row: everything allowed, all transitions DEAD.
+    assert (costs[0] == 0).all() and (nxt[0] == DEAD).all()
+    # Upload a fresh state on a member AFTER combining -> refresh folds
+    # it in (the engine recombines every sync).
+    ct2 = combined_table_for([d1, d2])
+    assert ct2 is ct  # cached per member tuple
+
+
+def test_mixed_choice_signatures_ride_device_scan(tiny):
+    """Two DIFFERENT choice sets in one batch ride ONE combined device
+    table (VERDICT r4 #5 — this was the last host-path decode class);
+    k-step tokens match per-step host stepping exactly (tries are
+    prewarmed, so the scan never freezes)."""
+    from videollamb_tpu.serve.device_grammar import CombinedDeviceTable
     from videollamb_tpu.serve.server import ServingEngine
 
     cfg, params = tiny
-    engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS)
-    r1 = _req(cfg, 0, choices=[[5], [6, 7]], seed=0)
-    r2 = _req(cfg, 1, choices=[[9, 10], [11]], seed=1)
-    engine.submit(r1)
-    engine.submit(r2)
-    engine.run_until_drained(k=4)
-    assert _strip_eos(r1.tokens) in ([5], [6, 7])
-    assert _strip_eos(r2.tokens) in ([9, 10], [11])
+
+    def run(k):
+        engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS)
+        r1 = _req(cfg, 0, choices=[[5], [6, 7]], seed=0)
+        r2 = _req(cfg, 1, choices=[[9, 10], [11]], seed=1)
+        r3 = _req(cfg, 2, choices=None, seed=77, budget=6)  # free row
+        for r in (r1, r2, r3):
+            engine.submit(r)
+        engine._admit()
+        setup = engine._grammar_device_setup()
+        assert setup is not None
+        if k > 1:
+            assert isinstance(setup[0], CombinedDeviceTable)
+        engine.run_until_drained(k=k)
+        return {r.uid: list(r.tokens) for r in (r1, r2, r3)}
+
+    dev, host = run(4), run(1)
+    assert dev == host
+    assert _strip_eos(dev[0]) in ([5], [6, 7])
+    assert _strip_eos(dev[1]) in ([9, 10], [11])
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_mixed_grammar_and_choices_device_parity(tiny, paged):
+    """JSON mode + a choice set in flight together stay in the device
+    scan. Grammar tables freeze on first-visit states, so cold runs may
+    clip a sync short — every run uploads what it saw, so repeated runs
+    converge to the exact host-path stream (the round-3 convergence bar)."""
+    from videollamb_tpu.serve.paged import PagedServingEngine
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+
+    def run(k):
+        if paged:
+            engine = PagedServingEngine(params, cfg, num_slots=4,
+                                        page_size=16, eos_token_id=EOS,
+                                        seed=31)
+        else:
+            engine = ServingEngine(params, cfg, num_slots=4,
+                                   eos_token_id=EOS, seed=31)
+        rg = _grammar_req(cfg, 0, seed=2)
+        rc = _req(cfg, 1, choices=[[9, 10], [11]], seed=3)
+        engine.submit(rg)
+        engine.submit(rc)
+        engine.run_until_drained(k=k)
+        return {0: list(rg.tokens), 1: list(rc.tokens)}
+
+    host = run(1)
+    dev = None
+    for _ in range(12):
+        dev = run(4)
+        if dev == host:
+            break
+    assert dev == host
+    assert isinstance(json.loads(_decode(dev[0])), dict)
+    assert _strip_eos(dev[1]) in ([9, 10], [11])
+
+
+def test_mixed_tables_sampled_device(tiny):
+    """Sampled rows over two different choice tables: prewarmed tries
+    never freeze, so the combined-table scan is bit-identical to host
+    stepping even with temperature."""
+    from videollamb_tpu.serve.server import ServingEngine
+
+    cfg, params = tiny
+
+    def run(k):
+        engine = ServingEngine(params, cfg, num_slots=4, eos_token_id=EOS,
+                               seed=23)
+        r1 = _req(cfg, 0, choices=[[5], [6, 7]], seed=4, temperature=0.9)
+        r2 = _req(cfg, 1, choices=[[9, 10], [11]], seed=5, temperature=0.8)
+        engine.submit(r1)
+        engine.submit(r2)
+        engine.run_until_drained(k=k)
+        return {0: list(r1.tokens), 1: list(r2.tokens)}
+
+    assert run(4) == run(1)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,72 @@ class DeviceTable:
         return s
 
 
+class CombinedDeviceTable:
+    """Several DeviceTables concatenated into ONE global HBM pool, so a
+    batch mixing constraint tables (a JSON grammar in one slot, a choice
+    trie in another) stays in the k-step device scan (VERDICT r4 #5 —
+    mixed-table batches previously fell back to per-step host masks, the
+    85-180 tok/s regime the device scan was built to kill).
+
+    The trick is pure rebasing, so the scans run UNCHANGED: table i's
+    rows move to global slots [slot_base[i], slot_base[i]+cap_i) and its
+    states to global sids [sid_base[i], sid_base[i]+sid_cap_i); its
+    ``next_sid`` entries are shifted by sid_base[i] (negative sentinels
+    — DEAD and any freeze marker — preserved), and its ``sid2slot`` by
+    slot_base[i] (-1 "not uploaded" preserved). Global slot 0 is table
+    0's reserved FREE row, which is table-independent by construction
+    (costs all 0, next all DEAD), so unconstrained rows and finished
+    constraints ride it exactly as before. A row's table never changes
+    mid-request, so every transition a row can take stays inside its own
+    table's global range.
+
+    Rebuilds (a handful of jnp.where + concatenate dispatches over the
+    pools) happen only when some member uploaded a new state since the
+    last sync (`_versions` check) — steady-state syncs reuse the cached
+    combined arrays.
+    """
+
+    def __init__(self, tables):
+        self.tables = tuple(tables)
+        self.slot_base = np.cumsum([0] + [t.cap for t in self.tables])[:-1]
+        self.sid_base = np.cumsum(
+            [0] + [t.sid_cap for t in self.tables])[:-1]
+        self._versions = None
+        self.refresh()
+
+    def refresh(self) -> None:
+        versions = tuple(t._n for t in self.tables)
+        if versions == self._versions:
+            return
+        self._versions = versions
+        nxt, s2s = [], []
+        for t, sb, pb in zip(self.tables, self.sid_base, self.slot_base):
+            nxt.append(jnp.where(t.next_sid < 0, t.next_sid,
+                                 t.next_sid + int(sb)))
+            s2s.append(jnp.where(t.sid2slot < 0, t.sid2slot,
+                                 t.sid2slot + int(pb)))
+        self.costs = jnp.concatenate([t.costs for t in self.tables], 0)
+        self.next_sid = jnp.concatenate(nxt, 0)
+        self.sid2slot = jnp.concatenate(s2s, 0)
+
+
+def combined_table_for(device_tables) -> CombinedDeviceTable:
+    """One CombinedDeviceTable per ordered tuple of member DeviceTables,
+    cached on the first member (mirrors device_table_for's caching; the
+    cache entry keeps the members alive, so the id-tuple key is stable).
+    Call AFTER uploading this sync's states — refresh() folds them in."""
+    key = tuple(id(t) for t in device_tables)
+    cache = getattr(device_tables[0], "_combined_cache", None)
+    if cache is None:
+        cache = device_tables[0]._combined_cache = {}
+    ct = cache.get(key)
+    if ct is None:
+        ct = cache[key] = CombinedDeviceTable(device_tables)
+    else:
+        ct.refresh()
+    return ct
+
+
 def device_table_for(table, vocab_size: int) -> DeviceTable:
     """One DeviceTable per grammar/choice table, cached on the table
     (shared by every request/engine using that tokenizer+grammar).

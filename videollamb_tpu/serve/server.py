@@ -1386,41 +1386,55 @@ class ServingEngine:
         return finished
 
     def _grammar_device_setup(self):
-        """(DeviceTable, slots0, remaining0) when every constrained slot
-        rides ONE shared device table — a GrammarConstraint's grammar
+        """(device table, slots0, remaining0) when every constrained slot
+        rides a device-resident table — a GrammarConstraint's grammar
         table or a ChoiceConstraint's choice trie (both speak the
-        serve/device_grammar protocol) — and the HBM pool has room; None
-        -> the per-step host-mask path. Unconstrained rows ride the
-        reserved FREE slot 0."""
+        serve/device_grammar protocol) — and the HBM pools have room;
+        None -> the per-step host-mask path. A batch mixing DIFFERENT
+        tables (JSON mode + a choice set in flight together) rides a
+        CombinedDeviceTable: per-table pools rebased into one global
+        slot/sid space, so the scans run unchanged (VERDICT r4 #5).
+        Unconstrained rows ride the reserved FREE slot 0."""
         from videollamb_tpu.serve.device_grammar import (
             FREE_REMAINING,
+            combined_table_for,
             device_table_for,
         )
 
-        table = None
+        tables = []  # distinct, ordered by first appearance
         for r in self.slots:
             c = getattr(r, "_constraint", None) if r is not None else None
             if c is None:
                 continue
             if getattr(c, "table", None) is None or c.node is None:
                 return None
-            if table is None:
-                table = c.table
-            elif c.table is not table:
-                return None  # mixed tables in one batch: host path
-        if table is None:
+            if all(c.table is not t for t in tables):
+                tables.append(c.table)
+        if not tables:
             return None
-        dt = device_table_for(table, self.cfg.lm.vocab_size)
-        slots0 = np.zeros((self.num_slots,), np.int32)
-        remaining0 = np.full((self.num_slots,), FREE_REMAINING, np.int32)
+        dts = [device_table_for(t, self.cfg.lm.vocab_size) for t in tables]
+        # Upload every constrained slot's current state FIRST (mutates the
+        # member pools), then combine — refresh() folds the uploads in.
+        local = {}
         for i, r in enumerate(self.slots):
             c = getattr(r, "_constraint", None) if r is not None else None
             if c is None:
                 continue
-            s = dt.slot(c.node)
+            ti = next(j for j, t in enumerate(tables) if t is c.table)
+            s = dts[ti].slot(c.node)
             if s is None:
                 return None  # pool capacity exhausted
-            slots0[i] = s
+            local[i] = (ti, s)
+        if len(dts) == 1:
+            dt, slot_base = dts[0], (0,)
+        else:
+            dt = combined_table_for(dts)
+            slot_base = dt.slot_base
+        slots0 = np.zeros((self.num_slots,), np.int32)
+        remaining0 = np.full((self.num_slots,), FREE_REMAINING, np.int32)
+        for i, (ti, s) in local.items():
+            slots0[i] = int(slot_base[ti]) + s
+            r = self.slots[i]
             remaining0[i] = max(1, r.max_new_tokens - len(r.tokens))
         return dt, slots0, remaining0
 
