@@ -13,7 +13,12 @@ chip; the honest target is the compute roofline (~900-1000 frames/s at
 100% MXU) and our progress toward it.
 """
 
+import atexit
 import json
+import os
+import signal
+import sys
+import threading
 import time
 
 import jax
@@ -21,6 +26,76 @@ import jax.numpy as jnp
 
 BASELINE_TOK_S = 30.0
 BASELINE_ENCODE_FPS = 2000.0
+
+# ---------------------------------------------------------------------------
+# Time-boxing (VERDICT r4 #1): the driver allows ~30 min; round 4's bench
+# grew past it and rc=124 lost EVERY number. Three defenses, in order:
+#   1. a hard budget (BENCH_BUDGET_S, default 25 min) with per-section
+#      estimates — sections that don't fit are skipped and recorded in
+#      extra["skipped_for_budget"], never silently;
+#   2. reserve accounting — optional sections only run if the time left
+#      after them still covers every not-yet-run MUST section (the
+#      north-star metrics can't be starved by nice-to-have rows);
+#   3. the JSON line is emitted from atexit + SIGTERM/SIGINT handlers, so
+#      even a hard timeout flushes whatever was measured;
+#   4. a daemon WATCHDOG THREAD force-emits and exits 0 at budget+60 s —
+#      signal handlers only run between Python bytecodes, so a main thread
+#      blocked inside a C++ XLA compile / PJRT backend init (the observed
+#      wedge mode of the axon tunnel) would otherwise swallow SIGTERM and
+#      die output-less at the driver's hard kill. The thread keeps running
+#      while the main thread is blocked in C (the GIL is released there).
+# ---------------------------------------------------------------------------
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
+_STATE = {"printed": False, "tok_s": None, "extra": {}}
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _emit() -> None:
+    if _STATE["printed"]:
+        return
+    _STATE["printed"] = True
+    extra = _STATE["extra"]
+    extra["bench_elapsed_s"] = round(_elapsed(), 1)
+    tok_s = _STATE["tok_s"]
+    if tok_s is not None:
+        line = {
+            "metric": "decode_tokens_per_sec_7b",
+            "value": round(tok_s, 1),
+            "unit": "tok/s",
+            "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            "extra": extra,
+        }
+    else:
+        line = {
+            "metric": "languagebind_encode_fps",
+            "value": extra.get("encode_fps", 0.0),
+            "unit": "frames/s",
+            "vs_baseline": extra.get("encode_vs_north_star", 0.0),
+            "extra": extra,
+        }
+    print(json.dumps(line), flush=True)
+
+
+def _on_signal(sig, frame):  # noqa: ARG001
+    _STATE["extra"]["interrupted_by_signal"] = int(sig)
+    _emit()
+    os._exit(124 if sig == signal.SIGTERM else 130)
+
+
+def _watchdog() -> None:
+    time.sleep(max(BUDGET_S + 60.0 - _elapsed(), 1.0))
+    if not _STATE["printed"]:
+        _STATE["extra"]["watchdog_fired"] = True
+        _emit()
+        os._exit(0)
 
 
 def bench_encode() -> dict:
@@ -214,7 +289,8 @@ def bench_sampled_batch(cfg, params, num_slots: int = 8) -> float:
     return n_chunks * 8 * num_slots / (time.perf_counter() - start)
 
 
-def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
+def bench_paged_batch(cfg, params, num_slots: int = 8,
+                      pages_per_seq: int = 8, prompt_len: int = 256) -> float:
     """Aggregate 7B decode throughput with ``num_slots`` concurrent
     sequences over the paged KV pool (int8 weights AND int8 KV pages — the
     production serving config; bf16 weights + the pool exceed the 16 GB
@@ -238,9 +314,7 @@ def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
         paged_insert,
     )
 
-    page, prompt_len, n_steps = 64, 256, 32
-    # Multiple of 8 so the stock kernel runs 8-page compute blocks.
-    pages_per_seq = 8
+    page, n_steps = 64, 32
     total_pages = 1 + num_slots * pages_per_seq
     cache = init_paged_cache(cfg, num_slots, total_pages, page,
                              pages_per_seq, jnp.bfloat16, quantize=True)
@@ -260,6 +334,7 @@ def bench_paged_batch(cfg, params, num_slots: int = 8) -> float:
         src = jax.tree.map(jnp.array, dense)
         cache = paged_insert(cache, src, jnp.asarray(slot),
                              jnp.asarray(page_ids), total_pages)
+    del dense  # long-context rows: the source cache must not ride decode
 
     tok = jnp.zeros((num_slots, 1, cfg.hidden_size), jnp.bfloat16)
     logits, cache = paged_decode_step(params, cfg, tok, cache, total_pages)
@@ -613,155 +688,192 @@ def bench_train_packed(lm_params_int8, runs: int = 3, cfg=None) -> dict:
     }
 
 
-def main():
-    extra = {}
-    tok_s = None
-    # One bf16 7B for the bf16 sections, then quantize it IN PLACE (the
-    # quantizer consumes the bf16 tree) for the int8 sections.
-    try:
-        cfg7b, params7b = init_7b()
-    except Exception as e:  # noqa: BLE001
-        cfg7b = params7b = None
-        extra["init_error"] = type(e).__name__
-    if params7b is not None:
-        try:
-            tok_s = bench_decode(cfg7b, params7b)
-        except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
-            extra["decode_error"] = type(e).__name__
-        try:
-            extra["decode_devloop_tok_s"] = round(
-                bench_decode_devloop(cfg7b, params7b, 8), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["decode_devloop_error"] = type(e).__name__
-        try:
-            from videollamb_tpu.models.lm.quant import quantize_llama_params
-
-            params7b = quantize_llama_params(params7b)
-            jax.block_until_ready(params7b)
-        except Exception as e:  # noqa: BLE001
-            params7b = None
-            extra["quant_error"] = type(e).__name__
-    if params7b is not None:
-        try:
-            extra["decode_int8_tok_s"] = round(bench_decode(cfg7b, params7b), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["decode_int8_error"] = type(e).__name__
-        try:
-            extra["dense_batch8_int8_tok_s"] = round(
-                bench_dense_batch(cfg7b, params7b, 8), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["dense_batch8_error"] = type(e).__name__
-        try:
-            extra["paged_batch8_int8_tok_s"] = round(
-                bench_paged_batch(cfg7b, params7b, 8), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["paged_batch8_error"] = type(e).__name__
-        try:
-            # The serving sweet spot after the round-3 dispatch remeasure:
-            # pool-int8 attention scales past the old 8-slot config
-            # (24 slots = the measured aggregate peak at 512-token ctx).
-            extra["paged_batch24_int8_tok_s"] = round(
-                bench_paged_batch(cfg7b, params7b, 24), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["paged_batch24_error"] = type(e).__name__
-    if params7b is not None:
-        try:
-            extra["sampled_batch8_int8_tok_s"] = round(
-                bench_sampled_batch(cfg7b, params7b, 8), 1)
-        except Exception as e:  # noqa: BLE001
-            extra["sampled_batch8_error"] = type(e).__name__
-    if params7b is not None:
-        try:
-            extra["ttft_s_per_min_p50"] = round(
-                bench_ttft(cfg7b, params7b), 3)
-        except Exception as e:  # noqa: BLE001
-            extra["ttft_error"] = type(e).__name__
-    if params7b is not None:
-        jax.clear_caches()
-        try:
-            # Hour-scale streaming (BASELINE config #5): full-hour 1-fps
-            # synthetic stream through the bounded-state LiveInfer with
-            # the production shapes. Wall cost is ~1/15 of stream time.
-            import os as _os
-            import sys as _sys
-
-            _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-            from benchmarks.stream_hour import run as stream_hour_run
-            from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
-            from videollamb_tpu.models.vision.clip_vit import init_vision_params
-
-            from videollamb_tpu.config import ModelConfig as _MC
-
-            _scfg = _MC(max_length=2048)
-            _k1, _k2 = jax.random.split(jax.random.PRNGKey(23))
-            stream_params = {
-                "video_tower": init_vision_params(_k1, _scfg.vision,
-                                                  dtype=jnp.bfloat16),
-                "mm_projector": init_rmt_r_params(_k2, _scfg.bridge,
-                                                  _scfg.lm.hidden_size,
-                                                  dtype=jnp.bfloat16),
-                "lm": params7b,
-            }
-            extra.update(stream_hour_run(minutes=60.0, params=stream_params))
-            del stream_params
-            jax.clear_caches()
-        except Exception as e:  # noqa: BLE001
-            extra["stream_hour_error"] = type(e).__name__
-    if params7b is not None:
-        jax.clear_caches()  # drop decode-bench executables before training
-        try:
-            extra["train_adapter_step_ms"] = round(
-                bench_train_adapter(params7b), 1)
-        except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
-            extra["train_adapter_error"] = type(e).__name__
-        try:
-            extra.update(bench_train_packed(params7b))
-        except Exception as e:  # noqa: BLE001
-            extra["train_packed_error"] = type(e).__name__
-        jax.clear_caches()
-        try:
-            # LAST 7B section: the train state donates (and thus consumes)
-            # the int8 tree — cheapest way to keep the step's peak HBM at
-            # one copy of the optimizer state.
-            extra.update(bench_train_qlora(params7b))
-        except Exception as e:  # noqa: BLE001
-            extra["train_qlora_error"] = type(e).__name__
-    # Free the 7B before the encoder run.
-    del params7b
+def _sec_encode(ctx, extra):
+    enc = bench_encode()
+    extra.update(enc)
+    fps = max(enc.get("encode_fps", 0.0), enc.get("encode_int8_fps", 0.0))
+    extra["encode_vs_north_star"] = round(fps / BASELINE_ENCODE_FPS, 3)
+    extra["encode_note"] = (
+        "north star 2000 f/s exceeds the v5e single-chip roofline; the "
+        "sustained large-GEMM rate measured through this chip's tunnel "
+        "is ~139 TF/s bf16 and ~144 TOP/s int8 (int8 MXU is only ~3% "
+        "faster here, not the datasheet 2x), essential-FLOP ceiling "
+        "~680 f/s bf16. Aggregate path: params-replicated data-parallel "
+        "encode (certified in dryrun_multichip) scales linearly — "
+        "8 chips x the single-chip rate clears 2000 f/s on a v5e-8"
+    )
     jax.clear_caches()
-    try:
-        enc = bench_encode()
-        extra.update(enc)
-        fps = max(enc.get("encode_fps", 0.0), enc.get("encode_int8_fps", 0.0))
-        extra["encode_vs_north_star"] = round(fps / BASELINE_ENCODE_FPS, 3)
-        extra["encode_note"] = (
-            "north star 2000 f/s exceeds the v5e single-chip roofline; the "
-            "sustained large-GEMM rate measured through this chip's tunnel "
-            "is ~139 TF/s bf16 and ~144 TOP/s int8 (int8 MXU is only ~3% "
-            "faster here, not the datasheet 2x), essential-FLOP ceiling "
-            "~680 f/s bf16. Aggregate path: params-replicated data-parallel "
-            "encode (certified in dryrun_multichip) scales linearly — "
-            "8 chips x the single-chip rate clears 2000 f/s on a v5e-8"
-        )
-    except Exception as e:  # noqa: BLE001
-        extra["encode_error"] = type(e).__name__
 
-    if tok_s is not None:
-        print(json.dumps({
-            "metric": "decode_tokens_per_sec_7b",
-            "value": round(tok_s, 1),
-            "unit": "tok/s",
-            "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
-            "extra": extra,
-        }))
-    else:
-        print(json.dumps({
-            "metric": "languagebind_encode_fps",
-            "value": extra.get("encode_fps", 0.0),
-            "unit": "frames/s",
-            "vs_baseline": extra.get("encode_vs_north_star", 0.0),
-            "extra": extra,
-        }))
+
+def _sec_init7b(ctx, extra):
+    ctx["cfg7b"], ctx["params7b"] = init_7b()
+
+
+def _sec_decode(ctx, extra):
+    _STATE["tok_s"] = bench_decode(ctx["cfg7b"], ctx["params7b"])
+
+
+def _sec_devloop(ctx, extra):
+    extra["decode_devloop_tok_s"] = round(
+        bench_decode_devloop(ctx["cfg7b"], ctx["params7b"], 8), 1)
+
+
+def _sec_quant(ctx, extra):
+    from videollamb_tpu.models.lm.quant import quantize_llama_params
+
+    params = quantize_llama_params(ctx.pop("params7b"))
+    jax.block_until_ready(params)
+    ctx["params7b"] = params
+
+
+def _sec_decode_int8(ctx, extra):
+    extra["decode_int8_tok_s"] = round(
+        bench_decode(ctx["cfg7b"], ctx["params7b"]), 1)
+
+
+def _sec_dense8(ctx, extra):
+    extra["dense_batch8_int8_tok_s"] = round(
+        bench_dense_batch(ctx["cfg7b"], ctx["params7b"], 8), 1)
+
+
+def _sec_paged8(ctx, extra):
+    extra["paged_batch8_int8_tok_s"] = round(
+        bench_paged_batch(ctx["cfg7b"], ctx["params7b"], 8), 1)
+
+
+def _sec_paged24(ctx, extra):
+    # The serving sweet spot after the round-3 dispatch remeasure: the
+    # paged engine scales past the old 8-slot config (24 slots = the
+    # measured aggregate peak at 512-token ctx).
+    extra["paged_batch24_int8_tok_s"] = round(
+        bench_paged_batch(ctx["cfg7b"], ctx["params7b"], 24), 1)
+
+
+def _sec_paged8_long(ctx, extra):
+    # Long-context paged row (VERDICT r4 #4): 8 slots each holding ~2.8k
+    # resident tokens in a 3072-capacity table — the regime the gathered
+    # kernel was built for (per-slot page DMA, compute ∝ Σ len).
+    extra["paged_batch8_ctx2304_int8_tok_s"] = round(
+        bench_paged_batch(ctx["cfg7b"], ctx["params7b"], 8,
+                          pages_per_seq=40, prompt_len=2304), 1)
+
+
+def _sec_sampled8(ctx, extra):
+    extra["sampled_batch8_int8_tok_s"] = round(
+        bench_sampled_batch(ctx["cfg7b"], ctx["params7b"], 8), 1)
+
+
+def _sec_ttft(ctx, extra):
+    extra["ttft_s_per_min_p50"] = round(
+        bench_ttft(ctx["cfg7b"], ctx["params7b"]), 3)
+
+
+def _sec_stream(ctx, extra):
+    # Streaming (BASELINE config #5 trail): 12 stream-minutes through the
+    # bounded-state LiveInfer at production shapes — enough ticks (~180)
+    # for steady-state fps/p99 and the zero-recompile claim; the full-hour
+    # run stays in benchmarks/stream_hour.py (recorded in
+    # docs/PERFORMANCE.md) so the driver budget holds 12 more minutes of
+    # measurements (r4's in-bench 60-minute stream was the budget buster).
+    jax.clear_caches()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.stream_hour import run as stream_hour_run
+    from videollamb_tpu.config import ModelConfig as _MC
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    _scfg = _MC(max_length=2048)
+    _k1, _k2 = jax.random.split(jax.random.PRNGKey(23))
+    stream_params = {
+        "video_tower": init_vision_params(_k1, _scfg.vision,
+                                          dtype=jnp.bfloat16),
+        "mm_projector": init_rmt_r_params(_k2, _scfg.bridge,
+                                          _scfg.lm.hidden_size,
+                                          dtype=jnp.bfloat16),
+        "lm": ctx["params7b"],
+    }
+    extra.update(stream_hour_run(minutes=12.0, params=stream_params))
+    del stream_params
+    jax.clear_caches()
+
+
+def _sec_adapter(ctx, extra):
+    jax.clear_caches()  # drop decode-bench executables before training
+    extra["train_adapter_step_ms"] = round(
+        bench_train_adapter(ctx["params7b"]), 1)
+
+
+def _sec_packed(ctx, extra):
+    extra.update(bench_train_packed(ctx["params7b"]))
+    jax.clear_caches()
+
+
+def _sec_qlora(ctx, extra):
+    # LAST 7B section: the train state donates (and thus consumes) the
+    # int8 tree — cheapest way to keep the step's peak HBM at one copy of
+    # the optimizer state.
+    jax.clear_caches()
+    extra.update(bench_train_qlora(ctx.pop("params7b")))
+
+
+# (name, estimated seconds, must) in dependency order. Estimates are the
+# calibrated section times from the round-5 full run on the real chip
+# (extra["section_s"]) x ~1.3 headroom; re-calibrate whenever a section
+# changes. "must" sections carry the north-star metrics — optional
+# sections only run if the remaining budget covers them PLUS every
+# must-section still pending. Encode runs FIRST: it needs no 7B and the
+# second north-star metric must survive even a blown budget downstream.
+_SECTIONS = (
+    ("encode", 210.0, True, _sec_encode),
+    ("init7b", 150.0, True, _sec_init7b),
+    ("decode", 90.0, True, _sec_decode),
+    ("devloop", 45.0, False, _sec_devloop),
+    ("quant", 60.0, True, _sec_quant),
+    ("decode_int8", 60.0, True, _sec_decode_int8),
+    ("dense8", 60.0, False, _sec_dense8),
+    ("paged8", 120.0, True, _sec_paged8),
+    ("paged24", 90.0, False, _sec_paged24),
+    ("paged8_long", 150.0, False, _sec_paged8_long),
+    ("sampled8", 90.0, False, _sec_sampled8),
+    ("ttft", 150.0, True, _sec_ttft),
+    ("stream12", 330.0, True, _sec_stream),
+    ("adapter", 150.0, False, _sec_adapter),
+    ("packed", 270.0, False, _sec_packed),
+    ("qlora", 270.0, True, _sec_qlora),
+)
+
+# Sections that need the 7B params; skipped (as dep_failed) if init7b or
+# quant failed rather than raising AttributeError noise.
+_NEEDS_7B = {s[0] for s in _SECTIONS} - {"encode", "init7b"}
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    atexit.register(_emit)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    extra = _STATE["extra"]
+    extra["budget_s"] = BUDGET_S
+    section_s = extra.setdefault("section_s", {})
+    ctx = {}
+    for i, (name, est, must, fn) in enumerate(_SECTIONS):
+        if name in _NEEDS_7B and "params7b" not in ctx:
+            extra.setdefault("skipped_dep_failed", []).append(name)
+            continue
+        reserve = sum(e for n, e, m, _ in _SECTIONS[i + 1:] if m)
+        need = est if must else est + reserve
+        if _remaining() < need:
+            extra.setdefault("skipped_for_budget", []).append(name)
+            continue
+        t0 = time.monotonic()
+        try:
+            fn(ctx, extra)
+        except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
+            extra[f"{name}_error"] = type(e).__name__
+            if name in ("init7b", "quant"):
+                ctx.pop("params7b", None)
+        section_s[name] = round(time.monotonic() - t0, 1)
+    _emit()
 
 
 if __name__ == "__main__":
