@@ -158,13 +158,20 @@ def certify(ctx: int, frames: int, batch: int, topology: str = "v5e:2x4"):
                             tensor_parallel=tp)
         st_sh = _state_shardings(state_shape, params_shape, specs, mesh)
         b_sh = batch_sharding(mesh)
+        # TP additionally sequence-shards the remat-saved layer boundaries
+        # over the 'model' axis (Megatron sequence parallelism): at data=2
+        # the per-chip batch is 4x FSDP's, and the 32 saved (4, 2048, 4096)
+        # residuals alone are ~2 GB replicated — measured as the difference
+        # between fsdp_tp OOMing at 17.0 GB and fitting.
+        act_sh = NamedSharding(mesh, P("data", "model", None)) if tp else None
         step = jax.jit(
             # Stage-2 trainable set: towers frozen (trainable_mask stops
             # gradients into them — without it autodiff saves every ViT
             # layer's attention probs for a gradient the optimizer zeroes,
             # ~19 GB f32 at batch 8 x 16 frames, a guaranteed OOM).
             make_train_step(cfg, tx, remat=True,
-                            mask=trainable_mask(tcfg, params_shape)),
+                            mask=trainable_mask(tcfg, params_shape),
+                            act_sharding=act_sh),
             in_shardings=(st_sh, b_sh, None),
             donate_argnums=(0,),
         )

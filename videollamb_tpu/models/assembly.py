@@ -448,12 +448,15 @@ def videollamb_forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     attn_impl: str = "auto",
+    act_sharding=None,
 ) -> Tuple[jax.Array, SplicedBatch]:
     """Full multimodal forward -> (logits (B, L, V), spliced batch).
 
     Batches carrying ``segment_ids`` take the packed-row route: block-causal
     segment attention + per-segment RoPE positions, so several packed
-    conversations train exactly as if each had its own row."""
+    conversations train exactly as if each had its own row.
+    ``act_sharding`` (optional NamedSharding) sequence-shards the LM's
+    remat-saved layer boundaries — see models/lm/llama.py:_run_layers."""
     if batch.segment_ids is not None:
         spliced, seg, pos = prepare_packed_embeds(
             params, cfg, batch, deterministic=deterministic, rng=rng
@@ -461,7 +464,7 @@ def videollamb_forward(
         logits = llama_forward(
             params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
             position_ids=pos, remat=remat, attn_impl=attn_impl,
-            segment_ids=seg,
+            segment_ids=seg, act_sharding=act_sharding,
         )
         return logits, spliced
     spliced = prepare_multimodal_embeds(
@@ -469,7 +472,7 @@ def videollamb_forward(
     )
     logits = llama_forward(
         params["lm"], cfg.lm, spliced.embeds, spliced.attention_mask,
-        remat=remat, attn_impl=attn_impl,
+        remat=remat, attn_impl=attn_impl, act_sharding=act_sharding,
     )
     return logits, spliced
 

@@ -197,12 +197,24 @@ def _run_layers(
     attn_impl: str = "auto",
     aidx: Optional[jax.Array] = None,
     segment_ids: Optional[jax.Array] = None,  # packed rows (no-cache only)
+    act_sharding=None,  # NamedSharding for the (B, S, D) layer-boundary carry
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Scan the stacked layers. With a cache, each layer merges its fresh
-    k/v into the cache slice and attends over the full cache buffer."""
+    k/v into the cache slice and attends over the full cache buffer.
+
+    ``act_sharding`` (training only) constrains the residual-stream scan
+    carry — the tensor ``jax.checkpoint`` SAVES per layer. Passing
+    P('data', 'model', None) is Megatron-style sequence parallelism: the
+    saved boundary shards its sequence dim over the TP axis (4x smaller
+    per chip at tp=4), and GSPMD all-gathers it back in front of each
+    layer's projections, forward and in the remat recompute. Certified to
+    move the FSDP+TP stage-2 step from 17.0 GB (OOM) to fitting a v5e
+    (tools/aot_memory.py)."""
 
     if cache is None:
         def body(hidden, lp):
+            if act_sharding is not None:
+                hidden = jax.lax.with_sharding_constraint(hidden, act_sharding)
             hidden, _, _ = _layer(lp, cfg, hidden, cos, sin, mask, attn_impl,
                                   aidx, segment_ids)
             return hidden, None
@@ -266,7 +278,7 @@ def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][ids]
 
 
-@partial(jax.jit, static_argnames=("cfg", "remat", "attn_impl"))
+@partial(jax.jit, static_argnames=("cfg", "remat", "attn_impl", "act_sharding"))
 def llama_forward(
     params: Params,
     cfg: LlamaConfig,
@@ -277,6 +289,7 @@ def llama_forward(
     attn_impl: str = "auto",
     adapter_idx: Optional[jax.Array] = None,  # (B,) multi-LoRA row adapters
     segment_ids: Optional[jax.Array] = None,  # (B, S) packed-row segments
+    act_sharding=None,  # NamedSharding for the saved layer-boundary carry
 ) -> jax.Array:
     """Full-sequence forward (training / no-cache prefill) -> (B, S, V) logits.
 
@@ -294,6 +307,7 @@ def llama_forward(
     x, _ = _run_layers(
         params, cfg, inputs_embeds, cos, sin, valid, remat=remat,
         attn_impl=attn_impl, aidx=adapter_idx, segment_ids=segment_ids,
+        act_sharding=act_sharding,
     )
     return _final(params, cfg, x)
 

@@ -145,6 +145,7 @@ def make_train_step(
     attn_impl: str = "chunked",
     rmt_loss: bool = False,
     mask: Any = None,
+    act_sharding: Any = None,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
@@ -154,7 +155,11 @@ def make_train_step(
     trainable_mask(cfg, params) bool pytree — stops gradients into frozen
     subtrees so autodiff prunes their backward entirely (a frozen tower's
     activations are never saved; grads for frozen leaves come back as
-    zeros, which the optimizer's set_to_zero group expected anyway)."""
+    zeros, which the optimizer's set_to_zero group expected anyway).
+    ``act_sharding`` — optional NamedSharding for the LM's remat-saved
+    layer boundaries; pass P('data', 'model', None) under FSDP+TP to
+    sequence-shard saved activations over the TP axis (required for the
+    stage-2 recipe to fit a v5e — tools/aot_memory.py)."""
 
     def train_step(state: TrainState, batch: MultimodalBatch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -175,7 +180,7 @@ def make_train_step(
                 )
             logits, spliced = videollamb_forward(
                 params, model_cfg, batch, deterministic=False, rng=rng,
-                remat=remat, attn_impl=attn_impl,
+                remat=remat, attn_impl=attn_impl, act_sharding=act_sharding,
             )
             loss, n = causal_lm_loss(logits, spliced.labels)
             return loss, n
