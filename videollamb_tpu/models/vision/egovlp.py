@@ -81,12 +81,35 @@ def _attn(q, k, v):
     return jnp.einsum("...ij,...jd->...id", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _i2t_cross(p: Params, x: jax.Array, y: jax.Array, cfg: EgoVLPConfig,
+               y_bias=None) -> jax.Array:
+    """Image->text cross-attention bolted onto space attention
+    (VarAttention.forward, video_transformer.py:156-187): q from
+    norm_i2t_i(x), k/v from the text stream, output gated by the learned
+    scalar alpha_i2t (zero-init, so fusion starts as identity)."""
+    b, tot, d = x.shape
+    h, e = cfg.num_attention_heads, cfg.head_dim
+    kv = _linear(p["qkv_text_i2t"], y).reshape(y.shape[0], y.shape[1], 2, h, e)
+    k, v = kv[:, :, 0], kv[:, :, 1]  # (b, n_text, h, e)
+    q = _linear(p["qkv_i2t"], _ln(p["norm_i2t_i"], x, cfg.layer_norm_eps))
+    q = q.reshape(b, tot, h, e) * (e**-0.5)
+    s = jnp.einsum("bihe,bjhe->bhij", q, k, preferred_element_type=jnp.float32)
+    if y_bias is not None:  # (b, n_text) additive bias, 0 valid / -inf pad
+        s = s + y_bias[:, None, None, :]
+    pr = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhij,bjhe->bihe", pr, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = _linear(p["proj_i2t"], o.reshape(b, tot, d))
+    return x + p["alpha_i2t"].astype(jnp.float32).astype(x.dtype) * o
+
+
 def _var_attention(p: Params, x: jax.Array, cfg: EgoVLPConfig, mode: str,
-                   f: int) -> jax.Array:
+                   f: int, y=None, y_bias=None) -> jax.Array:
     """Divided attention over time or space groups (VarAttention.forward).
 
     x: (b, 1 + f*n, d); mode 'time' groups by spatial position, 'space'
-    groups by frame.
+    groups by frame. ``y`` (text hidden states) adds the FIBER-style i2t
+    cross-attention after the projection (fusion blocks only).
     """
     b, tot, d = x.shape
     h = cfg.num_attention_heads
@@ -135,29 +158,32 @@ def _var_attention(p: Params, x: jax.Array, cfg: EgoVLPConfig, mode: str,
 
     out = jnp.concatenate([cls_out, out], axis=1)  # (b*h, tot, e)
     out = out.reshape(b, h, tot, e).transpose(0, 2, 1, 3).reshape(b, tot, d)
-    return _linear(p["proj"], out)
+    out = _linear(p["proj"], out)
+    if y is not None:
+        out = _i2t_cross(p, out, y, cfg, y_bias)
+    return out
 
 
-def _block(p: Params, x: jax.Array, cfg: EgoVLPConfig, f: int) -> jax.Array:
+def _block(p: Params, x: jax.Array, cfg: EgoVLPConfig, f: int,
+           y=None, y_bias=None) -> jax.Array:
     time_out = _var_attention(p["timeattn"], _ln(p["norm3"], x, cfg.layer_norm_eps),
                               cfg, "time", f)
     time_res = x + time_out
+    # Text fusion rides ONLY the space attention (SpaceTimeBlock.forward
+    # :214-220 passes y to self.attn, never to timeattn).
     space_out = _var_attention(p["attn"], _ln(p["norm1"], time_res, cfg.layer_norm_eps),
-                               cfg, "space", f)
+                               cfg, "space", f, y=y, y_bias=y_bias)
     space_res = x + space_out  # frozen-in-time residual (:225)
     h = _ln(p["norm2"], space_res, cfg.layer_norm_eps)
     h = _linear(p["mlp"]["fc2"], jax.nn.gelu(_linear(p["mlp"]["fc1"], h), approximate=False))
     return space_res + h
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def egovlp_encode(params: Params, pixels: jax.Array, cfg: EgoVLPConfig) -> jax.Array:
-    """(B, F, C, H, W) -> (B, 1 + F*N, D) final-LN hidden states.
-
-    The CLS row ([:, 0]) is the video embedding the reference pools
-    (forward_features, :392); the rest are per-frame patch features for
-    tower-style consumption.
-    """
+def egovlp_embed_patches(params: Params, pixels: jax.Array,
+                         cfg: EgoVLPConfig) -> jax.Array:
+    """(B, F, C, H, W) -> (B, 1 + F*N, D) CLS + patch tokens with the
+    tiled positional scheme (forward_features :353-372; the ITM/MLM
+    fusion paths rebuild exactly this prologue, model.py:210-234)."""
     b, f, c, hh, ww = pixels.shape
     ps = cfg.patch_size
     gh, gw = hh // ps, ww // ps
@@ -180,8 +206,19 @@ def egovlp_encode(params: Params, pixels: jax.Array, cfg: EgoVLPConfig) -> jax.A
     tile_pos = jnp.tile(pos[1:], (cfg.num_frames, 1))
     tile_temb = jnp.repeat(temb, n, axis=0)
     total = jnp.concatenate([pos[:1], tile_pos + tile_temb], axis=0)
-    x = x + total[: x.shape[1]][None]
+    return x + total[: x.shape[1]][None]
 
+
+@partial(jax.jit, static_argnames=("cfg",))
+def egovlp_encode(params: Params, pixels: jax.Array, cfg: EgoVLPConfig) -> jax.Array:
+    """(B, F, C, H, W) -> (B, 1 + F*N, D) final-LN hidden states.
+
+    The CLS row ([:, 0]) is the video embedding the reference pools
+    (forward_features, :392); the rest are per-frame patch features for
+    tower-style consumption.
+    """
+    b, f = pixels.shape[:2]
+    x = egovlp_embed_patches(params, pixels, cfg)
     for lp in params["blocks"]:
         x = _block(lp, x, cfg, f)
     return _ln(params["norm"], x, cfg.layer_norm_eps)
