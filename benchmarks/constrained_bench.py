@@ -333,6 +333,57 @@ def main(argv=None) -> dict:
             emitted += min(8, int(inv_h[i]) + 1)
     out["grammar_controls_device_tok_s"] = round(
         emitted / (time.perf_counter() - t_first), 1) if t_first else 0.0
+
+    # (h) MIXED tables in one batch (round 5): half the rows decode under
+    # the JSON grammar, half under the choice trie, through ONE combined
+    # global pool (serve/device_grammar.combined_table_for) — before the
+    # combined table, any batch mixing tables fell back to the per-step
+    # host path (c). Grammar rows advance real cursors (warm table from
+    # (d)); choice rows reset to the trie root each scan like (f). The
+    # bar: within noise of the single-table device rates (the scan does
+    # the same per-row gathers — only the pool rows moved).
+    from videollamb_tpu.serve.device_grammar import combined_table_for
+
+    half = B // 2
+    cons = [json_constraint(Tok(), token_strs=strs) for _ in range(half)]
+    logits, cache = jnp.array(logits0), jax.tree.map(jnp.array, cache0)
+    t_first = None
+    emitted = 0
+    for it in range(args.steps // 8):
+        mslots = np.zeros((B,), np.int32)
+        ok = True
+        for i, c in enumerate(cons):
+            s = dt.slot(c.node) if c.node is not None else 0
+            if s is None:
+                ok = False
+                break
+            mslots[i] = s if s else 0
+        if not ok:
+            break
+        mt = combined_table_for([dt, cdt])  # refresh folds new uploads in
+        mslots[half:] = int(mt.slot_base[1]) + root_slot
+        mremaining = np.full((B,), FREE_REMAINING, np.int32)
+        for i, c in enumerate(cons):
+            mremaining[i] = 10_000
+        mremaining[half:] = 8
+        toks, logits, cache, inv, fro = greedy_decode_steps_grammar(
+            pwrap, cfgns, logits, cache, 8, mt.costs, mt.next_sid,
+            mt.sid2slot, jnp.asarray(mslots), jnp.asarray(mremaining))
+        toks_h, inv_h = np.asarray(toks), np.asarray(inv)
+        if t_first is None:  # first call compiles; time the rest
+            t_first = time.perf_counter()
+            emitted = 0
+        for i, c in enumerate(cons):
+            for t in toks_h[i][: min(8, int(inv_h[i]) + 1)]:
+                if c.node is None:
+                    break
+                c.advance(int(t))
+                if c.node is not None:
+                    dt.slot(c.node)
+        emitted += sum(min(8, int(inv_h[i]) + 1) for i in range(half))
+        emitted += (B - half) * 8
+    out["mixed_tables_device_tok_s"] = round(
+        emitted / (time.perf_counter() - t_first), 1) if t_first else 0.0
     print(json.dumps(out))
     return out
 
