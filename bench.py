@@ -797,6 +797,38 @@ def _sec_stream(ctx, extra):
     jax.clear_caches()
 
 
+def _sec_niavh(ctx, extra):
+    # Trimmed NIAVH (VERDICT r4 #3): one 8-minute haystack, two depths,
+    # through the SAME streaming engine + real-BPE-tokenizer path as the
+    # full hour grid (benchmarks/niavh_hour.py, recorded in
+    # docs/PERFORMANCE.md). In-bench this certifies the retention margin
+    # stays > 0 and the sustained stream f/s at production shapes; the
+    # depth x length decay curve needs the standalone hour run.
+    jax.clear_caches()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.niavh_hour import run as niavh_run
+    from videollamb_tpu.config import ModelConfig as _MC
+    from videollamb_tpu.models.bridge.rmt_r import init_rmt_r_params
+    from videollamb_tpu.models.vision.clip_vit import init_vision_params
+
+    _ncfg = _MC(max_length=2048)
+    _k1, _k2 = jax.random.split(jax.random.PRNGKey(29))
+    nparams = {
+        "video_tower": init_vision_params(_k1, _ncfg.vision,
+                                          dtype=jnp.bfloat16),
+        "mm_projector": init_rmt_r_params(_k2, _ncfg.bridge,
+                                          _ncfg.lm.hidden_size,
+                                          dtype=jnp.bfloat16),
+        "lm": ctx["params7b"],
+    }
+    res = niavh_run(lengths=(480,), depths=(0.25, 0.75), params=nparams,
+                    cfg=_ncfg, key_prefix="niavh8m")
+    res.pop("niavh8m_cells", None)  # per-cell detail stays out of the line
+    extra.update(res)
+    del nparams
+    jax.clear_caches()
+
+
 def _sec_adapter(ctx, extra):
     jax.clear_caches()  # drop decode-bench executables before training
     extra["train_adapter_step_ms"] = round(
@@ -837,6 +869,7 @@ _SECTIONS = (
     ("sampled8", 90.0, False, _sec_sampled8),
     ("ttft", 150.0, True, _sec_ttft),
     ("stream12", 330.0, True, _sec_stream),
+    ("niavh", 300.0, False, _sec_niavh),
     ("adapter", 150.0, False, _sec_adapter),
     ("packed", 270.0, False, _sec_packed),
     ("qlora", 270.0, True, _sec_qlora),
