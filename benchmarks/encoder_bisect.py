@@ -39,7 +39,8 @@ N_LAYERS = 23
 
 
 def layer_variant(cfg: VisionConfig, mode: str):
-    """mode: full | no_temporal | no_spatial_core | gemms_only | no_ln."""
+    """mode: full | old_temporal | no_temporal | no_spatial_core |
+    gemms_only | no_ln."""
 
     def ln(p, x):
         if mode == "no_ln":
@@ -48,7 +49,10 @@ def layer_variant(cfg: VisionConfig, mode: str):
 
     def layer(p, x, time_window):
         bt, n, d = x.shape
-        if mode not in ("no_temporal", "gemms_only") and cfg.add_time_attn:
+        if mode == "old_temporal" and cfg.add_time_attn:
+            # The r1-r4 production path: (b,n,t,d) packed core behind an
+            # explicit transpose pair. Kept to attribute the frame-major
+            # core's win (full vs old_temporal = the transposes killed).
             t = time_window
             b = bt // t
             from videollamb_tpu.ops.temporal_attention import temporal_attention
@@ -59,6 +63,20 @@ def layer_variant(cfg: VisionConfig, mode: str):
                 p["temporal_attn"], cfg.num_attention_heads,
                 cfg.layer_norm_eps)
             x = y.transpose(0, 2, 1, 3).reshape(bt, n, d)
+        elif mode not in ("no_temporal", "gemms_only") and cfg.add_time_attn:
+            # Live path (clip_vit._encoder_layer): frame-major core, zero
+            # relayouts.
+            t = time_window
+            b = bt // t
+            from videollamb_tpu.ops.temporal_attention import (
+                temporal_attention_fm,
+            )
+
+            y = temporal_attention_fm(
+                x.reshape(b, t, n, d), p["temporal_embedding"],
+                p["temporal_layer_norm1"], p["temporal_attn"],
+                cfg.num_attention_heads, cfg.layer_norm_eps)
+            x = y.reshape(bt, n, d)
         elif mode == "gemms_only":
             # Temporal branch GEMM cost without the kernel/transposes.
             h = ln(p["temporal_layer_norm1"], x)
@@ -99,7 +117,8 @@ def main():
                            jnp.bfloat16)
 
     out = {}
-    modes = ("full", "no_temporal", "no_spatial_core", "gemms_only", "no_ln")
+    modes = ("full", "old_temporal", "no_temporal", "no_spatial_core",
+             "gemms_only", "no_ln")
     for mode in modes:
         layer = layer_variant(cfg, mode)
 

@@ -183,7 +183,12 @@ def _stream_cell(chat, cfg, frames: np.ndarray, stride: int,
 def run(lengths=(900, 1800, 3600), depths=(0.0, 0.25, 0.5, 0.75, 1.0),
         stride: int = 4, max_new_tokens: int = 16, params=None, cfg=None,
         needle_frames: int = 8, seed: int = 0, key_prefix: str = "niavh",
-        tokenizer=None) -> dict:
+        tokenizer=None, deadline_s: float | None = None) -> dict:
+    """``deadline_s`` bounds the grid's WALL time: cells still pending when
+    it trips are skipped (recorded in ``<prefix>_skipped_cells``) and the
+    aggregates cover the cells that ran — a bench inside a driver budget
+    reports a smaller grid instead of losing the section."""
+    t_start = time.perf_counter()
     from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
     from videollamb_tpu.eval.niavh import score_pred
     from videollamb_tpu.config import ModelConfig
@@ -223,9 +228,17 @@ def run(lengths=(900, 1800, 3600), depths=(0.0, 0.25, 0.5, 0.75, 1.0),
     depths = sorted(float(x) for x in depths)
     haystack = synth_stream(max(lengths), seed=seed, size=size)
 
-    grid, cells = {}, []
+    grid, cells, skipped = {}, [], []
     total_frames, total_wall, p99s = 0, 0.0, []
+
+    def over_deadline():
+        return (deadline_s is not None
+                and time.perf_counter() - t_start > deadline_s)
+
     for length in lengths:
+        if over_deadline():
+            skipped.extend(f"{length}x{d}" for d in depths)
+            continue
         body = haystack[:length - needle_frames]
         control = _stream_cell(chat, cfg, haystack[:length], stride,
                                max_new_tokens, ask=False)
@@ -234,6 +247,9 @@ def run(lengths=(900, 1800, 3600), depths=(0.0, 0.25, 0.5, 0.75, 1.0),
         total_wall += control["wall_s"]
         row = {}
         for depth in depths:
+            if over_deadline():
+                skipped.append(f"{length}x{depth}")
+                continue
             start = int(round(depth * len(body)))
             frames = np.concatenate(
                 [body[:start], needle, body[start:]]).astype(np.float16)
@@ -267,10 +283,11 @@ def run(lengths=(900, 1800, 3600), depths=(0.0, 0.25, 0.5, 0.75, 1.0),
         f"{k}_answer_acc": round(
             sum(c["answer_correct"] for r in grid.values()
                 for c in r.values()) / max(1, n_cells), 3),
-        f"{k}_stream_fps": round(total_frames / total_wall, 1),
-        f"{k}_realtime_x": round(total_frames / total_wall, 1),
+        f"{k}_stream_fps": round(total_frames / max(total_wall, 1e-9), 1),
+        f"{k}_realtime_x": round(total_frames / max(total_wall, 1e-9), 1),
         f"{k}_tick_p99_ms": round(float(np.median(p99s)), 1) if p99s else 0.0,
         f"{k}_max_minutes": round(max(lengths) / 60, 1),
+        **({f"{k}_skipped_cells": skipped} if skipped else {}),
         f"{k}_total_stream_minutes": round(total_frames / 60, 1),
         f"{k}_cells": cells,
         f"{k}_note": ("answer_correct needs trained weights (zero-egress "

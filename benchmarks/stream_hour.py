@@ -95,7 +95,13 @@ def synth_stream(n_frames: int, seed: int = 0,
 
 def run(minutes: float = 60.0, fps: float = 1.0, stride: int = 4,
         max_new_tokens: int = 16, query_every_s: float = 300.0,
-        params=None, seed: int = 0, cfg=None, image_size: int = 224) -> dict:
+        params=None, seed: int = 0, cfg=None, image_size: int = 224,
+        deadline_s: float | None = None) -> dict:
+    """``deadline_s`` bounds the WALL time of the streaming loop (warmup
+    included): when exceeded the stream stops early and every metric is
+    computed over the frames actually folded, with
+    ``stream_hour_truncated_for_budget`` set — a bench inside a driver
+    budget degrades to a shorter stream instead of losing the section."""
     from videollamb_tpu.config import ModelConfig
     from videollamb_tpu.data.processing import ImageProcessor, VideoProcessor
     from videollamb_tpu.serve.chat import Chat
@@ -154,6 +160,8 @@ def run(minutes: float = 60.0, fps: float = 1.0, stride: int = 4,
     t0 = time.perf_counter()
     warm_wall = None
     warm_detector = None
+    frames_done = 0
+    truncated = False
     for i in range(0, n_frames, stride):
         tt0 = time.perf_counter()
         sess.input_video_stream(float(min(i + stride - 1, n_frames - 1)))
@@ -163,16 +171,23 @@ def run(minutes: float = 60.0, fps: float = 1.0, stride: int = 4,
         tick_times.append(time.perf_counter() - tt0)
         shapes.add((sess.kv.k.shape, sess.bridge_state.cache.shape))
         max_resident = max(max_resident, sess.hbm_resident_frames)
+        frames_done = min(i + stride, n_frames)
         if i // stride + 1 == warm_ticks:
             warm_wall = time.perf_counter() - t0
             warm_detector = (sess._detector.compile_cache_sizes
                              if sess._detector is not None else (0, 0))
             tick_times = []  # timed window starts after warmup
+        elif (deadline_s is not None
+                and time.perf_counter() - t0 > deadline_s):
+            truncated = True
+            break
     wall = time.perf_counter() - t0
-    timed_wall = wall - (warm_wall or 0.0)
-    timed_frames = n_frames - warm_ticks * stride
+    timed_wall = wall - (warm_wall if warm_wall is not None else wall)
+    timed_frames = max(0, frames_done - warm_ticks * stride)
+    n_frames = frames_done
 
-    ticks_ms = np.asarray(tick_times) * 1000
+    timed_wall = max(timed_wall, 1e-9)
+    ticks_ms = np.asarray(tick_times or [0.0]) * 1000
     end_detector = (sess._detector.compile_cache_sizes
                     if sess._detector is not None else (0, 0))
     out = {
@@ -201,6 +216,8 @@ def run(minutes: float = 60.0, fps: float = 1.0, stride: int = 4,
             sess.prefetch_hits / max(1, sess.prefetch_hits
                                      + sess.prefetch_misses), 3),
     }
+    if truncated:
+        out["stream_hour_truncated_for_budget"] = True
     return out
 
 

@@ -49,6 +49,12 @@ Params = Dict[str, Any]
 
 TRASH_PAGE = 0
 
+# B x (pps * page) at or below which the int8 decode dispatch prefers the
+# XLA token-major statement over the gathered Pallas kernel — see the
+# dispatch comment in paged_decode_step and docs/PERFORMANCE.md's
+# crossover table (benchmarks/paged_attention_bench.py PAB_SHAPES sweep).
+_GATHERED_MIN_SLOT_TOKENS = 4096
+
 
 class PagedKVCache(NamedTuple):
     # bf16 pools are HEAD-MAJOR (L, H_kv, total_pages, page_size, Dh) —
@@ -432,8 +438,21 @@ def paged_decode_step(
 
     on_tpu = use_tpu_kernels()
     gathered_ppb = _pick_ppb(pps, page) if quantized else 1
+    # Shape-aware int8 dispatch (VERDICT r4 #4): the gathered kernel's
+    # per-block fixed cost loses to the XLA token-major statement only
+    # when the WHOLE pool is small and slots are few — the XLA path then
+    # reads B x pool but that product is tiny, while the kernel still
+    # pays its grid/DMA setup. Both inputs to the gate are static (slot
+    # count x pool capacity), so the choice is made at trace time.
+    # Measured crossover on v5e at 7B MHA dims
+    # (benchmarks/paged_attention_bench.py PAB_SHAPES sweep, table in
+    # docs/PERFORMANCE.md): XLA twin wins at 8x512 (31-ish vs 34 ms/step)
+    # and loses from 16x512 / 8x1024 up; the boundary sits between
+    # 4096 and 8192 slot-tokens of B x capacity.
+    small_pool = b * pps * page <= _GATHERED_MIN_SLOT_TOKENS
     use_gathered_kernel = (quantized and on_tpu and dh % 128 == 0
-                           and (gathered_ppb * page) % 32 == 0)
+                           and (gathered_ppb * page) % 32 == 0
+                           and not small_pool)
     use_kernel = (on_tpu and dh % 128 == 0 and not quantized
                   and pps >= 16)
     block = 8
@@ -565,11 +584,14 @@ def paged_decode_step(
         # are 128x smaller, the copy is noise.
         kp_s = scatter_tm(kp_s, ks)
         vp_s = scatter_tm(vp_s, vs)
-        if use_gathered_kernel:
+        if use_gathered_kernel or (on_tpu and dh % 128 == 0
+                                   and (gathered_ppb * page) % 32 == 0):
             # One-dispatch install (ops/paged_fresh_write.py): the DUS
             # chain is 2·B·L tiny ops whose dispatch cost dominates —
             # 0.45 ms/step vs 0.22 ms for the kernel at serving-load
-            # shapes (benchmarks/paged_step_bisect.py).
+            # shapes (benchmarks/paged_step_bisect.py). The install is
+            # layout-only (token-major pools), so the small-pool XLA
+            # attention path uses it too.
             from videollamb_tpu.ops.paged_fresh_write import paged_fresh_write
 
             kp, vp = paged_fresh_write(

@@ -121,15 +121,22 @@ def _encoder_layer(
         t = time_window
         b = bt // t
         if _use_fused_temporal(cfg, t):
-            from videollamb_tpu.ops.temporal_attention import temporal_attention
+            # Frame-major branch: the (b, t, n, d) view of the residual
+            # stream is a FREE reshape of (b*t, n, d); the kernel
+            # lane-slices heads and packs (t, bn) rows internally, so the
+            # whole temporal block runs with zero relayouts (the old
+            # (b,n,t,d) core needed a 2x ~135 MB transpose pair per layer
+            # at batch 256 — benchmarks/encoder_bisect.py attribution).
+            from videollamb_tpu.ops.temporal_attention import (
+                temporal_attention_fm,
+            )
 
-            x_bntd = x.reshape(b, t, n, d).transpose(0, 2, 1, 3)
-            y = temporal_attention(
-                x_bntd, p["temporal_embedding"],
+            y = temporal_attention_fm(
+                x.reshape(b, t, n, d), p["temporal_embedding"],
                 p["temporal_layer_norm1"], p["temporal_attn"],
                 cfg.num_attention_heads, cfg.layer_norm_eps,
             )
-            x = y.transpose(0, 2, 1, 3).reshape(bt, n, d)
+            x = y.reshape(bt, n, d)
         else:
             # (bt, n, d) -> (b*n, t, d)
             xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)

@@ -120,6 +120,84 @@ def fused_temporal_core(
     return out.reshape(b, n, t, d)
 
 
+def _core_kernel_fm(q_ref, k_ref, v_ref, out_ref, *, num_heads: int, e: int,
+                    n: int):
+    """Frame-major core: refs (1, t, BN, d) — the residual-stream layout.
+
+    Rows are packed (t, bn) per head: entry [(tq, iq), (tk, ik)] is valid
+    iff iq == ik (a patch position only attends across its own t frames).
+    Heads are lane-sliced in-kernel (same Mosaic relayout-free slice the
+    spatial kernel uses — ops/spatial_attention.py:103-118), so q/k/v are
+    consumed EXACTLY as the projection GEMMs emit them and the output is
+    written back in the same layout: zero relayouts in the whole temporal
+    block, killing the per-layer (b,t,n,d)<->(b,n,t,d) transpose pair
+    (~2.1 ms/layer at batch 256, benchmarks/encoder_bisect.py)."""
+    t, bn, _ = q_ref.shape[1:]
+    p = t * bn
+    j = pl.program_id(1)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) % bn
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1) % bn
+    pos_ok = row_i == col_i
+    # The last n-block is padded past n: padded rows of v hold garbage
+    # (NaN in interpret mode) and 0 * NaN = NaN would leak into VALID
+    # positions through the probs @ v dot, so padding is zeroed by select
+    # (not multiply) and padded score columns are masked outright.
+    pos_ok &= (j * bn + col_i) < n
+    valid_row = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % bn
+                 + j * bn) < n
+
+    for h in range(num_heads):
+        sl = slice(h * e, (h + 1) * e)
+        qh = q_ref[0, :, :, sl].reshape(p, e)  # row-major collapse: free
+        kh = k_ref[0, :, :, sl].reshape(p, e)
+        vh = v_ref[0, :, :, sl].reshape(p, e)
+        vh = jnp.where(valid_row, vh, jnp.zeros_like(vh))
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, P) f32, VMEM-resident
+        s = jnp.where(pos_ok, s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        ex = jnp.exp(s)
+        probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        o = jnp.dot(probs.astype(vh.dtype), vh,
+                    preferred_element_type=jnp.float32)
+        out_ref[0, :, :, sl] = o.reshape(t, bn, e).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_n", "interpret")
+)
+def fused_temporal_core_fm(
+    q: jax.Array,  # (b, t, n, d) — pre-scaled queries, frame-major
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    block_n: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-(b, n) softmax attention over t frames, consumed and produced
+    in the residual stream's OWN (b, t, n, d) layout. Rows pack (t, bn)
+    per head with a same-position mask; FLOP inflation is bn/t x on an op
+    that is ~1.5% of the layer's essential FLOPs. Returns (b, t, n, d)."""
+    b, t, n, d = q.shape
+    e = d // num_heads
+    bn = min(block_n, n)
+
+    spec = pl.BlockSpec((1, t, bn, d), lambda i, j: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_core_kernel_fm, num_heads=num_heads, e=e, n=n),
+        grid=(b, pl.cdiv(n, bn)),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _dense(p: Params, y: jax.Array) -> jax.Array:
     if isinstance(p["kernel"], dict):  # int8 path (models/vision/quant.py)
         from videollamb_tpu.models.vision.quant import dense_int8
@@ -147,6 +225,72 @@ def _ln_qkv(x, temporal_embedding, ln, attn, eps):
     k = _dense(attn["k_proj"], normed)
     v = _dense(attn["v_proj"], normed)
     return xt, q, k, v
+
+
+def _ln_qkv_fm(x, temporal_embedding, ln, attn, eps):
+    """_ln_qkv for the frame-major (b, t, n, d) residual-stream layout
+    (the temporal embedding broadcasts over n instead of t)."""
+    t = x.shape[1]
+    xt = x + temporal_embedding[:t].astype(x.dtype)[None, :, None]
+    xf = xt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed * ln["scale"].astype(jnp.float32) + ln["bias"].astype(jnp.float32)
+    normed = normed.astype(x.dtype)
+    q = _dense(attn["q_proj"], normed)
+    k = _dense(attn["k_proj"], normed)
+    v = _dense(attn["v_proj"], normed)
+    return xt, q, k, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def temporal_attention_fm(
+    x: jax.Array,  # (b, t, n, d) — frame-major, the residual stream itself
+    temporal_embedding: jax.Array,  # (t_table, d); first t rows used
+    ln: Params,
+    attn: Params,
+    num_heads: int,
+    eps: float = 1e-5,
+    block_n: int = 16,
+) -> jax.Array:
+    """x + temb + CLIPAttention(LN(x + temb)) over the t axis, with the
+    frame-major Pallas core: the caller keeps the residual stream in its
+    native (b*t, n, d) GEMM layout (viewed (b, t, n, d)) — no transposes
+    anywhere in the branch. Kernel forward, XLA-recompute backward."""
+    d = x.shape[-1]
+    e = d // num_heads
+    xt, q, k, v = _ln_qkv_fm(x, temporal_embedding, ln, attn, eps)
+    from videollamb_tpu.parallel.kernel_partition import (
+        fused_temporal_core_fm_spmd,
+    )
+
+    o = fused_temporal_core_fm_spmd(
+        q * (e**-0.5), k, v, num_heads=num_heads, block_n=block_n
+    )
+    return xt + _dense(attn["out_proj"], o)
+
+
+def _ta_fm_fwd(x, temporal_embedding, ln, attn, num_heads, eps, block_n):
+    out = temporal_attention_fm(x, temporal_embedding, ln, attn, num_heads,
+                                eps, block_n)
+    return out, (x, temporal_embedding, ln, attn)
+
+
+def _ta_fm_bwd(num_heads, eps, block_n, res, g):
+    x, temb, ln, attn = res
+
+    def ref(x, temb, ln, attn):
+        xb = jnp.swapaxes(x, 1, 2)  # (b, n, t, d)
+        out = temporal_attention_reference(xb, temb, ln, attn,
+                                           num_heads=num_heads, eps=eps)
+        return jnp.swapaxes(out, 1, 2)
+
+    _, vjp = jax.vjp(ref, x, temb, ln, attn)
+    return vjp(g)
+
+
+temporal_attention_fm.defvjp(_ta_fm_fwd, _ta_fm_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

@@ -218,6 +218,31 @@ def fused_temporal_core_spmd(q, k, v, *, num_heads: int, block_n: int = 32):
 
 
 @functools.lru_cache(maxsize=None)
+def _temporal_core_fm(num_heads: int, block_n: int):
+    from videollamb_tpu.ops.temporal_attention import fused_temporal_core_fm
+
+    def full(q, k, v):
+        return fused_temporal_core_fm(q, k, v, num_heads=num_heads,
+                                      block_n=block_n)
+
+    def local(shards, q, k, v):
+        return fused_temporal_core_fm(
+            q, k, v, num_heads=num_heads // shards.get("d", 1),
+            block_n=block_n)
+
+    dims = ("b", "t", "n", "d")  # frame-major residual-stream layout
+    return make_partitioned(full, [dims] * 3, [dims],
+                            replicate=("t", "n"), local_fn=local)
+
+
+def fused_temporal_core_fm_spmd(q, k, v, *, num_heads: int,
+                                block_n: int = 16):
+    """(b, t, n, d) frame-major temporal attention, shardable on b and on
+    d by whole heads (ops/temporal_attention.py:_core_kernel_fm)."""
+    return _temporal_core_fm(num_heads, block_n)(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
 def _flash(causal: bool, scale: float):
     from videollamb_tpu.ops.flash_attention import flash_attention
 
