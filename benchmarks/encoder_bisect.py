@@ -134,13 +134,23 @@ def main():
 
         s = run(stacked, x0, jnp.bfloat16(0))
         float(s)  # compile + warm
+        # Best of 3 timing rounds: the first execution(s) after a remote
+        # Mosaic compile can stall 1-10 s (executable finalization), which
+        # a single warm call does not reliably absorb — it inflated the
+        # round-5 first bisect by +10 ms/layer on the freshly compiled
+        # mode. Chained distinct inputs, one readback per round.
         n = 4
-        t0 = time.perf_counter()
-        for j in range(n):
-            s = run(stacked, x0, s.astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
-                    + jnp.bfloat16(j))
-        float(s)
-        ms = (time.perf_counter() - t0) / n / N_LAYERS * 1000
+        best = None
+        for r in range(3):
+            t0 = time.perf_counter()
+            for j in range(n):
+                s = run(stacked, x0,
+                        s.astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
+                        + jnp.bfloat16(r * n + j))
+            float(s)
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        ms = best / n / N_LAYERS * 1000
         out[f"{mode}_ms_per_layer"] = round(ms, 2)
         print(json.dumps({mode: out[f"{mode}_ms_per_layer"]}), flush=True)
 
@@ -168,13 +178,16 @@ def main():
     s = ideal(x0, jnp.bfloat16(0))
     float(s)
     n = 4
-    t0 = time.perf_counter()
-    for j in range(n):
-        s = ideal(x0, s.astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
-                  + jnp.bfloat16(j))
-    float(s)
-    out["ideal_gemm_ms_per_layer"] = round(
-        (time.perf_counter() - t0) / n / N_LAYERS * 1000, 2)
+    best = None
+    for r in range(3):
+        t0 = time.perf_counter()
+        for j in range(n):
+            s = ideal(x0, s.astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
+                      + jnp.bfloat16(r * n + j))
+        float(s)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["ideal_gemm_ms_per_layer"] = round(best / n / N_LAYERS * 1000, 2)
     print(json.dumps(out))
 
 

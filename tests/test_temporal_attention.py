@@ -129,20 +129,79 @@ def test_frame_major_op_matches_reference():
         temporal_attention_reference(jnp.swapaxes(x, 1, 2), temb, ln, attn,
                                      num_heads=h), 1, 2)
     # On CPU the Pallas core can't compile; route the core via interpret by
-    # calling the pieces the op composes.
+    # calling the pieces the live op composes (LN -> fused 3d-wide qkv ->
+    # packed fm3 core -> out_proj residual).
     from videollamb_tpu.ops.temporal_attention import (
         _ln_qkv_fm,
-        fused_temporal_core_fm,
+        _qkv_fused,
+        fused_temporal_core_fm3,
         _dense,
     )
 
-    xt, q, k, v = _ln_qkv_fm(x, temb, ln, attn, 1e-5)
+    xt, _, _, _ = _ln_qkv_fm(x, temb, ln, attn, 1e-5)
     e = d // h
-    o = fused_temporal_core_fm(q * (e**-0.5), k, v, num_heads=h,
-                               block_n=4, interpret=True)
+    xf = xt.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    normed = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"]
+              + ln["bias"]).astype(x.dtype)
+    qkv = _qkv_fused(attn, normed, e**-0.5)
+    o = fused_temporal_core_fm3(qkv, num_heads=h, block_n=4, interpret=True)
     out = xt + _dense(attn["out_proj"], o)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("b,n,t,d,h,block_n", [
+    (2, 9, 4, 32, 4, 4),
+    (1, 16, 8, 32, 4, 8),
+])
+def test_fm3_packed_core_matches_fm_core(b, n, t, d, h, block_n):
+    """The packed-qkv core (one (…, 3d) operand, lane offsets 0/d/2d)
+    must equal the 3-operand frame-major core."""
+    from videollamb_tpu.ops.temporal_attention import (
+        fused_temporal_core_fm,
+        fused_temporal_core_fm3,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(b * 17 + n), 3)
+    q = jax.random.normal(keys[0], (b, t, n, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, t, n, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, t, n, d), jnp.float32)
+    ref = fused_temporal_core_fm(q, k, v, num_heads=h, block_n=block_n,
+                                 interpret=True)
+    out = fused_temporal_core_fm3(jnp.concatenate([q, k, v], axis=-1),
+                                  num_heads=h, block_n=block_n,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_fused_matches_separate_projections():
+    """_qkv_fused == [q_proj·s | k_proj | v_proj] for float and int8
+    weight trees."""
+    from videollamb_tpu.ops.temporal_attention import _dense, _qkv_fused
+
+    d, h = 32, 4
+    s = (d // h) ** -0.5
+    _, _, attn = _params(21, d)
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 5, d), jnp.float32)
+    ref = jnp.concatenate([_dense(attn["q_proj"], x) * s,
+                           _dense(attn["k_proj"], x),
+                           _dense(attn["v_proj"], x)], axis=-1)
+    out = _qkv_fused(attn, x, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    from videollamb_tpu.models.vision.quant import _quantize_attn
+
+    qattn = _quantize_attn(dict(attn))
+    ref_q = jnp.concatenate([_dense(qattn["q_proj"], x) * s,
+                             _dense(qattn["k_proj"], x),
+                             _dense(qattn["v_proj"], x)], axis=-1)
+    out_q = _qkv_fused(qattn, x, s)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_frame_major_grad_via_reference_bwd():

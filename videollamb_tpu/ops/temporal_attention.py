@@ -166,6 +166,74 @@ def _core_kernel_fm(q_ref, k_ref, v_ref, out_ref, *, num_heads: int, e: int,
         out_ref[0, :, :, sl] = o.reshape(t, bn, e).astype(out_ref.dtype)
 
 
+def _core_kernel_fm3(qkv_ref, out_ref, *, num_heads: int, e: int, n: int,
+                     d: int):
+    """Frame-major core over ONE packed (1, t, BN, 3d) qkv ref (the fused
+    3d-wide projection GEMM's output layout): head h's q/k/v live at lane
+    offsets h*e, d + h*e, 2d + h*e. Same math as _core_kernel_fm."""
+    t, bn, _ = qkv_ref.shape[1:]
+    p = t * bn
+    j = pl.program_id(1)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) % bn
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1) % bn
+    pos_ok = row_i == col_i
+    pos_ok &= (j * bn + col_i) < n
+    valid_row = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % bn
+                 + j * bn) < n
+
+    for h in range(num_heads):
+        qh = qkv_ref[0, :, :, h * e:(h + 1) * e].reshape(p, e)
+        kh = qkv_ref[0, :, :, d + h * e:d + (h + 1) * e].reshape(p, e)
+        vh = qkv_ref[0, :, :, 2 * d + h * e:2 * d + (h + 1) * e].reshape(p, e)
+        vh = jnp.where(valid_row, vh, jnp.zeros_like(vh))
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(pos_ok, s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        ex = jnp.exp(s)
+        probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        o = jnp.dot(probs.astype(vh.dtype), vh,
+                    preferred_element_type=jnp.float32)
+        out_ref[0, :, :, h * e:(h + 1) * e] = (
+            o.reshape(t, bn, e).astype(out_ref.dtype))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_n", "interpret")
+)
+def fused_temporal_core_fm3(
+    qkv: jax.Array,  # (b, t, n, 3d) — packed [q*scale | k | v], frame-major
+    *,
+    num_heads: int,
+    block_n: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_temporal_core_fm over the fused qkv projection's own packed
+    (…, 3d) output — one GEMM and one kernel operand instead of three.
+    Returns (b, t, n, d)."""
+    b, t, n, d3 = qkv.shape
+    d = d3 // 3
+    e = d // num_heads
+    bn = min(block_n, n)
+
+    in_spec = pl.BlockSpec((1, t, bn, d3), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, t, bn, d), lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_core_kernel_fm3, num_heads=num_heads, e=e, n=n,
+                          d=d),
+        grid=(b, pl.cdiv(n, bn)),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "block_n", "interpret")
 )
@@ -175,7 +243,7 @@ def fused_temporal_core_fm(
     v: jax.Array,
     *,
     num_heads: int,
-    block_n: int = 16,
+    block_n: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-(b, n) softmax attention over t frames, consumed and produced
@@ -227,6 +295,47 @@ def _ln_qkv(x, temporal_embedding, ln, attn, eps):
     return xt, q, k, v
 
 
+def _qkv_fused(attn: Params, normed: jax.Array, q_scale: float) -> jax.Array:
+    """ONE 3d-wide qkv projection: normed @ [Wq·s | Wk | Wv] + [bq·s|bk|bv]
+    (q's head_dim**-0.5 pre-scale folded into its weight columns). One GEMM
+    and one kernel operand instead of three — the r2 'fused 3d-wide qkv'
+    negative result was an artifact of the OLD core's (b,n,t*h,e) layout
+    (strided output slices); the frame-major core consumes the packed
+    (…, 3d) output directly via lane offsets. Weight concat is per-call
+    but tiny (12 MB/layer) and hoisted by XLA CSE across the scan."""
+    qp, kp, vp = attn["q_proj"], attn["k_proj"], attn["v_proj"]
+    s = q_scale
+    if isinstance(qp["kernel"], dict):  # int8: per-output-channel scales
+        from videollamb_tpu.models.vision.quant import dense_int8
+
+        fused = {
+            "kernel": {
+                "q": jnp.concatenate(
+                    [qp["kernel"]["q"], kp["kernel"]["q"], vp["kernel"]["q"]],
+                    axis=1),
+                # f32 concat: scale*s in bf16 would round the q third to
+                # ~0.4% relative error; dense_int8 dequants in f32 anyway.
+                "scale": jnp.concatenate(
+                    [qp["kernel"]["scale"].astype(jnp.float32) * s,
+                     kp["kernel"]["scale"].astype(jnp.float32),
+                     vp["kernel"]["scale"].astype(jnp.float32)], axis=-1),
+            },
+            "bias": jnp.concatenate(
+                [qp["bias"] * s, kp["bias"], vp["bias"]]),
+        }
+        return dense_int8(fused, normed)
+    w = jnp.concatenate(
+        [qp["kernel"].astype(normed.dtype) * s,
+         kp["kernel"].astype(normed.dtype),
+         vp["kernel"].astype(normed.dtype)], axis=1)
+    b = jnp.concatenate([qp["bias"].astype(jnp.float32) * s,
+                         kp["bias"].astype(jnp.float32),
+                         vp["bias"].astype(jnp.float32)])
+    out = jnp.einsum("...d,dk->...k", normed, w,
+                     preferred_element_type=jnp.float32)
+    return (out + b).astype(normed.dtype)
+
+
 def _ln_qkv_fm(x, temporal_embedding, ln, attn, eps):
     """_ln_qkv for the frame-major (b, t, n, d) residual-stream layout
     (the temporal embedding broadcasts over n instead of t)."""
@@ -252,22 +361,31 @@ def temporal_attention_fm(
     attn: Params,
     num_heads: int,
     eps: float = 1e-5,
-    block_n: int = 16,
+    block_n: int = 32,
 ) -> jax.Array:
     """x + temb + CLIPAttention(LN(x + temb)) over the t axis, with the
     frame-major Pallas core: the caller keeps the residual stream in its
     native (b*t, n, d) GEMM layout (viewed (b, t, n, d)) — no transposes
-    anywhere in the branch. Kernel forward, XLA-recompute backward."""
+    anywhere in the branch, and qkv is ONE fused 3d-wide GEMM whose packed
+    output feeds the core directly at lane offsets 0/d/2d. Kernel forward,
+    XLA-recompute backward."""
     d = x.shape[-1]
     e = d // num_heads
-    xt, q, k, v = _ln_qkv_fm(x, temporal_embedding, ln, attn, eps)
+    t = x.shape[1]
+    xt = x + temporal_embedding[:t].astype(x.dtype)[None, :, None]
+    xf = xt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    normed = (normed * ln["scale"].astype(jnp.float32)
+              + ln["bias"].astype(jnp.float32)).astype(x.dtype)
+    qkv = _qkv_fused(attn, normed, e**-0.5)
     from videollamb_tpu.parallel.kernel_partition import (
-        fused_temporal_core_fm_spmd,
+        fused_temporal_core_fm3_spmd,
     )
 
-    o = fused_temporal_core_fm_spmd(
-        q * (e**-0.5), k, v, num_heads=num_heads, block_n=block_n
-    )
+    o = fused_temporal_core_fm3_spmd(qkv, num_heads=num_heads,
+                                     block_n=block_n)
     return xt + _dense(attn["out_proj"], o)
 
 

@@ -236,10 +236,35 @@ def _temporal_core_fm(num_heads: int, block_n: int):
 
 
 def fused_temporal_core_fm_spmd(q, k, v, *, num_heads: int,
-                                block_n: int = 16):
+                                block_n: int = 32):
     """(b, t, n, d) frame-major temporal attention, shardable on b and on
     d by whole heads (ops/temporal_attention.py:_core_kernel_fm)."""
     return _temporal_core_fm(num_heads, block_n)(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _temporal_core_fm3(num_heads: int, block_n: int):
+    from videollamb_tpu.ops.temporal_attention import fused_temporal_core_fm3
+
+    def full(qkv):
+        return fused_temporal_core_fm3(qkv, num_heads=num_heads,
+                                       block_n=block_n)
+
+    # The packed (…, 3d) dim interleaves q|k|v segments, so a contiguous
+    # feature-dim shard would split MID-SEGMENT — it is pinned replicated
+    # (a TP proposal on it gets all-gathered). No production config
+    # tensor-shards the vision tower's activations (FSDP/TP shard the LM;
+    # the tower rides data-parallel), so this costs nothing in practice.
+    dims_in = ("b", "t", "n", "d3")
+    dims_out = ("b", "t", "n", "d")
+    return make_partitioned(full, [dims_in], [dims_out],
+                            replicate=("t", "n", "d3", "d"))
+
+
+def fused_temporal_core_fm3_spmd(qkv, *, num_heads: int, block_n: int = 32):
+    """Packed-qkv (b, t, n, 3d) frame-major temporal attention, shardable
+    on b (ops/temporal_attention.py:_core_kernel_fm3)."""
+    return _temporal_core_fm3(num_heads, block_n)(qkv)
 
 
 @functools.lru_cache(maxsize=None)
