@@ -77,6 +77,15 @@ def resolve_tower(name: str, *, select_layer: int = -2,
         return TowerSpec("languagebind_thermal",
                          VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
                          frame_wise=True)
+    if "deform_clip" in name or "deform-clip" in name:
+        # CLIP ViT with deformable self-attention (reference
+        # multimodal_encoder/deform_clip/ — abandoned non-functional code
+        # there; models/vision/deform_clip.py implements the intended
+        # design, see its module docstring for the bug inventory). Checked
+        # before the generic CLIP match ('deform_clip' contains 'clip').
+        from videollamb_tpu.models.vision.deform_clip import DeformCLIPConfig
+
+        return TowerSpec("deform_clip", DeformCLIPConfig(), frame_wise=True)
     if "clip" in name.lower():
         dims = _CLIP_L14_336 if "336" in name else _CLIP_L14
         return TowerSpec("clip", VisionConfig(add_time_attn=False, **dims, **base),
@@ -140,6 +149,12 @@ def build_image_tower(name: str, rng: Optional[jax.Array] = None,
         params = init_egovlp_params(
             rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
         )
+    elif spec.kind == "deform_clip":
+        from videollamb_tpu.models.vision.deform_clip import init_deform_clip_params
+
+        params = init_deform_clip_params(
+            rng if rng is not None else jax.random.PRNGKey(0), spec.config, dtype
+        )
     elif spec.kind == "deformable":
         from videollamb_tpu.models.vision.deformable import init_deformable_params
 
@@ -177,6 +192,14 @@ def tower_encode(spec: TowerSpec, params: Dict[str, Any], pixels: jax.Array) -> 
         hidden = egovlp_encode(params, pixels, spec.config)  # (B, 1+F*N, D)
         b, f = pixels.shape[:2]
         return hidden[:, 1:].reshape(b, f, -1, hidden.shape[-1])
+    if spec.kind == "deform_clip":
+        from videollamb_tpu.models.vision.deform_clip import deform_clip_encode
+
+        b, t = pixels.shape[:2]
+        h = deform_clip_encode(
+            params, pixels.reshape(b * t, *pixels.shape[2:]), spec.config
+        )  # (B*T, 1+N, D) — CLS at 0, matching the bridges' contract
+        return h.reshape(b, t, *h.shape[1:])
     if spec.kind == "deformable":
         from videollamb_tpu.models.vision.deformable import deformable_encode
 
