@@ -131,6 +131,7 @@ class StreamingSession:
         conv = self.chat.conv
         system = conv.system + (conv.sep if conv.sep else "")
         ids = np.asarray(self.chat.tokenizer(system).input_ids, np.int32)[None]
+        self._system_len = int(ids.shape[1])  # host-side budget input
         emb = embed_tokens(self.chat.params["lm"], jnp.asarray(ids))
         _, self.kv = llama_prefill(
             self.chat.params["lm"], self.cfg.lm, emb,
@@ -266,7 +267,23 @@ class StreamingSession:
         self.closed_upto += n_frames
 
     def _extend_segment(self, padded: np.ndarray, n_valid: int) -> None:
-        self._ensure_room(padded.shape[0])
+        # Room is checked against the VALID count — llama_extend advances
+        # length by fresh_len, not the padded width (checking the padded
+        # width over-fired compaction ~2.5x at production shapes: segments
+        # are right-padded to ~1.1k while holding a few hundred tokens).
+        self._ensure_room(n_valid)
+        room = self.max_seq_len - self.context_length - self.max_new_tokens
+        if room <= 0:
+            return  # nothing fits even post-compaction; the segment's
+            # content persists in the bridge's recurrent memory
+        if n_valid > room:
+            # A single segment larger than the whole budget: keep its most
+            # recent tokens (the valid block is right-compacted at [0, n)).
+            w = padded.shape[0]
+            cut = np.zeros_like(padded)
+            cut[:room] = padded[n_valid - room: n_valid]
+            padded, n_valid = cut, room
+            w = None  # noqa: F841 — padded keeps its bucketed width
         attn = np.zeros((1, padded.shape[0]), np.int32)
         attn[0, :n_valid] = 1
         _, self.kv = llama_extend(
@@ -275,13 +292,37 @@ class StreamingSession:
             self.kv,
         )
 
+    def _tail_texts(self) -> List[str]:
+        conv = self.chat.conv
+        return [f"{conv.sep}{role}: {text}"
+                for role, text in conv.messages[-4:] if text]
+
+    def _text_cost(self, text: str) -> int:
+        """Cache slots _extend_text will consume for ``text`` (token count
+        sans BOS; the 16-bucket padding costs no cache — llama_extend
+        advances by the valid count only)."""
+        ids = self.chat.tokenizer(text).input_ids
+        bos = getattr(self.chat.tokenizer, "bos_token_id", None)
+        if bos is not None and len(ids) and ids[0] == bos:
+            return max(len(ids) - 1, 1)
+        return max(len(ids), 1)
+
     def _ensure_room(self, incoming: int) -> None:
         """Compact the context when the fixed KV cache can't take the next
         chunk: rebuild from system prompt + recent segment tokens + the
         conversation tail. Long-horizon visual history survives inside the
         bridge's recurrent memory (that is the architecture's long-term
         store); dropped text turns match the reference's own truncation of
-        over-long conversations."""
+        over-long conversations.
+
+        The rebuild is budgeted on the host so it fits BY CONSTRUCTION:
+        only the newest suffix of ``recent_segments`` whose valid-token sum
+        fits ``max_seq_len - system - tail - incoming - max_new_tokens`` is
+        replayed (the un-budgeted r4 rebuild replayed all four ~1.1k-token
+        segments into a 2048 cache with this check disabled via the
+        re-entrancy guard — kv.length reached 3531/2048 and llama_extend's
+        mode='drop' silently discarded the overflow while the attention
+        mask kept attending the never-written tail slots)."""
         if self.context_length + incoming + self.max_new_tokens <= self.max_seq_len:
             return
         if getattr(self, "_compacting", False):
@@ -291,16 +332,24 @@ class StreamingSession:
         dtype = self.chat._dtype()
         self.kv = init_kv_cache(self.cfg.lm, 1, self.max_seq_len, dtype)
         self._prefill_system()
-        segments = list(self.recent_segments)
-        self.recent_segments.clear()  # avoid re-entrant growth
-        for padded, n_valid in segments:
+        tail = self._tail_texts()
+        tail_cost = sum(self._text_cost(t) for t in tail)
+        budget = (self.max_seq_len - self._system_len - tail_cost
+                  - incoming - self.max_new_tokens)
+        keep: List[Tuple[np.ndarray, int]] = []
+        used = 0
+        for padded, n_valid in reversed(self.recent_segments):
+            if used + n_valid > budget:
+                break
+            keep.append((padded, n_valid))
+            used += n_valid
+        keep.reverse()
+        self.recent_segments = collections.deque(
+            keep, maxlen=self.recent_segments.maxlen)
+        for padded, n_valid in keep:
             self._extend_segment(padded, n_valid)
-        self.recent_segments.extend(segments)
-        conv = self.chat.conv
-        tail = conv.messages[-4:]
-        for role, text in tail:
-            if text:
-                self._extend_text(f"{conv.sep}{role}: {text}")
+        for text in tail:
+            self._extend_text(text)
         self._compacting = False
 
     # -- response side ----------------------------------------------------
@@ -347,8 +396,11 @@ class StreamingSession:
         if getattr(self.chat.tokenizer, "bos_token_id", None) is not None:
             if len(ids) and ids[0] == self.chat.tokenizer.bos_token_id:
                 ids = ids[1:]
+        self._ensure_room(len(ids))
+        room = self.max_seq_len - self.context_length - self.max_new_tokens
+        if len(ids) > room:  # a single over-budget text: keep the newest
+            ids = ids[len(ids) - max(room, 1):]
         t = _round_up(max(len(ids), 1), 16)
-        self._ensure_room(t)
         buf = np.zeros((1, t), np.int32)
         msk = np.zeros((1, t), np.int32)
         buf[0, : len(ids)] = ids
