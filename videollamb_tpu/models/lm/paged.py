@@ -49,11 +49,6 @@ Params = Dict[str, Any]
 
 TRASH_PAGE = 0
 
-# B x (pps * page) at or below which the int8 decode dispatch prefers the
-# XLA token-major statement over the gathered Pallas kernel — see the
-# dispatch comment in paged_decode_step and docs/PERFORMANCE.md's
-# crossover table (benchmarks/paged_attention_bench.py PAB_SHAPES sweep).
-_GATHERED_MIN_SLOT_TOKENS = 4096
 
 
 class PagedKVCache(NamedTuple):
@@ -438,21 +433,19 @@ def paged_decode_step(
 
     on_tpu = use_tpu_kernels()
     gathered_ppb = _pick_ppb(pps, page) if quantized else 1
-    # Shape-aware int8 dispatch (VERDICT r4 #4): the gathered kernel's
-    # per-block fixed cost loses to the XLA token-major statement only
-    # when the WHOLE pool is small and slots are few — the XLA path then
-    # reads B x pool but that product is tiny, while the kernel still
-    # pays its grid/DMA setup. Both inputs to the gate are static (slot
-    # count x pool capacity), so the choice is made at trace time.
-    # Measured crossover on v5e at 7B MHA dims
-    # (benchmarks/paged_attention_bench.py PAB_SHAPES sweep, table in
-    # docs/PERFORMANCE.md): XLA twin wins at 8x512 (31-ish vs 34 ms/step)
-    # and loses from 16x512 / 8x1024 up; the boundary sits between
-    # 4096 and 8192 slot-tokens of B x capacity.
-    small_pool = b * pps * page <= _GATHERED_MIN_SLOT_TOKENS
+    # int8 dispatch (VERDICT r4 #4, settled round 5): the gathered kernel
+    # takes EVERY int8 shape. The r4 "small-pool crossover" (XLA twin
+    # 31-ish vs kernel 34 ms/step at 8x512) compared the attend
+    # statements in isolation — but on token-major pools the XLA twin
+    # also pays a full per-layer pool transpose to reach the head-major
+    # attend, which the isolated sweep never counted. End-to-end A/B at
+    # 8x512 through bench_paged_batch (round 5, real chip, caches
+    # cleared between variants): gathered 587.5 tok/s vs pool-int8+
+    # transpose 425.0 — the kernel wins the supposed XLA sweet spot by
+    # 38%, and its lead only grows with slots/context (24x512, 8x3072:
+    # docs/PERFORMANCE.md).
     use_gathered_kernel = (quantized and on_tpu and dh % 128 == 0
-                           and (gathered_ppb * page) % 32 == 0
-                           and not small_pool)
+                           and (gathered_ppb * page) % 32 == 0)
     use_kernel = (on_tpu and dh % 128 == 0 and not quantized
                   and pps >= 16)
     block = 8
