@@ -158,8 +158,17 @@ def bench_encode() -> dict:
         return batch * frames / best
 
     out = {}
+    t_sec = time.monotonic()
     ref = feats_fn(params, bufs[0], jnp.bfloat16(0)).astype(jnp.float32)
     out["encode_fps"] = round(run(params, buf0_feats=ref), 1)
+    # The remote compile/load service's latency is wildly variable (the
+    # bf16 tower alone has taken 60 s to 20 min across same-code runs).
+    # The bf16 number is the north star; the int8 tower is a second
+    # remote compile — skip it when this section already ate its half of
+    # the budget so ONE slow compile can't starve the whole bench.
+    if time.monotonic() - t_sec > 0.5 * BUDGET_S:
+        out["encode_int8_skipped_for_budget"] = True
+        return out
     params = quantize_vision_params(params)  # consumes the bf16 kernels
     got = feats_fn(params, bufs[0], jnp.bfloat16(0)).astype(jnp.float32)
     out["encode_int8_rel_err"] = round(float(err_fn(got, ref)), 4)
@@ -347,16 +356,22 @@ def bench_paged_batch(cfg, params, num_slots: int = 8,
         jax.random.PRNGKey(1), (1, prompt_len, cfg.hidden_size), jnp.bfloat16)
     _, dense = llama_prefill(
         params, cfg, embeds, jnp.ones((1, prompt_len), jnp.int32), dense)
+    # Park the prefilled source on HOST so decode's peak HBM holds the
+    # pool + ONE per-slot device copy instead of pool + dense + copy —
+    # at the long-context shape that co-residency was the difference
+    # between fitting and RESOURCE_EXHAUSTED (r5 bench runs 2-4).
+    dense_host = jax.tree.map(lambda a: np.asarray(a), dense)
+    del dense
     for slot in range(num_slots):
         pages = alloc.alloc(pages_per_seq)
         page_ids = np.full((pages_per_seq,), TRASH_PAGE, np.int32)
         page_ids[: len(pages)] = pages
-        # Re-insert the same prefilled context into every slot; the dense
-        # source is donated, so keep a copy alive.
-        src = jax.tree.map(jnp.array, dense)
+        # Re-upload the prefilled context per slot; paged_insert donates
+        # its source, so each slot gets a fresh device copy.
+        src = jax.tree.map(jnp.asarray, dense_host)
         cache = paged_insert(cache, src, jnp.asarray(slot),
                              jnp.asarray(page_ids), total_pages)
-    del dense  # long-context rows: the source cache must not ride decode
+    del dense_host  # the source must not ride decode
 
     tok = jnp.zeros((num_slots, 1, cfg.hidden_size), jnp.bfloat16)
     logits, cache = paged_decode_step(params, cfg, tok, cache, total_pages)
@@ -819,7 +834,12 @@ def _sec_stream(ctx, extra):
     # a slower-than-estimated stream degrades to fewer folded minutes
     # instead of blowing the budget (r5 probe: 12 min took >830 s because
     # warmup compiles + per-tick host time were underestimated).
-    deadline = max(60.0, min(240.0, _remaining() - 400.0))
+    # Warmup of the streaming shapes (tower kernels, extend buckets,
+    # detector, bridge) costs ~150 s after a cache clear; the 12-minute
+    # stream needs ~180 ticks of steady state on top — give the section
+    # room whenever the budget has it (run 5: 330 s of budget went unused
+    # while the stream truncated at 1.7 min).
+    deadline = max(60.0, min(480.0, _remaining() - 400.0))
     extra.update(stream_hour_run(minutes=12.0, params=stream_params,
                                  deadline_s=deadline))
     del stream_params
@@ -896,13 +916,21 @@ _SECTIONS = (
     ("quant", 30.0, True, _sec_quant),
     ("decode_int8", 30.0, True, _sec_decode_int8),
     ("dense8", 60.0, False, _sec_dense8),
-    ("paged8", 45.0, True, _sec_paged8),
-    ("paged24", 45.0, False, _sec_paged24),
-    ("paged8_long", 90.0, False, _sec_paged8_long),
-    ("sampled8", 45.0, False, _sec_sampled8),
+    ("paged8", 50.0, True, _sec_paged8),
     ("ttft", 75.0, True, _sec_ttft),
-    ("stream12", 330.0, True, _sec_stream),
+    ("stream12", 400.0, True, _sec_stream),
     ("niavh", 300.0, False, _sec_niavh),
+    # Optional paged shapes AFTER the must sections: their gathered-kernel
+    # executables recompile remotely every run (Mosaic custom calls miss
+    # the persistent cache), 200-430 s each — early placement squeezed the
+    # stream/niavh deadlines to nothing (runs 5-7), and run 8 showed an
+    # optimistic estimate here OVERRUNNING into the qlora must's reserve.
+    # Estimates are the observed COLD compile+run costs; these sections
+    # only run when the budget genuinely has that much slack. qlora stays
+    # last: it donates params7b into the train state.
+    ("paged24", 380.0, False, _sec_paged24),
+    ("paged8_long", 450.0, False, _sec_paged8_long),
+    ("sampled8", 45.0, False, _sec_sampled8),
     ("adapter", 150.0, False, _sec_adapter),
     ("packed", 270.0, False, _sec_packed),
     ("qlora", 270.0, True, _sec_qlora),
@@ -936,9 +964,36 @@ def main():
             fn(ctx, extra)
         except Exception as e:  # noqa: BLE001 — e.g. RESOURCE_EXHAUSTED
             extra[f"{name}_error"] = type(e).__name__
+            # First line of the message: enough to tell RESOURCE_EXHAUSTED
+            # from a wedged tunnel without bloating the JSON line.
+            extra[f"{name}_error_msg"] = str(e).split("\n")[0][:160]
             if name in ("init7b", "quant"):
                 ctx.pop("params7b", None)
+            # Recovery: drop the failed section's executables/arrays and
+            # give the async deallocator a beat — without this, one
+            # RESOURCE_EXHAUSTED poisoned every later section (r5 run 3).
+            jax.clear_caches()
+            import gc
+
+            gc.collect()
+            time.sleep(3.0)
         section_s[name] = round(time.monotonic() - t0, 1)
+        # Free device memory between sections: with the warm persistent
+        # cache ALL sections run back-to-back and their pools/caches/
+        # executable scratch accumulate — runs 2/3 of round 5 died with
+        # RESOURCE_EXHAUSTED at varying sections (paged24 / paged8_long)
+        # purely from this buildup, while every section passed standalone.
+        # gc frees section-local device arrays; clear_caches additionally
+        # drops executables (+ their scratch) after each HBM-heavy 7B
+        # section — recompiles reload from the persistent .jax_cache in
+        # seconds. stream12->niavh intentionally share live caches.
+        import gc
+
+        gc.collect()
+        if name in ("dense8", "paged8", "paged24", "paged8_long",
+                    "sampled8", "ttft"):
+            jax.clear_caches()
+            gc.collect()
     _emit()
 
 
