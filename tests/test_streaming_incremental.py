@@ -495,9 +495,11 @@ def test_context_never_exceeds_cache_capacity(tiny_chat):
 
     tiny_chat.reset()
     # Cap chosen so ~2 segments fit but the 4-deep recent_segments deque
-    # plus system + tail does NOT: the unbudgeted rebuild would overflow.
+    # plus system + tail does NOT: tiny segments carry 8 valid tokens and
+    # the system preamble 24, so 56 = system + headroom + ~3 segments —
+    # the 4-deep deque (32 tokens) forces the budgeted replay to drop.
     sess = StreamingSession(tiny_chat, frame_fps=1.0, max_open_frames=4,
-                            max_seq_len=192, max_new_tokens=4)
+                            max_seq_len=56, max_new_tokens=4)
     t_total = 48
     rng = np.random.default_rng(11)
     frames = rng.integers(0, 255, size=(t_total, 56, 56, 3)).astype(np.uint8)
@@ -506,7 +508,6 @@ def test_context_never_exceeds_cache_capacity(tiny_chat):
     sess.video_tensor = tiny_chat.processors["VIDEO"](frames)
     sess.num_video_frames = t_total
     sess.video_duration = float(t_total)
-    seg_tokens = []
     for i in range(t_total):
         if i in (20, 40):
             sess.input_query_stream("what is happening", video_time=float(i))
@@ -515,8 +516,10 @@ def test_context_never_exceeds_cache_capacity(tiny_chat):
         assert sess.context_length + sess.max_new_tokens <= sess.max_seq_len, (
             f"tick {i}: context {sess.context_length} + headroom exceeds "
             f"cap {sess.max_seq_len}")
-        seg_tokens = [n for _, n in sess.recent_segments]
     assert sess._compactions > 0, "stream never compacted; test is vacuous"
-    # The rebuild replay itself must have been over-budget at least once
-    # (i.e. this stream genuinely exercised the budgeted-drop path).
-    assert sum(seg_tokens) + sess._system_len > 0
+    # At least one budgeted rebuild must have DROPPED a segment (the state
+    # where the unbudgeted r4 replay silently overflowed) — counted by the
+    # session itself, since the deque is pruned within the same tick.
+    assert sess._compaction_drops > 0, (
+        "no rebuild ever dropped a segment — the budgeted-drop path was "
+        "not exercised; shrink max_seq_len")

@@ -132,19 +132,14 @@ def test_frame_major_op_matches_reference():
     # calling the pieces the live op composes (LN -> fused 3d-wide qkv ->
     # packed fm3 core -> out_proj residual).
     from videollamb_tpu.ops.temporal_attention import (
-        _ln_qkv_fm,
+        _ln_fm,
         _qkv_fused,
         fused_temporal_core_fm3,
         _dense,
     )
 
-    xt, _, _, _ = _ln_qkv_fm(x, temb, ln, attn, 1e-5)
+    xt, normed = _ln_fm(x, temb, ln, 1e-5)
     e = d // h
-    xf = xt.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    normed = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"]
-              + ln["bias"]).astype(x.dtype)
     qkv = _qkv_fused(attn, normed, e**-0.5)
     o = fused_temporal_core_fm3(qkv, num_heads=h, block_n=4, interpret=True)
     out = xt + _dense(attn["out_proj"], o)

@@ -77,7 +77,7 @@ def resolve_tower(name: str, *, select_layer: int = -2,
         return TowerSpec("languagebind_thermal",
                          VisionConfig(add_time_attn=False, **_CLIP_L14, **base),
                          frame_wise=True)
-    if "deform_clip" in name or "deform-clip" in name:
+    if "deform_clip" in name.lower() or "deform-clip" in name.lower():
         # CLIP ViT with deformable self-attention (reference
         # multimodal_encoder/deform_clip/ — abandoned non-functional code
         # there; models/vision/deform_clip.py implements the intended
@@ -85,7 +85,9 @@ def resolve_tower(name: str, *, select_layer: int = -2,
         # before the generic CLIP match ('deform_clip' contains 'clip').
         from videollamb_tpu.models.vision.deform_clip import DeformCLIPConfig
 
-        return TowerSpec("deform_clip", DeformCLIPConfig(), frame_wise=True)
+        return TowerSpec("deform_clip",
+                         DeformCLIPConfig(select_layer=select_layer),
+                         frame_wise=True)
     if "clip" in name.lower():
         dims = _CLIP_L14_336 if "336" in name else _CLIP_L14
         return TowerSpec("clip", VisionConfig(add_time_attn=False, **dims, **base),

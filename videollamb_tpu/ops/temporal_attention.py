@@ -336,9 +336,10 @@ def _qkv_fused(attn: Params, normed: jax.Array, q_scale: float) -> jax.Array:
     return (out + b).astype(normed.dtype)
 
 
-def _ln_qkv_fm(x, temporal_embedding, ln, attn, eps):
-    """_ln_qkv for the frame-major (b, t, n, d) residual-stream layout
-    (the temporal embedding broadcasts over n instead of t)."""
+def _ln_fm(x, temporal_embedding, ln, eps):
+    """Frame-major temb-add + LayerNorm: returns (xt, normed) — the one
+    implementation shared by the live op and the test scaffolding (the
+    temporal embedding broadcasts over n instead of t)."""
     t = x.shape[1]
     xt = x + temporal_embedding[:t].astype(x.dtype)[None, :, None]
     xf = xt.astype(jnp.float32)
@@ -346,7 +347,13 @@ def _ln_qkv_fm(x, temporal_embedding, ln, attn, eps):
     var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
     normed = normed * ln["scale"].astype(jnp.float32) + ln["bias"].astype(jnp.float32)
-    normed = normed.astype(x.dtype)
+    return xt, normed.astype(x.dtype)
+
+
+def _ln_qkv_fm(x, temporal_embedding, ln, attn, eps):
+    """_ln_fm + the three separate projections (kept for the 3-operand
+    frame-major core's tests)."""
+    xt, normed = _ln_fm(x, temporal_embedding, ln, eps)
     q = _dense(attn["q_proj"], normed)
     k = _dense(attn["k_proj"], normed)
     v = _dense(attn["v_proj"], normed)
@@ -371,14 +378,7 @@ def temporal_attention_fm(
     XLA-recompute backward."""
     d = x.shape[-1]
     e = d // num_heads
-    t = x.shape[1]
-    xt = x + temporal_embedding[:t].astype(x.dtype)[None, :, None]
-    xf = xt.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
-    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-    normed = (normed * ln["scale"].astype(jnp.float32)
-              + ln["bias"].astype(jnp.float32)).astype(x.dtype)
+    xt, normed = _ln_fm(x, temporal_embedding, ln, eps)
     qkv = _qkv_fused(attn, normed, e**-0.5)
     from videollamb_tpu.parallel.kernel_partition import (
         fused_temporal_core_fm3_spmd,

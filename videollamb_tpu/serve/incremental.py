@@ -104,6 +104,7 @@ class StreamingSession:
         self._boundary_set = {0}
         self.closed_upto = 0  # frames already folded into the bridge
         self._compactions = 0  # _ensure_room rebuild count (tests/metrics)
+        self._compaction_drops = 0  # segments dropped by budgeted replays
         self.video_time = 0.0
         self.last_frame_idx = -1
         self.video_tensor: Optional[np.ndarray] = None
@@ -262,8 +263,12 @@ class StreamingSession:
         valid = tok[msk]
         padded = np.zeros_like(tok)
         padded[: valid.shape[0]] = valid
-        self.recent_segments.append((padded, int(valid.shape[0])))
+        # Extend FIRST, then record in recent_segments: a compaction fired
+        # from inside this extend replays the deque, so appending before
+        # extending would double-insert the triggering segment (the rebuild
+        # replays it, then the resumed outer extend appends it again).
         self._extend_segment(padded, int(valid.shape[0]))
+        self.recent_segments.append((padded, int(valid.shape[0])))
         self.closed_upto += n_frames
 
     def _extend_segment(self, padded: np.ndarray, n_valid: int) -> None:
@@ -279,11 +284,9 @@ class StreamingSession:
         if n_valid > room:
             # A single segment larger than the whole budget: keep its most
             # recent tokens (the valid block is right-compacted at [0, n)).
-            w = padded.shape[0]
             cut = np.zeros_like(padded)
             cut[:room] = padded[n_valid - room: n_valid]
             padded, n_valid = cut, room
-            w = None  # noqa: F841 — padded keeps its bucketed width
         attn = np.zeros((1, padded.shape[0]), np.int32)
         attn[0, :n_valid] = 1
         _, self.kv = llama_extend(
@@ -344,6 +347,7 @@ class StreamingSession:
             keep.append((padded, n_valid))
             used += n_valid
         keep.reverse()
+        self._compaction_drops += len(self.recent_segments) - len(keep)
         self.recent_segments = collections.deque(
             keep, maxlen=self.recent_segments.maxlen)
         for padded, n_valid in keep:
@@ -398,8 +402,12 @@ class StreamingSession:
                 ids = ids[1:]
         self._ensure_room(len(ids))
         room = self.max_seq_len - self.context_length - self.max_new_tokens
-        if len(ids) > room:  # a single over-budget text: keep the newest
-            ids = ids[len(ids) - max(room, 1):]
+        if len(ids) > room:
+            # A single over-budget text keeps its newest tokens; when NO
+            # room survives compaction (degenerate caps), extend nothing —
+            # keeping even one token would break the ctx + headroom <=
+            # max_seq_len invariant and silently drop decode writes.
+            ids = ids[len(ids) - room:] if room >= 1 else ids[:0]
         t = _round_up(max(len(ids), 1), 16)
         buf = np.zeros((1, t), np.int32)
         msk = np.zeros((1, t), np.int32)
